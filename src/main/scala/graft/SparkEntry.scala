@@ -1,13 +1,28 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is
+  * registered here as a named query `(SparkSession, sfDir) => DataFrame`,
+  * with a DuckDB-equivalent oracle SQL where SQL-expressible. Column names
+  * are aliased identically on both sides (the driver compare sorts columns
+  * by name before hashing).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    etl.Transform.topkEnriched(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_topk_enriched"   -> (etl.Transform.topkEnriched _),
+    "q02_pricing_summary" -> (etl.Transform.pricingSummary _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    etl.Transform.oracle
 }

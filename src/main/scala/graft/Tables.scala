@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-provided testdata tables (TESTDATA.md / FIXTURES.md §A).
+  *
+  * All reads are plain `spark.read.parquet` with schema-on-file so Catalyst
+  * column pruning and predicate pushdown reach the scan (verify with
+  * `.explain`: `ReadSchema` / `PushedFilters`). At cluster scale these same
+  * helpers would point at partitioned table roots; nothing here assumes
+  * single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark's reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
+    * (legacy conf) and surface a microsecond TIMESTAMP_NTZ — the same
+    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
+    * oracle comparisons stay exact. floorDiv keeps pre-epoch values
+    * correct (not exercised by this data, but cheap insurance).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts") / lit(1000L)).cast(LongType))
+          .cast(TimestampNTZType))
+  }
+
+  // Short-hand single-table loaders used throughout the query modules.
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact decimal view of a 2-dp double column. All money-ish columns in
+    * the testdata carry ≤2 decimal digits; scale-6 decimal round-trips them
+    * identically in Spark and DuckDB, making SUM/arithmetic order-independent
+    * and hash-stable (double summation is not associative; decimal is).
+    */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 6))
+}
