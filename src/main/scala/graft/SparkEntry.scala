@@ -17,12 +17,21 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_topk_enriched"   -> (etl.Transform.topkEnriched _),
-    "q02_pricing_summary" -> (etl.Transform.pricingSummary _),
+    "q01_topk_enriched"    -> (etl.Transform.topkEnriched _),
+    "q02_pricing_summary"  -> (etl.Transform.pricingSummary _),
+    "q03_left_join"        -> (etl.Transform.leftJoin _),
+    "q04_sanitize_cast"    -> (etl.Transform.sanitizeCast _),
+    "q05_string_funcs"     -> (etl.Transform.stringFuncs _),
+    "q06_entity_dedup"     -> (etl.Normalize.entityNames _),
+    "q07_surrogate_ids"    -> (etl.Normalize.surrogateIds _),
+    "q08_edges_normalize"  -> (etl.Normalize.edges _),
+    "q09_semi_join"        -> (etl.Upsert.semiJoin _),
+    "q10_anti_join_insert" -> (etl.Upsert.antiJoinInsert _),
+    "q11_merge_upsert"     -> (etl.Upsert.mergeUpsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    etl.Transform.oracle
+    etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle
 }

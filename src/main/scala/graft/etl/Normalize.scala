@@ -1,0 +1,86 @@
+package graft.etl
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity normalization — the reference's people-dedup + FK-resolution
+  * stage (SURVEY.md §2.4–§2.5): flatten list columns, build a global
+  * distinct entity set, assign surrogate ids, resolve edges.
+  *
+  * Reference behaviors: `set(chain(...))` entity dedup
+  * (`webscraper-postgres.py:147–154`), SERIAL surrogate keys (`:112,126`),
+  * dict-probe FK resolution (`:227,243–246,166–170`) → broadcast hash
+  * joins, composite-PK edge dedup (`:132,137,142`).
+  */
+object Normalize {
+
+  /** A1: explode two "list columns" + one scalar column, union, distinct —
+    * one global entity-name set. Distributed as a partial+final hash
+    * aggregate; no driver-side set. */
+  def entityNames(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok  = d.select(explode(split(trim(col("text")), " ")).as("name"))
+    val src  = d.select(col("source").as("name"))
+    val lang = d.select(col("lang").as("name"))
+    tok.union(src).union(lang)
+      .filter(col("name").isNotNull && col("name") =!= "")
+      .distinct()
+  }
+
+  /** SERIAL-style surrogate keys (`webscraper-postgres.py:112,126`), made
+    * deterministic: ids are the 1-based rank of the name in sorted order.
+    *
+    * Scale note: a `row_number()` over a global (partition-less) Window
+    * funnels every row through ONE task; `sortBy + zipWithIndex` instead
+    * keeps the sort distributed (range-partitioned) and assigns
+    * contiguous ids per partition with a per-partition offset — the
+    * standard cluster-safe surrogate-key assignment.
+    */
+  def surrogateIds(spark: SparkSession, dir: String): DataFrame = {
+    val ids = entityNames(spark, dir)
+      .select("name").rdd.map(_.getString(0))
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (n, i) => (n, i + 1) }
+    spark.createDataFrame(ids).toDF("name", "name_id")
+  }
+
+  /** J2–J4 + A2: FK-resolution edge build — explode the list column,
+    * broadcast-join the (small) entity dictionary, emit distinct
+    * (doc_id, name_id) edges. Mirrors the reference's hand-rolled dict
+    * probes + composite-PK dedup (`webscraper-postgres.py:239–285`). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("name"))
+      .filter(col("name") =!= "")
+    tok.join(broadcast(surrogateIds(spark, dir)), "name")
+      .select("doc_id", "name_id")
+      .distinct()
+  }
+
+  private val namesSql =
+    """SELECT DISTINCT name FROM (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS name FROM documents
+      |  UNION ALL SELECT source FROM documents
+      |  UNION ALL SELECT lang FROM documents
+      |) WHERE name IS NOT NULL AND name <> ''""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q06_entity_dedup" -> namesSql,
+    "q07_surrogate_ids" ->
+      s"""SELECT name, row_number() OVER (ORDER BY name) AS name_id
+         |FROM ($namesSql)""".stripMargin,
+    "q08_edges_normalize" ->
+      s"""WITH ids AS (
+         |  SELECT name, row_number() OVER (ORDER BY name) AS name_id
+         |  FROM ($namesSql)),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS name
+         |  FROM documents)
+         |SELECT DISTINCT doc_id, name_id
+         |FROM tok JOIN ids USING (name)
+         |WHERE name <> ''""".stripMargin,
+  )
+}

@@ -61,6 +61,50 @@ object Transform {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+
+  /** J1: left outer equi-join preserving unmatched left rows
+    * (`webscraper-postgres.py:101` — pandas left merge). Null keys do not
+    * match (SQL `===`), same as pandas merge-on-NaN. */
+  def leftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+  }
+
+  /** C1–C3: the reference's safe_int / safe_decimal / safe_list sanitizers
+    * (`webscraper-postgres.py:174–188,230–237`) as null-on-garbage
+    * `try_cast` expressions + `coalesce(…, array())` — no UDFs, fully
+    * codegen'd, ANSI-safe. */
+  def sanitizeCast(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(
+      col("p_partkey"),
+      expr("try_cast(p_name AS INT)").as("junk_int"),                   // garbage → null
+      expr("try_cast(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)").as("brand_num"),
+      expr("try_cast(p_type AS DECIMAL(3,1))").as("junk_dec"),          // garbage → null
+      expr("try_cast(concat(p_size, '.5') AS DECIMAL(5,1))").as("size_dec"),
+      coalesce(when(col("p_size") >= 5, split(col("p_name"), " ")), array())
+        .as("tokens"))                                                  // safe_list
+  }
+
+  /** P2–P5: rank/title split, positional parse, paren-strip, URL concat
+    * (`webscraper-postgres.py:38–56`) over a synthesized "NN. title"
+    * column. Pure string expressions — whole-stage codegen. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val titled = p.select(
+      col("p_partkey"), col("p_brand"),
+      concat(col("p_partkey"), lit(". "), col("p_name")).as("titled"))
+    titled.select(
+      col("p_partkey"),
+      expr("try_cast(regexp_extract(titled, '^([0-9]+)\\. (.*)$', 1) AS INT)").as("rank"),
+      regexp_extract(col("titled"), "^([0-9]+)\\. (.*)$", 2).as("title"),
+      substring_index(col("titled"), ".", 1).as("rank_str"),
+      regexp_replace(concat(lit("("), col("p_brand"), lit(")")), "[()]", "").as("views"),
+      concat(lit("https://www.imdb.com/"), col("p_brand")).as("url"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_topk_enriched" ->
       """SELECT o_orderkey, c_name, n_name, r_name, o_totalprice, o_orderdate
@@ -79,5 +123,25 @@ object Transform {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_left_join" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q04_sanitize_cast" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_name AS INT) AS junk_int,
+        |  TRY_CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num,
+        |  TRY_CAST(p_type AS DECIMAL(3,1)) AS junk_dec,
+        |  TRY_CAST(concat(p_size, '.5') AS DECIMAL(5,1)) AS size_dec,
+        |  COALESCE(CASE WHEN p_size >= 5 THEN string_split(p_name, ' ') END, []) AS tokens
+        |FROM part""".stripMargin,
+    "q05_string_funcs" ->
+      """WITH t AS (SELECT p_partkey, p_brand, concat(p_partkey, '. ', p_name) AS titled FROM part)
+        |SELECT p_partkey,
+        |  TRY_CAST(regexp_extract(titled, '^([0-9]+)\. (.*)$', 1) AS INT) AS rank,
+        |  regexp_extract(titled, '^([0-9]+)\. (.*)$', 2) AS title,
+        |  split_part(titled, '.', 1) AS rank_str,
+        |  regexp_replace(concat('(', p_brand, ')'), '[()]', '', 'g') AS views,
+        |  concat('https://www.imdb.com/', p_brand) AS url
+        |FROM t""".stripMargin,
   )
 }
