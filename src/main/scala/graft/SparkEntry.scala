@@ -28,10 +28,20 @@ object SparkEntry {
     "q09_semi_join"        -> (etl.Upsert.semiJoin _),
     "q10_anti_join_insert" -> (etl.Upsert.antiJoinInsert _),
     "q11_merge_upsert"     -> (etl.Upsert.mergeUpsert _),
+    "q12_window_rank"      -> (analytics.Relational.windowRank _),
+    "q13_rollup_agg"       -> (analytics.Relational.rollupAgg _),
+    "q14_setops"           -> (analytics.Relational.setOps _),
+    "q15_json_extract"     -> (ops.Events.jsonExtract _),
+    "q16_tumbling_window"  -> (ops.Events.tumbling _),
+    "q17_sliding_window"   -> (ops.Events.sliding _),
+    "q18_sessionize"       -> (ops.Events.sessionize _),
+    "q19_asof_join"        -> (ops.TemporalJoins.asofJoin _),
+    "q20_range_join"       -> (ops.TemporalJoins.rangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle
+    etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++
+      analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle
 }

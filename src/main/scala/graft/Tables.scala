@@ -29,10 +29,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000` is integer division — ns epoch values exceed 2^53, so
+    // double division (plain `/`) would lose up to ±256 ns and shift some
+    // microseconds by one vs DuckDB's truncation.
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
-        timestamp_micros(floor(col("ts") / lit(1000L)).cast(LongType))
-          .cast(TimestampNTZType))
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
 
   // Short-hand single-table loaders used throughout the query modules.
