@@ -37,11 +37,27 @@ object SparkEntry {
     "q18_sessionize"       -> (ops.Events.sessionize _),
     "q19_asof_join"        -> (ops.TemporalJoins.asofJoin _),
     "q20_range_join"       -> (ops.TemporalJoins.rangeJoin _),
+    "q21_dedup_exact"      -> (ops.Dedup.exact _),
+    "q22_jaccard_neardup"  -> (ops.Dedup.jaccardNearDup _),
+    "q23_minhash_lsh"      -> (ops.Dedup.minhashLsh _),
+    "q24_simhash_neardup"  -> (ops.Dedup.simhashNearDup _),
+    "q25_cosine_topk"      -> (ops.Similarity.cosineTopK _),
+    "q26_ann_ivf"          -> ((s, d) => ops.Similarity.ivfTopK(s, d)),
+    "q27_embedding_neardup" -> (ops.Similarity.embeddingNearDup _),
+    "q28_langid"           -> (ops.TextAnalysis.langId _),
+    "q29_quality_score"    -> (ops.TextAnalysis.qualityScore _),
+    "q30_token_stats"      -> (ops.TextAnalysis.tokenStats _),
+    "q31_fingerprint"      -> (ops.TextAnalysis.fingerprint _),
+    "q32_multimodal_meta"  -> (ops.Multimodal.mediaMetaDf _),
+    "q33_frame_sample"     -> (ops.Multimodal.frameSample _),
+    "q34_stream_tumbling"  -> (streaming.StreamingEvents.tumblingAvailableNow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++
-      analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle
+      analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
+      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
+      ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle
 }

@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64) —
+  * SURVEY.md §7.3(6) north-star extension.
+  *
+  * Determinism design: float32 values are scaled to exact BIGINTs
+  * (round(x·10⁶)); integer dot products / norms are then associative and
+  * order-independent, so Spark and DuckDB agree bit-for-bit regardless of
+  * partitioning or SIMD summation order — double dot products would not.
+  * The final cosine is a fixed double expression over those exact ints.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one pass, no shuffle until the per-query top-k
+  * (partial TakeOrdered per partition). The IVF variant bounds work per
+  * query to nprobe clusters — the 100 TB path.
+  */
+object Similarity {
+
+  /** embeddings with exact integer-scaled vector `ai` and its squared
+    * norm `n2`. */
+  def scaled(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("ai"))
+      .withColumn("n2",
+        expr("aggregate(transform(ai, x -> x * x), 0L, (acc, x) -> acc + x)"))
+
+  private val dotExpr =
+    "aggregate(zip_with(q_ai, ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+  /** Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) over the
+    * whole corpus — the exact baseline ANN variants are measured against.
+    * Queries are broadcast; the corpus is never shuffled until the
+    * per-query top-k window. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = scaled(spark, dir)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val pairs = broadcast(q).join(v, col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** IVF (inverted-file) approximate NN — the scale path.
+    * "Centroids" are a deterministic seed subset (vec_id % 37 = 0); every
+    * vector is assigned to its nearest centroid (broadcast join against
+    * the tiny centroid set); a query probes only its nprobe=2 nearest
+    * clusters and reranks exactly. Recall vs cosineTopK asserted in
+    * SimilaritySpec. */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val v = scaled(spark, dir)
+    val cents = v.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("c_id"), col("ai").as("q_ai"), col("n2").as("c_n2"))
+    // assign: nearest centroid per vector (cosine)
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("c_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("ai"), col("n2"), col("c_id"))
+    // probe: nprobe nearest centroids per query
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val probes = q.crossJoin(broadcast(cents.withColumnRenamed("q_ai", "c_ai")))
+      .withColumn("cos",
+        expr("aggregate(zip_with(q_ai, c_ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+          .cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("c_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_ai"), col("q_n2"), col("c_id"))
+    // rerank exactly within probed clusters
+    val candidates = probes.join(assigned, "c_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+    candidates.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs
+    * (exact; LSH/IVF bucketing is the scale path, same as Dedup). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = scaled(spark, dir)
+    val a = v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"), col("n2").as("a_n2"))
+    val b = v.select(col("vec_id").as("b_id"), col("ai"), col("n2").as("b_n2"))
+    broadcast(a).join(b, col("a_id") < col("b_id"))
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  private val scaledSql =
+    """SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
+      |FROM embeddings""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q25_cosine_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, ai,
+         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |  FROM ($scaledSql)),
+         |q AS (SELECT vec_id AS q_id, ai AS q_ai, n2 AS q_n2 FROM v WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> q_ai[i+1] * ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM q JOIN v ON q_id <> vec_id)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM pairs)
+         |WHERE rn <= 5""".stripMargin,
+    "q27_embedding_neardup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, ai,
+         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |  FROM ($scaledSql))
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
+    // q26_ann_ivf is approximate — rows-only driver check + recall spec.
+  )
+}

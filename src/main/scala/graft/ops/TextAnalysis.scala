@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over `documents`
+  * (SURVEY.md §7.3(6)): language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting. All per-document map-side
+  * expressions (no shuffle at all — embarrassingly parallel at 100 TB),
+  * fully codegen'd, no UDFs.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en")
+  private val stopFr = Seq("le", "la", "de", "et", "les", "des")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+
+  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+  private def hits(xs: Seq[String]) =
+    s"size(filter(toks, x -> x IN (${inList(xs)})))"
+
+  /** n-gram/stopword language-ID heuristic: score per language = stopword
+    * hits; argmax with a fixed precedence order. (The corpus is synthetic
+    * — the point is the operator shape, matched exactly by the oracle.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(Dedup.normText(col("text")), " "))
+      .select(col("doc_id"), col("lang"),
+        expr(hits(stopEn)).as("en"), expr(hits(stopEs)).as("es"),
+        expr(hits(stopFr)).as("fr"), expr(hits(stopDe)).as("de"))
+      .withColumn("lang_guess", expr(
+        """CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+          |     WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+          |     WHEN fr >= de AND fr > 0 THEN 'fr'
+          |     WHEN de > 0 THEN 'de'
+          |     ELSE 'und' END""".stripMargin))
+
+  /** Quality scoring: length / punctuation / stopword ratios + a weighted
+    * score. Ratios are int/int double divisions (deterministic). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(Dedup.normText(col("text")), " "))
+      .select(col("doc_id"),
+        length(col("text")).as("text_len"),
+        size(col("toks")).as("n_tok"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+          .as("n_alpha"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .as("n_punct"),
+        expr(hits(stopEn)).as("stop_hits"))
+      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("text_len"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tok"))
+      .withColumn("quality", expr(
+        "0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)"))
+      .withColumn("low_quality", col("quality") < 0.5)
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * ([alpha]+ | [digit]+ | single symbol), distinct counts, bytes/token. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)").as("bpe"))
+      .select(col("doc_id"), col("source"), col("n_ws_tokens"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        size(array_distinct(col("bpe"))).as("n_uniq_tokens"))
+
+  /** Document fingerprinting: md5 of normalized text (exact-dup key) +
+    * min shingle hash (MinHash-style content fingerprint, k=1). md5 is
+    * identical across engines, so this one IS oracle-checkable (unlike
+    * seeded murmur/xxhash). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", Dedup.normText(col("text")))
+      .withColumn("toks", split(col("norm"), " "))
+      .select(col("doc_id"),
+        md5(col("norm")).as("fp"),
+        expr(
+          """array_min(CASE WHEN size(toks) >= 3
+            |  THEN transform(sequence(0, size(toks)-3),
+            |         i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+            |  ELSE array() END)""".stripMargin).as("min_shingle_fp"))
+
+  private def hitsSql(xs: Seq[String]) =
+    s"len(list_filter(toks, x -> x IN (${inList(xs)})))"
+
+  private val toksSql =
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+  val oracle: Map[String, String] = Map(
+    "q28_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  ${hitsSql(stopEn)} AS en, ${hitsSql(stopEs)} AS es,
+         |  ${hitsSql(stopFr)} AS fr, ${hitsSql(stopDe)} AS de FROM t)
+         |SELECT *, CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+         |     WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+         |     WHEN fr >= de AND fr > 0 THEN 'fr'
+         |     WHEN de > 0 THEN 'de'
+         |     ELSE 'und' END AS lang_guess
+         |FROM h""".stripMargin,
+    "q29_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  length(text) AS text_len,
+         |  len(toks) AS n_tok,
+         |  length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  ${hitsSql(stopEn)} AS stop_hits
+         |FROM t)
+         |SELECT *,
+         |  CAST(n_alpha AS DOUBLE) / text_len AS alpha_ratio,
+         |  CAST(stop_hits AS DOUBLE) / n_tok AS stop_ratio,
+         |  0.5 * (CAST(n_alpha AS DOUBLE) / text_len)
+         |    + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tok)
+         |    + 0.2 * least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) AS quality,
+         |  (0.5 * (CAST(n_alpha AS DOUBLE) / text_len)
+         |    + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tok)
+         |    + 0.2 * least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)) < 0.5 AS low_quality
+         |FROM m""".stripMargin,
+    "q30_token_stats" ->
+      """SELECT doc_id, source,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        |  len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS n_uniq_tokens
+        |FROM documents""".stripMargin,
+    "q31_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  list_min(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |    i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS min_shingle_fp
+        |FROM t""".stripMargin,
+  )
+}
