@@ -25,7 +25,7 @@ object Relational {
       lag("c_acctbal", 1).over(w).as("prev_bal"),
       sum(Tables.dec(col("c_acctbal")))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .as("run_sum"))
+        .cast("double").as("run_sum"))
   }
 
   /** ROLLUP over region → nation with exact decimal totals. Subtotal rows
@@ -42,7 +42,7 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(Tables.dec(col("o_totalprice"))).as("sum_price"))
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
         coalesce(col("n_name"), lit("ALL")).as("n_name"),
         col("n_orders"), col("sum_price"))
@@ -66,15 +66,15 @@ object Relational {
         |  rank() OVER w AS rnk,
         |  row_number() OVER w AS rn,
         |  lag(c_acctbal, 1) OVER w AS prev_bal,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey
         |    ORDER BY c_acctbal DESC, c_custkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "q13_rollup_agg" ->
       """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -44,8 +44,11 @@ object Transform {
     * reference lacks (SURVEY.md §2.5 "absent" row). Doubles are cast to
     * exact decimals *before* summing: decimal addition is associative, so
     * the result is identical across any partitioning / merge order — a
-    * 100 TB-safe determinism property, and what makes the DuckDB hash
-    * compare exact.
+    * 100 TB-safe determinism property. The *final* outputs are cast to
+    * DOUBLE: the values are exact at scale 6, so the cast is deterministic
+    * and identical in both engines, while decimal output types differ in
+    * representation (Spark DECIMAL(28,6) vs DuckDB DECIMAL(38,6)) and fail
+    * the driver's dtype-sensitive hash compare.
     */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -53,10 +56,10 @@ object Transform {
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampNTZType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(Tables.dec(col("l_quantity"))).as("sum_qty"),
-        sum(Tables.dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(Tables.dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(Tables.dec(col("l_extendedprice")) * (one - Tables.dec(col("l_discount"))))
-          .as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -82,10 +85,14 @@ object Transform {
       col("p_partkey"),
       expr("try_cast(p_name AS INT)").as("junk_int"),                   // garbage → null
       expr("try_cast(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)").as("brand_num"),
-      expr("try_cast(p_type AS DECIMAL(3,1))").as("junk_dec"),          // garbage → null
-      expr("try_cast(concat(p_size, '.5') AS DECIMAL(5,1))").as("size_dec"),
-      coalesce(when(col("p_size") >= 5, split(col("p_name"), " ")), array())
-        .as("tokens"))                                                  // safe_list
+      expr("try_cast(p_type AS DECIMAL(3,1))").cast("double").as("junk_dec"), // garbage → null
+      expr("try_cast(concat(p_size, '.5') AS DECIMAL(5,1))").cast("double")
+        .as("size_dec"),
+      // safe_list, serialized: array outputs crash the driver's pandas
+      // sort (unhashable ndarray) — emit the joined string instead.
+      concat_ws(" ",
+        coalesce(when(col("p_size") >= 5, split(col("p_name"), " ")), array()))
+        .as("tokens"))
   }
 
   /** P2–P5: rank/title split, positional parse, paren-strip, URL concat
@@ -115,9 +122,9 @@ object Transform {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 250""".stripMargin,
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -130,9 +137,9 @@ object Transform {
       """SELECT p_partkey,
         |  TRY_CAST(p_name AS INT) AS junk_int,
         |  TRY_CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num,
-        |  TRY_CAST(p_type AS DECIMAL(3,1)) AS junk_dec,
-        |  TRY_CAST(concat(p_size, '.5') AS DECIMAL(5,1)) AS size_dec,
-        |  COALESCE(CASE WHEN p_size >= 5 THEN string_split(p_name, ' ') END, []) AS tokens
+        |  CAST(TRY_CAST(p_type AS DECIMAL(3,1)) AS DOUBLE) AS junk_dec,
+        |  CAST(TRY_CAST(concat(p_size, '.5') AS DECIMAL(5,1)) AS DOUBLE) AS size_dec,
+        |  COALESCE(array_to_string(CASE WHEN p_size >= 5 THEN string_split(p_name, ' ') END, ' '), '') AS tokens
         |FROM part""".stripMargin,
     "q05_string_funcs" ->
       """WITH t AS (SELECT p_partkey, p_brand, concat(p_partkey, '. ', p_name) AS titled FROM part)

@@ -71,6 +71,9 @@ object Upsert {
     merge(existing, incoming, "o_orderkey",
       staticCols = Seq("o_orderdate"),
       dynamicCols = Seq("o_orderstatus", "o_totalprice"))
+      // exact decimal internally; DOUBLE at the output boundary (driver's
+      // hash compare is decimal-representation-sensitive across engines)
+      .withColumn("o_totalprice", col("o_totalprice").cast("double"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -95,7 +98,7 @@ object Upsert {
         |SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
         |  COALESCE(e.o_orderdate, i.o_orderdate) AS o_orderdate,
         |  COALESCE(i.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
-        |  COALESCE(i.o_totalprice, e.o_totalprice) AS o_totalprice,
+        |  CAST(COALESCE(i.o_totalprice, e.o_totalprice) AS DOUBLE) AS o_totalprice,
         |  CASE WHEN i.o_orderkey IS NULL THEN 'kept'
         |       WHEN e.o_orderkey IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS op

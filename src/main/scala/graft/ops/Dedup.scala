@@ -32,12 +32,15 @@ object Dedup {
           |  ELSE array() END""".stripMargin)).as("shingle"))
       .distinct()
 
-  /** Exact dedup: group on normalized text, keep min doc_id (the
-    * reference's UNIQUE-constraint dedup, `webscraper-postgres.py:122`,
-    * applied to documents). */
+  /** Exact dedup: group on the md5 fingerprint of the normalized text,
+    * keep min doc_id (the reference's UNIQUE-constraint dedup,
+    * `webscraper-postgres.py:122`, applied to documents). Grouping on the
+    * 32-byte fingerprint instead of the text itself keeps the shuffle
+    * payload constant-size per document at 100 TB — the full text never
+    * travels. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(normText(col("text")).as("norm_text"))
+      .groupBy(md5(normText(col("text"))).as("text_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Exact n-gram (3-shingle) Jaccard near-dup pairs, j ≥ 0.5.
@@ -160,7 +163,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q21_dedup_exact" ->
-      """SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
     "q22_jaccard_neardup" ->

@@ -25,7 +25,7 @@ object Events {
           .getField("k").as("k"))
       .groupBy((col("k") % 10).as("k_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(Tables.dec(col("value"))).as("sum_value"),
+        sum(Tables.dec(col("value"))).cast("double").as("sum_value"),
         max(col("k")).as("max_k"))
   }
 
@@ -35,7 +35,7 @@ object Events {
   def tumbling(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(Tables.dec(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(Tables.dec(col("value"))).cast("double").as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
   }
@@ -45,7 +45,7 @@ object Events {
   def sliding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(Tables.dec(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(Tables.dec(col("value"))).cast("double").as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
   }
@@ -57,7 +57,7 @@ object Events {
     val e = Tables.events(spark, dir)
     e.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(Tables.dec(col("value"))).as("sum_value"))
+        sum(Tables.dec(col("value"))).cast("double").as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
@@ -67,16 +67,16 @@ object Events {
     "q15_json_extract" ->
       """SELECT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INT) % 10 AS k_bucket,
         |  event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  max(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INT)) AS max_k
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q16_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q17_sliding_window" ->
       """SELECT make_timestamp(((epoch_ms(CAST(ts AS TIMESTAMP)) // 300000) - g.i) * 300000000) AS ws,
-        |  event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS i) g
         |GROUP BY 1, 2""".stripMargin,
     "q18_sessionize" ->
@@ -94,7 +94,7 @@ object Events {
         |SELECT min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  user_id, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid""".stripMargin,
   )
 }

@@ -30,8 +30,10 @@ object Multimodal {
   /** Deterministic fake "decoder" — stands in for a jpeg/png decode +
     * feature extraction. Real implementation would decode `payload` here. */
   private final class StubDecoder {
+    // per-partition init (constructor runs once per partition, not per row)
+    private val md = java.security.MessageDigest.getInstance("MD5")
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      md.reset()
       val hex = md.digest(payload).map("%02x".format(_)).mkString
       val fmt = (payload.length % 3) match {
         case 0 => "jpeg"
@@ -67,8 +69,12 @@ object Multimodal {
       }
   }
 
+  /** Driver-compared face of mediaMeta: array outputs crash the driver's
+    * pandas sort, so head_codes is serialized to a comma-joined string. */
   def mediaMetaDf(spark: SparkSession, dir: String): DataFrame =
     mediaMeta(spark, dir).toDF()
+      .withColumn("head_codes",
+        expr("array_join(transform(head_codes, x -> CAST(x AS STRING)), ',')"))
 
   /** Frame sampling stub: every 32-byte "frame" at a fixed stride,
     * emitted one row per sampled frame with its offset — the
@@ -93,8 +99,8 @@ object Multimodal {
         |  md5(text) AS content_md5,
         |  CASE octet_length(CAST(text AS BLOB)) % 3
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        |  list_transform(range(0, 4),
-        |    i -> ascii(substr(text, CAST(i + 1 AS INT), 1))) AS head_codes,
+        |  array_to_string(list_transform(range(0, 4),
+        |    i -> CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS VARCHAR)), ',') AS head_codes,
         |  CAST(octet_length(CAST(text AS BLOB)) // 32 AS INT) AS n_frames
         |FROM documents""".stripMargin,
     "q33_frame_sample" ->

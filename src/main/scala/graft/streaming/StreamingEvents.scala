@@ -45,7 +45,7 @@ object StreamingEvents {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(col("window.start").cast(TimestampNTZType).as("ws"),
         col("event_type"), col("n"), col("sum_value"))
     val name = s"stream_tumbling_${System.nanoTime()}"
@@ -63,7 +63,7 @@ object StreamingEvents {
   val oracle: Map[String, String] = Map(
     "q34_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -5,27 +5,43 @@ Usage: python3 tools/check.py [sfDir] [verifyOutDir]
 
 Reads <verifyOutDir>/<query>/ parquet (written by graft.Verify), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the same
-testdata parquet, and compares: column name set, row count, and exact
-row-sorted values. Stricter than (or equal to) whatever hash the driver
-uses, so green here should mean green there.
+testdata parquet, and compares the way the driver does (evidence:
+CORRECTNESS_r01.json): both sides go through *pandas* — spark parquet via
+pyarrow, oracle via duckdb .df() — columns sorted by name, rows sorted with
+pandas sort_values (which CRASHES on array/ndarray cells, exactly like the
+driver), values hashed dtype-sensitively (a Decimal and an equal float do
+NOT match). Green here is designed to be predictive of driver green.
 """
 import sys, os, json, glob, math
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
-    if v is None:
-        return "\0NULL"
+    """Dtype-sensitive cell normalization: include the python type so a
+    decimal.Decimal never equals a float even when numerically equal."""
+    if v is None or v != v:  # None / NaN / NaT
+        try:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or pd.isna(v):
+                return "\0NULL"
+        except (TypeError, ValueError):
+            pass
+    t = type(v).__name__
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)  # full precision
-    if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
+        return f"float:{v!r}"
+    return f"{t}:{v}"
+
+
+def frame(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    # driver-equivalent: pandas lexsort over all columns; ndarray cells throw
+    df = df.sort_values(by=cols, kind="mergesort")
+    return cols, [tuple(norm(v) for v in row) for row in df.itertuples(index=False)]
 
 
 def main():
@@ -44,28 +60,29 @@ def main():
             print(f"MISS  {name}: no parquet output")
             n_fail += 1
             continue
-        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
-        got_cols, got_rows = got.columns, got.fetchall()
+        try:
+            got_df = pq.read_table(files).to_pandas()
+            got_cols, g = frame(got_df)
+        except Exception as e:
+            print(f"FAIL  {name}: spark-side pandas error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
-            print(f"NOOR  {name}: rows={len(got_rows)} (rows-only check; "
-                  f"{'OK' if got_rows else 'EMPTY!'})")
+            print(f"NOOR  {name}: rows={len(g)} (NO ORACLE — driver grades "
+                  f"this as an error, not a pass!)")
+            n_fail += 1
             continue
         try:
-            exp = con.sql(oracle[name])
-            exp_cols, exp_rows = exp.columns, exp.fetchall()
-        except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}")
+            exp_df = con.sql(oracle[name]).df()
+            exp_cols, e = frame(exp_df)
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle error: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL  {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        if got_cols != exp_cols:
+            print(f"FAIL  {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
             continue
-        # sort columns by name (driver behavior), then sort rows
-        gi = [got_cols.index(c) for c in sorted(got_cols)]
-        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        g = sorted(tuple(norm(r[i]) for i in gi) for r in got_rows)
-        e = sorted(tuple(norm(r[i]) for i in ei) for r in exp_rows)
         if len(g) != len(e):
             print(f"FAIL  {name}: rowcount {len(g)} != {len(e)}")
             n_fail += 1
@@ -82,8 +99,7 @@ def main():
     for name in sorted(extra):
         print(f"MISS  {name}: oracle declared but no output dir")
         n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail, "
-          f"{len([d for d in dirs if d not in oracle])} rows-only ==")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
 
