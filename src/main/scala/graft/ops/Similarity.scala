@@ -141,6 +141,40 @@ object Similarity {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
-    // q26_ann_ivf is approximate — rows-only driver check + recall spec.
+    // q26 is approximate-NN but fully deterministic (seed-subset centroids,
+    // integer-exact dot products, total tie order) — the oracle implements
+    // the identical IVF pipeline in DuckDB.
+    "q26_ann_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, ai,
+         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |  FROM ($scaledSql)),
+         |c AS (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v WHERE vec_id % 37 = 0),
+         |assign AS (
+         |  SELECT vec_id, ai, n2, c_id FROM (
+         |    SELECT v.vec_id, v.ai, v.n2, c.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(0, 64), i -> c.c_ai[i+1] * v.ai[i+1])) AS DOUBLE)
+         |          / (sqrt(CAST(c.c_n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) DESC, c.c_id) AS rn
+         |    FROM v, c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, ai AS q_ai, n2 AS q_n2 FROM v WHERE vec_id % 50 = 0),
+         |probe AS (
+         |  SELECT q_id, q_ai, q_n2, c_id FROM (
+         |    SELECT q.q_id, q.q_ai, q.q_n2, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        CAST(list_sum(list_transform(range(0, 64), i -> q.q_ai[i+1] * c.c_ai[i+1])) AS DOUBLE)
+         |          / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC, c.c_id) AS rn
+         |    FROM q, c)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> p.q_ai[i+1] * a.ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(p.q_n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos
+         |  FROM probe p JOIN assign a ON a.c_id = p.c_id AND p.q_id <> a.vec_id)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cand)
+         |WHERE rn <= 5""".stripMargin,
   )
 }
