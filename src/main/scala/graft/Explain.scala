@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time and/or explain individual SparkEntry queries.
+  *
+  * Usage: runMain graft.Explain <sfDir> [--explain] <queryName>...
+  * Times each named query (count + wall-clock, 2 runs) and optionally
+  * prints the formatted physical plan — the feedback loop for checking
+  * pushdown/broadcast/codegen claims (SURVEY.md §4).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val showPlan = args.contains("--explain")
+    val names = args.drop(1).filterNot(_ == "--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets: Seq[String] =
+      if (names.nonEmpty) names.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    targets.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"UNKNOWN $name")
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          if (showPlan) { println(s"== $name =="); df.explain("formatted") }
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = df.count()
+            println(f"TIME $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+          }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for training-data pipelines: exact, exact-jaccard
   * over shingle sets (inverted index), MinHash-LSH (approximate scale
@@ -71,31 +72,32 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** Shingles whose document frequency is ≤ maxDf — candidate enumeration
-    * skips heavy hitters (a shingle shared by k docs emits k² candidate
-    * rows; one hot shingle would dominate a 100 TB run). Verification
-    * still scores over ALL shingles, so reported jaccards stay exact; a
-    * pair is only missed if *every* shared shingle is a heavy hitter,
-    * which j ≥ 0.5 pairs of real documents don't exhibit (checked against
-    * the uncapped oracle in CORRECTNESS + DedupSpec). */
-  private def rareShingles(sh: DataFrame, maxDf: Int): DataFrame =
-    sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-
-  private val MaxShingleDf = 50
-
-  /** Exact n-gram (3-shingle) Jaccard near-dup pairs, j ≥ 0.5.
-    * Inverted-index candidate generation over df-capped shingles, exact
-    * verification over all shingles. */
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs, j ≥ 0.5, via
+    * prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07): order each doc's shingles by ascending global
+    * document frequency and index only the first ⌊sz/2⌋+1 — if
+    * j(A,B) ≥ 0.5 the prefixes must intersect, so enumeration over the
+    * prefix index is EXACT while heavy-hitter shingles (which rank last)
+    * structurally never drive the candidate join. A length filter
+    * (j ≥ 0.5 ⇒ sizes within 2×) prunes further. Verification scores
+    * candidates over ALL shingles; the oracle is the plain uncapped
+    * inverted-index SQL, proving equivalence on every run. */
   def jaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val idx = rareShingles(sh, MaxShingleDf)
-    val cand = idx.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(idx.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    // the shingle index feeds candidate enumeration AND verification —
+    // persist it once instead of re-exploding the corpus per use (the
+    // standard candidate/verify diamond; spills to disk at scale)
+    val sh = shingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w.orderBy(col("df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(w))
+    val pref = ranked.filter(col("rk") <= expr("sz div 2 + 1"))
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    val cand = pref.as("a").join(pref.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifyJaccard(cand, sh, 0.5)
   }
@@ -110,10 +112,13 @@ object Dedup {
     * A single shuffle (groupBy doc_id) computes all 16 mins with map-side
     * partial aggregation — this is the 100 TB path where the exact
     * inverted index blows up. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(shingles(spark, dir))
+
+  private def signaturesOf(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(s =>
       min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"h$s"))
-    shingles(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup: band the signatures (band hash = md5 of the
@@ -123,7 +128,8 @@ object Dedup {
     * verification) — asserted in DedupSpec and against the DuckDB oracle
     * implementing this same pipeline. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    val sh = shingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = signaturesOf(sh)
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       val cols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
@@ -134,35 +140,62 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, shingles(spark, dir), 0.5)
+    verifyJaccard(cand, sh, 0.5)
   }
 
-  /** SimHash near-dup, Hamming ≤ 3 over 64-bit signatures.
-    * Banding: 8 chunks of 8 bits, candidates = pairs equal on ≥1 of the
-    * C(8,2)=28 chunk *pairs* (16-bit band values). Pigeonhole: ≤3
-    * differing bits touch ≤3 chunks, leaving ≥5 clean chunks ⇒ ≥10 clean
-    * chunk-pairs — exact recall for the ≤3 band, with narrower buckets
-    * than single 16-bit chunks (a hot 16-bit value can't collapse the
-    * whole corpus into one group; asserted in DedupSpec). */
+  /** SimHash near-dup, Hamming ≤ 3 over 64-bit signatures — semantics:
+    * ALL doc pairs at Hamming distance ≤ 3 (the oracle states exactly
+    * that, as a brute-force all-pairs SQL over sf0.01).
+    *
+    * The plan is the scale path and provably equivalent:
+    *  1. Collapse to DISTINCT signatures first — duplicate-heavy corpora
+    *     (this one: 5000 docs / 3905 sigs, one sig × 248 docs) otherwise
+    *     pay k² of the largest cluster in the candidate join.
+    *  2. Band the distinct sigs by the C(8,3)=56 *triples* of 8-bit
+    *     chunks (24-bit band values). Pigeonhole: ≤3 differing bits touch
+    *     ≤3 chunks, leaving ≥5 clean ⇒ ≥C(5,3)=10 clean triples — exact
+    *     recall for Hamming ≤ 3, with 256× narrower buckets than 16-bit
+    *     chunk pairs (bounded per-bucket groups at corpus scale).
+    *  3. Verify Hamming on candidate sig pairs, then expand sig pairs
+    *     back to doc pairs (identical-sig groups are Hamming 0 by
+    *     definition). Equivalence with the brute-force oracle is exactly
+    *     the recall guarantee in (2); also asserted in DedupSpec. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(spark, dir)
-    val bandCols = for { i <- 0 until 8; j <- i + 1 until 8 } yield
-      struct(lit(i * 8 + j).as("band"),
+    // tiny (≤ #distinct signatures) but feeds four plan branches — without
+    // persist the whole per-token signature pipeline recomputes per branch
+    val groups = sig.groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandCols = for { i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8 } yield
+      struct(lit(i * 64 + j * 8 + k).as("band"),
         concat(substring(col("sig"), i * 8 + 1, 8),
-               substring(col("sig"), j * 8 + 1, 8)).as("bv"))
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bv"))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bv"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+               substring(col("sig"), j * 8 + 1, 8),
+               substring(col("sig"), k * 8 + 1, 8)).as("bv"))
+    val buckets = groups.select(col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("sig"), col("bk.band"), col("bk.bv"))
+    val sigPairs = buckets.as("x").join(buckets.as("y"), Seq("band", "bv"))
+      .filter(col("x.sig") < col("y.sig"))
+      .select(col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
-      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("hamming", expr(
-        "CAST(size(filter(sequence(1, 64), k -> substring(sig_a, k, 1) <> substring(sig_b, k, 1))) AS INT)"))
+        "CAST(size(filter(sequence(1, 64), k -> substring(sa, k, 1) <> substring(sb, k, 1))) AS INT)"))
       .filter(col("hamming") <= 3)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+    val cross = sigPairs
+      .join(groups.select(col("sig").as("sa"), col("ids").as("ids_a")), "sa")
+      .join(groups.select(col("sig").as("sb"), col("ids").as("ids_b")), "sb")
+      .select(col("hamming"), explode(col("ids_a")).as("x_id"), col("ids_b"))
+      .select(col("hamming"), col("x_id"), explode(col("ids_b")).as("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("hamming"))
+    // identical-sig doc pairs (Hamming 0); k² only within true dup clusters
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2),
+          |  i -> transform(sequence(i+1, size(ids)-1),
+          |         j -> struct(ids[i] AS a_id, ids[j] AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
   }
 
   /** doc_id → 64-bit simhash of its token set, as a 64-char '0'/'1'
@@ -179,12 +212,16 @@ object Dedup {
         explode(split(normText(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .distinct()
+      // md5 once per token, hex-digit values once per digit — lambdas
+      // don't get common-subexpression elimination, so computing md5(tok)
+      // inside a 64-iteration transform would run it 64× per row.
+      .withColumn("h", md5(col("tok")))
+      .withColumn("dv", expr(
+        "transform(sequence(0, 15), d -> instr('0123456789abcdef', substring(h, d + 1, 1)) - 1)"))
       .select(col("doc_id"), expr(
-        """transform(sequence(0, 63), i ->
-          |  CASE WHEN (shiftright(instr('0123456789abcdef',
-          |                substring(md5(tok), (i div 4) + 1, 1)) - 1,
-          |              i % 4) & 1) = 1
-          |  THEN 1L ELSE -1L END)""".stripMargin)
+        """flatten(transform(dv, v ->
+          |  transform(sequence(0, 3), b ->
+          |    CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1L ELSE -1L END)))""".stripMargin)
         .as("bits"))
       .groupBy(col("doc_id"))
       .agg(vecSum(col("bits")).as("sums"))
@@ -274,26 +311,17 @@ object Dedup {
          |  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh
          |    AND x.doc_id < y.doc_id),
          |$verifySql""".stripMargin,
+    // Brute-force statement of the semantics: ALL pairs at Hamming ≤ 3.
+    // The Spark plan's triple-banding has provably exact recall for the
+    // ≤3 band, so the sets are equal — the oracle checks semantics, not
+    // the plan.
     "q24_simhash_neardup" ->
-      s"""WITH $simhashSigSql,
-         |bands AS (
-         |  SELECT doc_id, sig, p.i * 8 + p.j AS band,
-         |    substr(sig, CAST(p.i * 8 + 1 AS INT), 8) ||
-         |    substr(sig, CAST(p.j * 8 + 1 AS INT), 8) AS bv
-         |  FROM sig, (SELECT a.i, b.j
-         |             FROM (SELECT unnest(range(0, 8)) AS i) a,
-         |                  (SELECT unnest(range(0, 8)) AS j) b
-         |             WHERE a.i < b.j) p),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-         |    x.sig AS sig_a, y.sig AS sig_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
-         |    AND x.doc_id < y.doc_id)
+      s"""WITH $simhashSigSql
          |SELECT a_id, b_id, hamming FROM (
-         |  SELECT a_id, b_id,
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |    CAST(len(list_filter(range(1, 65),
-         |      k -> substr(sig_a, CAST(k AS INT), 1) <> substr(sig_b, CAST(k AS INT), 1))) AS INT) AS hamming
-         |  FROM cand)
+         |      k -> substr(a.sig, CAST(k AS INT), 1) <> substr(b.sig, CAST(k AS INT), 1))) AS INT) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          |WHERE hamming <= 3""".stripMargin,
   )
 }

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * partitioning or SIMD summation order — double dot products would not.
   * The final cosine is a fixed double expression over those exact ints.
   *
-  * Scale design: brute-force top-k broadcasts the (small) query set and
-  * streams the corpus — one pass, no shuffle until the per-query top-k
-  * (partial TakeOrdered per partition). The IVF variant bounds work per
-  * query to nprobe clusters — the 100 TB path.
+  * Scale design: brute-force top-k broadcasts the (small) query set,
+  * streams the corpus once, and accumulates per-query results through a
+  * bounded top-k Aggregator (shuffle carries ≤k rows per query ×
+  * partition). The IVF variant bounds probe work per query to nprobe
+  * clusters; the near-dup variant scopes candidate pairs to shared IVF
+  * cells — both are the 100 TB paths.
   */
 object Similarity {
 
@@ -34,47 +36,60 @@ object Similarity {
   private val dotExpr =
     "aggregate(zip_with(q_ai, ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
 
-  /** Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) over the
-    * whole corpus — the exact baseline ANN variants are measured against.
-    * Queries are broadcast; the corpus is never shuffled until the
-    * per-query top-k window. */
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val v = scaled(spark, dir)
-    val q = v.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
-    val pairs = broadcast(q).join(v, col("q_id") =!= col("vec_id"))
-      .withColumn("cos",
-        expr(dotExpr).cast("double") /
-          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
-  }
-
-  /** IVF (inverted-file) approximate NN — the scale path.
-    * "Centroids" are a deterministic seed subset (vec_id % 37 = 0); every
-    * vector is assigned to its nearest centroid (broadcast join against
-    * the tiny centroid set); a query probes only its nprobe=2 nearest
-    * clusters and reranks exactly. Recall vs cosineTopK asserted in
-    * SimilaritySpec. */
-  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
-    val v = scaled(spark, dir)
-    val cents = v.filter(col("vec_id") % 37 === 0)
-      .select(col("vec_id").as("c_id"), col("ai").as("q_ai"), col("n2").as("c_n2"))
-    // assign: nearest centroid per vector (cosine)
-    val assigned = v.crossJoin(broadcast(cents))
+  /** Assign every vector to its `nAssign` nearest centroids by cosine
+    * (broadcast join against the tiny centroid set — the only broadcast
+    * in the similarity family; the corpus itself never broadcasts). */
+  private def assignCells(v: DataFrame, nAssign: Int): DataFrame = {
+    val cents = v.select(col("vec_id").as("c_id"), col("ai").as("q_ai"),
+        col("n2").as("c_n2"))
+      .filter(col("c_id") % 37 === 0)
+    v.crossJoin(broadcast(cents))
       .withColumn("cos",
         expr(dotExpr).cast("double") /
           (sqrt(col("c_n2").cast("double")) * sqrt(col("n2").cast("double"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("c_id"))))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nAssign)
       .select(col("vec_id"), col("label"), col("ai"), col("n2"), col("c_id"))
+  }
+
+  /** Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) over the
+    * whole corpus — the exact baseline the ANN variants are measured
+    * against. Queries are broadcast; the corpus streams through once; the
+    * per-query top-k accumulates in TopKAgg with map-side partial
+    * aggregation (no full-corpus window partition per query — recall spec
+    * in SimilaritySpec compares ivfTopK against this). */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = scaled(spark, dir)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    broadcast(q).join(v, col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** IVF (inverted-file) approximate NN — the scale path.
+    * "Centroids" are a deterministic seed subset (vec_id % 37 = 0); every
+    * vector is assigned to its nearest centroid; a query probes only its
+    * nprobe=2 nearest clusters and reranks exactly. Fully deterministic,
+    * so the DuckDB oracle mirrors this whole pipeline; recall vs
+    * cosineTopK asserted in SimilaritySpec. */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val v = scaled(spark, dir)
+    val assigned = assignCells(v, 1)
+    val cents = v.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("c_id"), col("ai").as("c_ai"), col("n2").as("c_n2"))
     // probe: nprobe nearest centroids per query
     val q = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
-    val probes = q.crossJoin(broadcast(cents.withColumnRenamed("q_ai", "c_ai")))
+    val probes = q.crossJoin(broadcast(cents))
       .withColumn("cos",
         expr("aggregate(zip_with(q_ai, c_ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
           .cast("double") /
@@ -83,25 +98,40 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("c_id"))))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_ai"), col("q_n2"), col("c_id"))
-    // rerank exactly within probed clusters
-    val candidates = probes.join(assigned, "c_id")
+    // rerank exactly within probed clusters, bounded top-k per query
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    probes.join(assigned, "c_id")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos",
         expr(dotExpr).cast("double") /
           (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
-    candidates.withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs
-    * (exact; LSH/IVF bucketing is the scale path, same as Dedup). */
+  /** Embedding near-duplicate pairs, cluster-scoped (the SemDeDup shape —
+    * the industry-standard 100 TB semantics): candidate pairs share at
+    * least one IVF cell under 2-way multi-assignment, then verify with
+    * the exact cosine and keep ≥ 0.4. Candidate work is Σ_cells k², not
+    * n² — no full-corpus broadcast, no all-pairs join; the pipeline is
+    * deterministic end-to-end and the oracle mirrors it. Cross-cell pairs
+    * are out of scope by definition (recall vs the exact all-pairs join
+    * is measured in SimilaritySpec). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = scaled(spark, dir)
-    val a = v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"), col("n2").as("a_n2"))
-    val b = v.select(col("vec_id").as("b_id"), col("ai"), col("n2").as("b_n2"))
-    broadcast(a).join(b, col("a_id") < col("b_id"))
+    val cells = assignCells(v, 2).select(col("c_id"), col("vec_id"))
+    val cand = cells.as("x").join(cells.as("y"), "c_id")
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct() // a pair sharing both cells must score once
+    cand
+      .join(v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"),
+        col("n2").as("a_n2")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("ai"),
+        col("n2").as("b_n2")), "b_id")
       .withColumn("cos",
         expr(dotExpr).cast("double") /
           (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))))
@@ -113,6 +143,23 @@ object Similarity {
     """SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
       |FROM embeddings""".stripMargin
+
+  /** Shared oracle CTE: scaled vectors with norms, centroids, and the
+    * n-way cell assignment (mirrors assignCells). */
+  private def assignSql(nAssign: Int) =
+    s"""v AS (
+       |  SELECT vec_id, ai,
+       |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+       |  FROM ($scaledSql)),
+       |c AS (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v WHERE vec_id % 37 = 0),
+       |assign AS (
+       |  SELECT vec_id, ai, n2, c_id FROM (
+       |    SELECT v.vec_id, v.ai, v.n2, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(0, 64), i -> c.c_ai[i+1] * v.ai[i+1])) AS DOUBLE)
+       |          / (sqrt(CAST(c.c_n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) DESC, c.c_id) AS rn
+       |    FROM v, c)
+       |  WHERE rn <= $nAssign)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q25_cosine_topk" ->
@@ -130,34 +177,10 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM pairs)
          |WHERE rn <= 5""".stripMargin,
-    "q27_embedding_neardup" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, ai,
-         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
-         |  FROM ($scaledSql))
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
-         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-         |FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |WHERE CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
-         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4""".stripMargin,
-    // q26 is approximate-NN but fully deterministic (seed-subset centroids,
-    // integer-exact dot products, total tie order) — the oracle implements
-    // the identical IVF pipeline in DuckDB.
+    // q26: deterministic IVF — the oracle implements the identical
+    // assign/probe/rerank pipeline.
     "q26_ann_ivf" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, ai,
-         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
-         |  FROM ($scaledSql)),
-         |c AS (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v WHERE vec_id % 37 = 0),
-         |assign AS (
-         |  SELECT vec_id, ai, n2, c_id FROM (
-         |    SELECT v.vec_id, v.ai, v.n2, c.c_id,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        CAST(list_sum(list_transform(range(0, 64), i -> c.c_ai[i+1] * v.ai[i+1])) AS DOUBLE)
-         |          / (sqrt(CAST(c.c_n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE))) DESC, c.c_id) AS rn
-         |    FROM v, c)
-         |  WHERE rn = 1),
+      s"""WITH ${assignSql(1)},
          |q AS (SELECT vec_id AS q_id, ai AS q_ai, n2 AS q_n2 FROM v WHERE vec_id % 50 = 0),
          |probe AS (
          |  SELECT q_id, q_ai, q_n2, c_id FROM (
@@ -176,5 +199,18 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM cand)
          |WHERE rn <= 5""".stripMargin,
+    // q27: cluster-scoped near-dup — the oracle mirrors the 2-way cell
+    // assignment and within-cell pair enumeration exactly.
+    "q27_embedding_neardup" ->
+      s"""WITH ${assignSql(2)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id)
+         |WHERE cos >= 0.4""".stripMargin,
   )
 }
