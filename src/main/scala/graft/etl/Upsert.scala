@@ -38,6 +38,19 @@ object Upsert {
     e.join(i, col(s"e.$key") === col(s"i.$key"), "full_outer").select(out: _*)
   }
 
+  /** C4: MERGE with a `last_updated` audit column under an injected fixed
+    * clock (the reference's `last_updated TIMESTAMP DEFAULT
+    * CURRENT_TIMESTAMP` + `ON CONFLICT ... SET last_updated = now`,
+    * `webscraper-postgres.py:123,208`). The clock is a parameter, not
+    * `current_timestamp()`, so results stay deterministic and
+    * oracle-checkable; production callers pass `Timestamp.from(Instant.now)`.
+    * Inserted/updated rows get `clock`; kept rows retain their stamp. */
+  def mergeWithClock(existing: DataFrame, incoming: DataFrame, key: String,
+                     staticCols: Seq[String], dynamicCols: Seq[String],
+                     clock: java.sql.Timestamp): DataFrame =
+    merge(existing, incoming.withColumn("last_updated", lit(clock)),
+      key, staticCols, dynamicCols :+ "last_updated")
+
   /** P8-ish semi join: keep customers having ≥1 'F'-status order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall/precision/equivalence properties of the dedup family that the
+  * DuckDB oracle alone can't state (SURVEY.md §5.2–5.3). */
+class DedupSpec extends SparkSpec {
+
+  /** Brute-force exact jaccard pairs (uncapped inverted index) — the
+    * semantic ground truth for q22/q23. */
+  private def exactJaccard: DataFrame = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+          |  ELSE array() END""".stripMargin).as("sh"))
+    docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("size(array_intersect(a.sh, b.sh))").cast("double")
+          ./(expr("size(array_union(a.sh, b.sh))")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  test("prefix-filtered jaccard equals brute-force exact jaccard") {
+    assertSameRows(
+      Dedup.jaccardNearDup(spark, sf).select("a_id", "b_id"),
+      exactJaccard.select("a_id", "b_id"))
+  }
+
+  test("LSH output is a subset of exact jaccard with high recall and exact scores") {
+    val exact = Dedup.jaccardNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH must never invent a pair (perfect precision)")
+    lsh.foreach { case (k, j) => assert(j == exact(k), s"verified jaccard must be exact for $k") }
+    // 8 bands × 2 rows ⇒ P(candidate | j=0.5) ≈ 0.90; observed corpora sit
+    // well above the threshold, so demand ≥ 0.8 overall.
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8")
+  }
+
+  test("simhash banding equals brute-force Hamming<=3 (exact-recall pigeonhole)") {
+    val sig = Dedup.simhashSignatures(spark, sf)
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("CAST(size(filter(sequence(1, 64), k -> substring(a.sig, k, 1) <> substring(b.sig, k, 1))) AS INT)")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+    assertSameRows(Dedup.simhashNearDup(spark, sf), brute)
+  }
+
+  test("exact dedup keeps one representative per normalized text") {
+    val d = Dedup.exact(spark, sf)
+    assert(d.count() == d.select("text_fp").distinct().count())
+    assert(d.agg(sum("n_dups")).head.getLong(0) == Tables.documents(spark, sf).count())
+  }
+}
