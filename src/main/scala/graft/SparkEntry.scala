@@ -51,12 +51,14 @@ object SparkEntry {
     "q32_multimodal_meta"  -> (ops.Multimodal.mediaMetaDf _),
     "q33_frame_sample"     -> (ops.Multimodal.frameSample _),
     "q34_stream_tumbling"  -> (streaming.StreamingEvents.tumblingAvailableNow _),
+    "q35_html_extract"     -> (etl.Extract.htmlListExtract _),
+    "q36_html_details"     -> (etl.Extract.htmlDetailExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++
+    etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++ etl.Extract.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle
