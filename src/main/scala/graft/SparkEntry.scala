@@ -53,12 +53,16 @@ object SparkEntry {
     "q34_stream_tumbling"  -> (streaming.StreamingEvents.tumblingAvailableNow _),
     "q35_html_extract"     -> (etl.Extract.htmlListExtract _),
     "q36_html_details"     -> (etl.Extract.htmlDetailExtract _),
+    "q37_csv_roundtrip"    -> (sources.Sinks.csvRoundtrip _),
+    "q38_sink_insert_absent" -> (sources.Sinks.insertIfAbsentSink _),
+    "q39_merge_timestamped" -> (etl.Upsert.mergeTimestamped _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++ etl.Extract.oracle ++
+      sources.Sinks.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle

@@ -89,6 +89,31 @@ object Upsert {
       .withColumn("o_totalprice", col("o_totalprice").cast("double"))
   }
 
+  /** C4 as a query: the q11 merge with last_updated audit stamps under a
+    * fixed clock — kept rows retain the old stamp, touched rows get the
+    * batch clock (`webscraper-postgres.py:123,208` semantics,
+    * deterministic). */
+  def mergeTimestamped(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val existing = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        Tables.dec(col("o_totalprice")).as("o_totalprice"), col("o_orderdate"))
+      .withColumn("last_updated",
+        lit("2020-01-01 00:00:00").cast(org.apache.spark.sql.types.TimestampNTZType))
+    val incoming = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+        (Tables.dec(col("o_totalprice")) * lit(1.05).cast(DecimalType(3, 2)))
+          .cast(DecimalType(18, 6)).as("o_totalprice"),
+        col("o_orderdate"))
+    mergeWithClock(existing, incoming, "o_orderkey",
+      staticCols = Seq("o_orderdate"),
+      dynamicCols = Seq("o_orderstatus", "o_totalprice"),
+      clock = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+      .withColumn("last_updated",
+        col("last_updated").cast(org.apache.spark.sql.types.TimestampNTZType))
+  }
+
   val oracle: Map[String, String] = Map(
     "q09_semi_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
@@ -112,6 +137,27 @@ object Upsert {
         |  COALESCE(e.o_orderdate, i.o_orderdate) AS o_orderdate,
         |  COALESCE(i.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
         |  CAST(COALESCE(i.o_totalprice, e.o_totalprice) AS DOUBLE) AS o_totalprice,
+        |  CASE WHEN i.o_orderkey IS NULL THEN 'kept'
+        |       WHEN e.o_orderkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS op
+        |FROM e FULL OUTER JOIN i ON e.o_orderkey = i.o_orderkey""".stripMargin,
+    "q39_merge_timestamped" ->
+      """WITH e AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice, o_orderdate,
+        |    TIMESTAMP '2020-01-01 00:00:00' AS last_updated
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |i AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(18,6)) AS o_totalprice,
+        |    o_orderdate,
+        |    TIMESTAMP '2024-06-01 00:00:00' AS last_updated
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |  COALESCE(e.o_orderdate, i.o_orderdate) AS o_orderdate,
+        |  COALESCE(i.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+        |  CAST(COALESCE(i.o_totalprice, e.o_totalprice) AS DOUBLE) AS o_totalprice,
+        |  COALESCE(i.last_updated, e.last_updated) AS last_updated,
         |  CASE WHEN i.o_orderkey IS NULL THEN 'kept'
         |       WHEN e.o_orderkey IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS op
