@@ -56,6 +56,12 @@ object SparkEntry {
     "q37_csv_roundtrip"    -> (sources.Sinks.csvRoundtrip _),
     "q38_sink_insert_absent" -> (sources.Sinks.insertIfAbsentSink _),
     "q39_merge_timestamped" -> (etl.Upsert.mergeTimestamped _),
+    "q40_cube_agg"         -> (analytics.Relational.cubeAgg _),
+    "q41_grouping_sets"    -> (analytics.Relational.groupingSetsAgg _),
+    "q42_pivot_status"     -> (analytics.Relational.pivotStatus _),
+    "q43_percentiles"      -> (analytics.Relational.percentiles _),
+    "q44_multi_distinct"   -> (analytics.Relational.multiDistinct _),
+    "q45_posexplode_tokens" -> (analytics.Relational.posExplodeTokens _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

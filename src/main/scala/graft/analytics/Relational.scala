@@ -60,6 +60,86 @@ object Relational {
       .union(cn.except(sn).withColumn("setop", lit("except")))
   }
 
+  /** Shared enriched orders join (fact ⋈ dims, dims broadcast). */
+  private def enriched(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+  }
+
+  /** CUBE over (region, orderstatus): all 4 grouping combinations in one
+    * pass (Expand + single shuffle, not 4 scans). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .cube(col("r_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders"), col("sum_price"))
+
+  /** Explicit GROUPING SETS ((r_name), (o_orderstatus), ()) — the general
+    * form rollup/cube compile to. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("o_orderstatus")), Seq()),
+        col("r_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders"), col("sum_price"))
+
+  /** PIVOT order status → columns per nation (explicit value list keeps
+    * the plan a single pass; an inferred pivot needs a distinct scan). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .groupBy(col("n_name"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(Tables.dec(col("o_totalprice"))).cast("double"))
+      .select(col("n_name"), col("F").as("sum_f"), col("O").as("sum_o"),
+        col("P").as("sum_p"))
+
+  /** Exact percentiles (interpolated median and p90) + min/max per
+    * return flag. Exact, not approx: both engines implement the same
+    * linear interpolation, so the doubles agree bit-for-bit. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"),
+        count(lit(1)).as("n"))
+
+  /** Multi-column DISTINCT aggregation in one pass (Expand-based; the
+    * planner rewrites to partial aggregates — no per-group row explosion
+    * reaches the reduce side). */
+  def multiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** posexplode (UDTF/Generator surface): token positions per document,
+    * keeping only the leading window — the explode+aggregate shape of
+    * I3 applied to ordered data. */
+  def posExplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(graft.ops.Dedup.normText(col("text")), " ")))
+      .filter(col("pos") < 3 && col("col") =!= "")
+      .groupBy(col("pos"), col("col").as("tok"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 5)
+
   val oracle: Map[String, String] = Map(
     "q12_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
@@ -88,5 +168,56 @@ object Relational {
         |SELECT nk, 'intersect' AS setop FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
         |UNION ALL
         |SELECT nk, 'except' AS setop FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)""".stripMargin,
+    "q40_cube_agg" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r_name,
+        |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, o_orderstatus)""".stripMargin,
+    "q41_grouping_sets" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r_name,
+        |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""".stripMargin,
+    "q42_pivot_status" ->
+      """SELECT n_name,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_p
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  min(l_quantity) AS qmin, max(l_quantity) AS qmax,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q44_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q45_posexplode_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS i))
+        |SELECT pos, tok, count(*) AS n_docs
+        |FROM p WHERE pos < 3 AND tok <> ''
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
   )
 }
