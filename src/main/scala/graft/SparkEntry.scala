@@ -62,6 +62,8 @@ object SparkEntry {
     "q43_percentiles"      -> (analytics.Relational.percentiles _),
     "q44_multi_distinct"   -> (analytics.Relational.multiDistinct _),
     "q45_posexplode_tokens" -> (analytics.Relational.posExplodeTokens _),
+    "q46_stateful_sessionize" -> (streaming.StatefulSessions.sessionizeBatch _),
+    "q47_stream_sessionize" -> (streaming.StatefulSessions.sessionizeStream _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +73,6 @@ object SparkEntry {
       sources.Sinks.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
-      ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle
+      ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++
+      streaming.StatefulSessions.oracle
 }
