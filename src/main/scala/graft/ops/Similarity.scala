@@ -25,16 +25,18 @@ object Similarity {
 
   /** embeddings with exact integer-scaled vector `ai` and its squared
     * norm `n2`. */
-  def scaled(spark: SparkSession, dir: String): DataFrame =
+  def scaled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("ai"))
-      .withColumn("n2",
-        expr("aggregate(transform(ai, x -> x * x), 0L, (acc, x) -> acc + x)"))
+      .withColumn("n2", expr("dot_long(ai, ai)"))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(q_ai, ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+  // native codegen'd expression (functions.DotProductLong) — the
+  // higher-order aggregate(zip_with(…)) equivalent runs interpreted
+  private val dotExpr = "dot_long(q_ai, ai)"
 
   /** Assign every vector to its `nAssign` nearest centroids by cosine
     * (broadcast join against the tiny centroid set — the only broadcast
@@ -91,8 +93,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("cos",
-        expr("aggregate(zip_with(q_ai, c_ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
-          .cast("double") /
+        expr("dot_long(q_ai, c_ai)").cast("double") /
           (sqrt(col("q_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("c_id"))))

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.functions._
+
+/** The custom codegen Expression must be a drop-in for the higher-order
+  * built-in formula it replaces (same values, same null behavior) — the
+  * contract that keeps the DuckDB oracles valid after the swap. */
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_long equals aggregate(zip_with(...)) on real embeddings") {
+    VectorExprs.register(spark)
+    val diff = Tables.embeddings(spark, sf)
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("ai"))
+      .select(
+        expr("dot_long(ai, ai)").as("native"),
+        expr("aggregate(zip_with(ai, ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, "codegen dot product must match the interpreted formula")
+  }
+
+  test("dot_long null and edge semantics") {
+    VectorExprs.register(spark)
+    val rows = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))), // 4+10+18 = 32
+      (None, Some(Seq(1L))),                           // null in -> null out
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long])))  // empty -> 0
+      .toDF("a", "b")
+      .select(expr("dot_long(a, b)").as("d")).collect()
+    assert(rows(0).getLong(0) == 32L)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) == 0L)
+  }
+
+  test("dot_long rejects non-array<bigint> inputs at analysis time") {
+    VectorExprs.register(spark)
+    val e = intercept[Exception] {
+      Seq(("x", 1L)).toDF("a", "b").select(expr("dot_long(a, b)")).collect()
+    }
+    assert(e.getMessage.contains("dot_long") || e.getMessage.contains("DATATYPE"))
+  }
+}

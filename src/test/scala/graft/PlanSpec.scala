@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions (SURVEY.md §4): the scale-design claims in
+  * the operator scaladocs — broadcasts on dimensions, top-k without a
+  * global sort, pushdown/pruning reaching the parquet scan, partial
+  * aggregation, no accidental cartesians — verified against the actual
+  * plans Catalyst produces, so a regression shows up as a red test, not
+  * as a 100 TB incident. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q01 top-k plans as TakeOrderedAndProject with broadcast dimension joins") {
+    val p = plan(q("q01_topk_enriched"))
+    assert(p.contains("TakeOrderedAndProject"), "orderBy+limit must not be a global sort")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02 aggregation is partial (map-side combine) with shipdate pushed to the scan") {
+    val p = plan(q("q02_pricing_summary"))
+    assert(p.contains("partial_sum") || p.contains("partial"), "expect partial aggregation")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the parquet scan:\n$p")
+  }
+
+  test("q03 scan prunes to the selected columns only") {
+    val p = plan(q("q03_left_join"))
+    val custScan = p.linesIterator.find(l => l.contains("FileScan parquet") && l.contains("c_custkey"))
+    assert(custScan.exists(l => !l.contains("c_mktsegment")),
+      "customer scan must not read unselected columns")
+  }
+
+  test("q25 top-k has no per-query window over the corpus") {
+    val p = plan(q("q25_cosine_topk"))
+    assert(!p.contains("Window"), "bounded aggregator, not row_number window")
+    assert(p.contains("partial"), "top-k buffers must combine map-side")
+  }
+
+  test("q27 candidate generation never goes all-pairs") {
+    val p = plan(q("q27_embedding_neardup"))
+    assert(!p.contains("CartesianProduct"), "no unbounded cartesian")
+  }
+
+  test("q05 string pipeline stays inside whole-stage codegen") {
+    val p = plan(q("q05_string_funcs"))
+    // '*(n)' prefixes mark WholeStageCodegen stages in executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, s"no codegen stage in:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"))
+  }
+
+  test("q09 semi join plans as a real semi join (rows never fan out)") {
+    val p = plan(q("q09_semi_join"))
+    assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
+  }
+}
