@@ -64,6 +64,7 @@ object SparkEntry {
     "q45_posexplode_tokens" -> (analytics.Relational.posExplodeTokens _),
     "q46_stateful_sessionize" -> (streaming.StatefulSessions.sessionizeBatch _),
     "q47_stream_sessionize" -> (streaming.StatefulSessions.sessionizeStream _),
+    "q48_salted_join"      -> (ops.Skew.saltedJoinAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,7 +73,8 @@ object SparkEntry {
     etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++ etl.Extract.oracle ++
       sources.Sinks.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
-      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
+      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
+      ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++
       streaming.StatefulSessions.oracle
 }
