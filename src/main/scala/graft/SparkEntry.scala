@@ -65,6 +65,8 @@ object SparkEntry {
     "q46_stateful_sessionize" -> (streaming.StatefulSessions.sessionizeBatch _),
     "q47_stream_sessionize" -> (streaming.StatefulSessions.sessionizeStream _),
     "q48_salted_join"      -> (ops.Skew.saltedJoinAgg _),
+    "q49_tfidf"            -> (ops.TextAnalysis.tfidf _),
+    "q50_hash_split"       -> (ops.TextAnalysis.hashSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -83,6 +83,46 @@ object TextAnalysis {
             |         i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
             |  ELSE array() END)""".stripMargin).as("min_shingle_fp"))
 
+  /** TF-IDF with top-3 terms per document: tf = in-doc occurrences,
+    * idf = ln((N+1)/(df+1)). One shuffle for tf (groupBy doc,term), one
+    * for df (groupBy term), corpus size joined in as a broadcast scalar;
+    * the per-doc top-3 window partitions on doc_id only — group size is
+    * bounded by a document's vocabulary, never the corpus. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")))
+    scored
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(desc("tfidf"), asc("tok"))))
+      .filter(col("rn") <= 3)
+      // ln() is not correctly-rounded and differs by 1 ulp across libm
+      // implementations — round the *reported* score at the boundary
+      // (ranking above used full precision)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rn"))
+  }
+
+  /** Reproducible train/eval split by content-independent hash: md5 of
+    * the doc id compared against a hex threshold ('e6…' ≈ 90% of the
+    * uniform hex space). Pure map-side, deterministic across engines and
+    * re-runs — the property a training-data split must have (adding docs
+    * never reshuffles existing assignments). */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(md5(col("doc_id").cast("string")) < "e6", "train")
+          .otherwise("eval").as("split"))
+
   private def hitsSql(xs: Seq[String]) =
     s"len(list_filter(toks, x -> x IN (${inList(xs)})))"
 
@@ -125,6 +165,24 @@ object TextAnalysis {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
         |  len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS n_uniq_tokens
+        |FROM documents""".stripMargin,
+    "q49_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         |    CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+         |SELECT doc_id, tok, tf, df, round(tfidf, 6) AS tfidf, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
+    "q50_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train' ELSE 'eval' END AS split
         |FROM documents""".stripMargin,
     "q31_fingerprint" ->
       """WITH t AS (SELECT doc_id,
