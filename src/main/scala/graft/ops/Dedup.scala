@@ -27,16 +27,18 @@ object Dedup {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** Distinct (doc_id, 3-word-shingle) pairs. */
+  /** Distinct (doc_id, 3-word-shingle) pairs. Distinctness is per-doc, so
+    * `array_distinct` before the explode does it MAP-SIDE — a global
+    * `.distinct()` after explode would shuffle every shingle row once for
+    * nothing. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 3
-          |  THEN transform(sequence(0, size(toks)-3),
-          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
           |  ELSE array() END""".stripMargin)).as("shingle"))
-      .distinct()
 
   /** Exact dedup: group on the md5 fingerprint of the normalized text,
     * keep min doc_id (the reference's UNIQUE-constraint dedup,
@@ -208,10 +210,10 @@ object Dedup {
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val vecSum = udaf(new graft.functions.VectorSumAgg(64))
     Tables.documents(spark, dir)
+      // per-doc distinct tokens via array_distinct — map-side, no shuffle
       .select(col("doc_id"),
-        explode(split(normText(col("text")), " ")).as("tok"))
+        explode(array_distinct(split(normText(col("text")), " "))).as("tok"))
       .filter(col("tok") =!= "")
-      .distinct()
       // md5 once per token, hex-digit values once per digit — lambdas
       // don't get common-subexpression elimination, so computing md5(tok)
       // inside a 64-iteration transform would run it 64× per row.
