@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Watermark + late-data semantics (SURVEY.md §2.9) on a multi-batch
+  * MemoryStream — the behavior the bounded file-source queries (q34/q47)
+  * structurally can't exercise: a window only emits once the watermark
+  * passes it, and events arriving behind the watermark are dropped. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("tumbling window with watermark emits closed windows and drops late data") {
+    val input = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_test")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: two events in the 10:00 window, one in 10:30
+      input.addData((ts(5), 1.0), (ts(10), 2.0), (ts(35), 4.0))
+      q.processAllAvailable()
+      // watermark after batch 1 = 10:35 - 10m = 10:25 > 10:30 window start
+      // but the 10:00 window [10:00,10:30) closes only when wm >= 10:30
+      assert(spark.table("wm_test").count() == 0, "no window closed yet")
+
+      // batch 2: event at 10:55 pushes watermark to 10:45 -> closes [10:00,10:30)
+      input.addData((ts(55), 8.0))
+      q.processAllAvailable()
+      val closed = spark.table("wm_test").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getTimestamp(0) == ts(0) && closed.head.getLong(1) == 2L)
+
+      // batch 3: a LATE event for the closed 10:00 window — watermark 10:45
+      // is past it, so it must be dropped, not re-emitted
+      input.addData((ts(1), 100.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_test").count() == 1, "late data must not reopen a closed window")
+
+      // batch 4: far-future event closes [10:30,11:00) WITHOUT the late row
+      input.addData((ts(59).toInstant.plusSeconds(7200) |> (i => java.sql.Timestamp.from(i)), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows(ts(30)) == (2L, 12.0), s"10:30 window must hold exactly the on-time events: $rows")
+    } finally q.stop()
+  }
+
+  private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
+}
