@@ -67,6 +67,7 @@ object SparkEntry {
     "q48_salted_join"      -> (ops.Skew.saltedJoinAgg _),
     "q49_tfidf"            -> (ops.TextAnalysis.tfidf _),
     "q50_hash_split"       -> (ops.TextAnalysis.hashSplit _),
+    "q51_stratified_sample" -> (ops.TextAnalysis.stratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -123,6 +123,20 @@ object TextAnalysis {
         when(md5(col("doc_id").cast("string")) < "e6", "train")
           .otherwise("eval").as("split"))
 
+  /** Deterministic stratified sampling for training-data mixing: keep a
+    * per-stratum fraction of documents by comparing md5(doc_id) against a
+    * per-language hex threshold (uniform hash ⇒ the kept fraction ≈ the
+    * threshold's position in hex space). Content-independent, map-side,
+    * reproducible across engines/re-runs, and stable under corpus growth
+    * — unlike RNG-seeded sampleBy, whose assignments are engine-specific
+    * and reshuffle when partitioning changes. en ≈ 75% ('c0'), others
+    * ≈ 25% ('40'). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .filter(when(col("lang") === "en", col("h") < "c0").otherwise(col("h") < "40"))
+      .select(col("doc_id"), col("lang"), col("source"))
+
   private def hitsSql(xs: Seq[String]) =
     s"len(list_filter(toks, x -> x IN (${inList(xs)})))"
 
@@ -184,6 +198,10 @@ object TextAnalysis {
       """SELECT doc_id, lang,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train' ELSE 'eval' END AS split
         |FROM documents""".stripMargin,
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN md5(CAST(doc_id AS VARCHAR)) < 'c0'
+        |           ELSE md5(CAST(doc_id AS VARCHAR)) < '40' END""".stripMargin,
     "q31_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,

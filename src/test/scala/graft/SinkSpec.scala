@@ -26,6 +26,17 @@ class SinkSpec extends SparkSpec {
     assert(back.schema == Tables.nation(spark, sf).schema)
   }
 
+  test("partitionBy write enables partition pruning on read") {
+    val e = Tables.events(spark, sf)
+    val path = "target/tmp/graft_part/events"
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val back = spark.read.parquet(path).filter(col("event_type") === "click")
+    val p = back.queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"event_type filter must prune partitions, not scan+filter:\n$p")
+    assert(back.count() == e.filter(col("event_type") === "click").count())
+  }
+
   test("insert-if-absent sink is idempotent across re-runs (S5/U1)") {
     val first = Sinks.insertIfAbsentSink(spark, sf).collect().toSet
     val second = Sinks.insertIfAbsentSink(spark, sf).collect().toSet
