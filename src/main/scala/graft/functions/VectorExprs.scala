@@ -75,3 +75,18 @@ object VectorExprs {
       .createOrReplaceTempFunction("dot_long",
         (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "built-in")
 }
+
+/** The public injection point for graft's native expressions: build the
+  * session with `.withExtensions(new GraftExtensions)` or set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the supported
+  * `SparkSessionExtensions` path for adding catalyst functions to every
+  * session of a deployment (the runtime `VectorExprs.register` covers
+  * sessions graft didn't build). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductLong].getName, "dot_long"),
+      (args: Seq[Expression]) => DotProductLong(args(0), args(1))))
+}

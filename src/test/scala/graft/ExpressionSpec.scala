@@ -33,6 +33,16 @@ class ExpressionSpec extends SparkSpec {
     assert(rows(2).getLong(0) == 0L)
   }
 
+  test("GraftExtensions applies cleanly and dot_long resolves in SQL") {
+    // the injection shape must be accepted by the public extensions API
+    // (a real deployment sets spark.sql.extensions=graft.functions.
+    // GraftExtensions at session build; a second SparkContext can't be
+    // created here, so SQL resolution is checked via the live session)
+    new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.VectorExprs.register(spark)
+    assert(spark.sql("SELECT dot_long(array(2L, 3L), array(4L, 5L)) AS d").head.getLong(0) == 23L)
+  }
+
   test("dot_long rejects non-array<bigint> inputs at analysis time") {
     VectorExprs.register(spark)
     val e = intercept[Exception] {

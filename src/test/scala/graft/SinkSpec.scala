@@ -37,6 +37,28 @@ class SinkSpec extends SparkSpec {
     assert(back.count() == e.filter(col("event_type") === "click").count())
   }
 
+  test("CSV malformed rows are captured, not fatal (PERMISSIVE + corrupt-record column)") {
+    import org.apache.spark.sql.types._
+    val path = "target/tmp/graft_csv/dirty"
+    val dirty = Seq("1,alpha,10", "2,beta,not_a_number", "3,gamma,30")
+    spark.createDataset(dirty)(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("qty", IntegerType), StructField("_bad", StringType)))
+    // caching is required before querying only the corrupt column
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction)
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .csv(path).cache()
+    val rows = parsed.collect()
+    assert(rows.length == 3, "malformed rows must not be dropped or fatal")
+    val bad = parsed.filter(col("_bad").isNotNull)
+    assert(bad.count() == 1 && bad.head.getAs[String]("_bad").contains("not_a_number"))
+    // the reference's per-field try/except→NaN analog: bad field → null
+    assert(parsed.filter(col("qty").isNull).count() == 1)
+  }
+
   test("insert-if-absent sink is idempotent across re-runs (S5/U1)") {
     val first = Sinks.insertIfAbsentSink(spark, sf).collect().toSet
     val second = Sinks.insertIfAbsentSink(spark, sf).collect().toSet
