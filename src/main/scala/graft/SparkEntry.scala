@@ -68,6 +68,8 @@ object SparkEntry {
     "q49_tfidf"            -> (ops.TextAnalysis.tfidf _),
     "q50_hash_split"       -> (ops.TextAnalysis.hashSplit _),
     "q51_stratified_sample" -> (ops.TextAnalysis.stratifiedSample _),
+    "q52_fuzzy_match"      -> (etl.Normalize.fuzzyNameMatch _),
+    "q53_map_explode"      -> (ops.Events.mapExplode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -60,6 +60,25 @@ object Normalize {
       .distinct()
   }
 
+  /** Fuzzy entity matching: near-identical names in the part-name
+    * dictionary at Levenshtein ≤ 1 (the reference's README flags name
+    * collisions as its entity-resolution gap). Works on the DISTINCT
+    * name dictionary — entity resolution is a dictionary-sized problem,
+    * so the pair join is over thousands of names, not the fact table;
+    * an exact length-window block (edit distance k ⇒ length diff ≤ k)
+    * prunes candidates before the distance computation. At larger
+    * dictionary scales the same q-gram prefix filtering as q22 applies. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("l", length(col("p_name")))
+    names.as("a").join(names.as("b"),
+        col("a.p_name") < col("b.p_name") &&
+        abs(col("a.l") - col("b.l")) <= 1)
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")).cast("int"))
+      .filter(col("dist") <= 1)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+  }
+
   private val namesSql =
     """SELECT DISTINCT name FROM (
       |  SELECT unnest(string_split(trim(text), ' ')) AS name FROM documents
@@ -82,5 +101,12 @@ object Normalize {
          |SELECT DISTINCT doc_id, name_id
          |FROM tok JOIN ids USING (name)
          |WHERE name <> ''""".stripMargin,
+    "q52_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |c AS (SELECT p_name, length(p_name) AS l FROM n)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.p_name < b.p_name AND abs(a.l - b.l) <= 1
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
   )
 }

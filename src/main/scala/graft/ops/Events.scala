@@ -63,7 +63,30 @@ object Events {
         col("user_id"), col("n_events"), col("sum_value"))
   }
 
+  /** MapType surface: synthesize a two-key JSON object per event,
+    * parse it as map<string,long> (schema-on-read, no inference pass),
+    * explode entries, aggregate per key — the generic dynamic-key path
+    * the fixed-schema q15 from_json struct can't express. */
+  def mapExplode(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("j", concat(lit("{\"uid\": "), col("user_id"),
+        lit(", \"eid\": "), col("event_id"), lit("}")))
+    e.select(col("event_type"),
+        explode(from_json(col("j"), MapType(StringType, LongType))))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        max(col("value")).as("max_v"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q53_map_explode" ->
+      """SELECT event_type, key, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v, max(v) AS max_v
+        |FROM (
+        |  SELECT event_type, 'uid' AS key, user_id AS v FROM events
+        |  UNION ALL
+        |  SELECT event_type, 'eid' AS key, event_id AS v FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     "q15_json_extract" ->
       """SELECT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INT) % 10 AS k_bucket,
         |  event_type, count(*) AS n,
