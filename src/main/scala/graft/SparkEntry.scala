@@ -70,6 +70,7 @@ object SparkEntry {
     "q51_stratified_sample" -> (ops.TextAnalysis.stratifiedSample _),
     "q52_fuzzy_match"      -> (etl.Normalize.fuzzyNameMatch _),
     "q53_map_explode"      -> (ops.Events.mapExplode _),
+    "q54_dedup_clusters"   -> (ops.Clusters.dedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,6 +80,7 @@ object SparkEntry {
       sources.Sinks.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
+      ops.Clusters.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++
       streaming.StatefulSessions.oracle

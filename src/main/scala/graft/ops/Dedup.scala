@@ -11,10 +11,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale design: everything is expressed as explode → shuffle-on-key →
   * aggregate; no driver-side state, no cross product. Candidate
-  * enumeration is always bounded: the exact-jaccard inverted index skips
-  * heavy-hitter shingles (df cap) for *enumeration only* (scores still use
-  * the full shingle sets), MinHash-LSH replaces "share a shingle" with
-  * "share a band bucket", SimHash banding keeps per-bucket groups narrow.
+  * enumeration is always bounded: exact jaccard enumerates only over
+  * per-doc *prefix* shingles (Bayardo prefix filtering — heavy hitters
+  * rank last and never drive the join), MinHash-LSH replaces "share a
+  * shingle" with "share a band bucket", SimHash bands distinct
+  * signatures by 24-bit chunk triples.
   *
   * Determinism/oracle design: every hash here is md5 — bit-identical in
   * Spark and DuckDB — so q22/q23/q24 are all checkable against DuckDB

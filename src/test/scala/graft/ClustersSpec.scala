@@ -1,0 +1,31 @@
+package graft
+
+import graft.ops.Clusters
+
+/** Transitive-closure properties of connected components that the oracle
+  * row-compare can't articulate. */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains merge into one component labeled by the minimum node") {
+    // 1-2-3 chain, 10-11 pair, isolated-by-edge 20-20-ish pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("a_id", "b_id")
+    val got = Clusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("every near-dup pair lands in one cluster; canonical is the min member") {
+    val pairs = graft.ops.Dedup.jaccardNearDup(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Clusters.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across clusters")
+    }
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c not labeled by its min member")
+    }
+  }
+}
