@@ -55,4 +55,15 @@ object Tables {
     */
   def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast(DecimalType(18, 6))
+
+  /** Exact decimal → DOUBLE at the output boundary, via a LOSSLESS scale
+    * reduction first (the inputs are ≤`scale`-dp exact, so the re-cast
+    * never rounds). Why: a decimal whose unscaled value exceeds 2^53
+    * converts to double with DOUBLE ROUNDING in engines that compute
+    * int→double then ×10^-scale (DuckDB), diverging 1 ulp from Spark's
+    * correctly-rounded BigDecimal path — observed on sum_disc_price at
+    * sf0.1. Shrinking the scale keeps the unscaled value < 2^53, where
+    * both conversions are exact. */
+  def toDouble(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    c.cast(DecimalType(28, scale)).cast("double")
 }

@@ -23,9 +23,9 @@ object Relational {
       rank().over(w).as("rnk"),
       row_number().over(w).as("rn"),
       lag("c_acctbal", 1).over(w).as("prev_bal"),
-      sum(Tables.dec(col("c_acctbal")))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double").as("run_sum"))
+      Tables.toDouble(sum(Tables.dec(col("c_acctbal")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("run_sum"))
   }
 
   /** ROLLUP over region → nation with exact decimal totals. Subtotal rows
@@ -42,7 +42,7 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        Tables.toDouble(sum(Tables.dec(col("o_totalprice"))), 2).as("sum_price"))
       .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
         coalesce(col("n_name"), lit("ALL")).as("n_name"),
         col("n_orders"), col("sum_price"))
@@ -77,7 +77,7 @@ object Relational {
     enriched(spark, dir)
       .cube(col("r_name"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        Tables.toDouble(sum(Tables.dec(col("o_totalprice"))), 2).as("sum_price"))
       .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         col("n_orders"), col("sum_price"))
@@ -89,7 +89,7 @@ object Relational {
       .groupingSets(Seq(Seq(col("r_name")), Seq(col("o_orderstatus")), Seq()),
         col("r_name"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        Tables.toDouble(sum(Tables.dec(col("o_totalprice"))), 2).as("sum_price"))
       .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         col("n_orders"), col("sum_price"))
@@ -100,7 +100,7 @@ object Relational {
     enriched(spark, dir)
       .groupBy(col("n_name"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(sum(Tables.dec(col("o_totalprice"))).cast("double"))
+      .agg(Tables.toDouble(sum(Tables.dec(col("o_totalprice"))), 2))
       .select(col("n_name"), col("F").as("sum_f"), col("O").as("sum_o"),
         col("P").as("sum_p"))
 
@@ -146,15 +146,15 @@ object Relational {
         |  rank() OVER w AS rnk,
         |  row_number() OVER w AS rn,
         |  lag(c_acctbal, 1) OVER w AS prev_bal,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey
         |    ORDER BY c_acctbal DESC, c_custkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE) AS run_sum
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "q13_rollup_agg" ->
       """SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -172,7 +172,7 @@ object Relational {
       """SELECT COALESCE(r_name, 'ALL') AS r_name,
         |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -182,7 +182,7 @@ object Relational {
       """SELECT COALESCE(r_name, 'ALL') AS r_name,
         |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -190,9 +190,9 @@ object Relational {
         |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""".stripMargin,
     "q42_pivot_status" ->
       """SELECT n_name,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_f,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_o,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_p
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(28,2)) AS DOUBLE) AS sum_f,
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(28,2)) AS DOUBLE) AS sum_o,
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(28,2)) AS DOUBLE) AS sum_p
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -56,10 +56,10 @@ object Transform {
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampNTZType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(Tables.dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(Tables.dec(col("l_extendedprice")) * (one - Tables.dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+        Tables.toDouble(sum(Tables.dec(col("l_quantity"))), 2).as("sum_qty"),
+        Tables.toDouble(sum(Tables.dec(col("l_extendedprice"))), 2).as("sum_base_price"),
+        Tables.toDouble(sum(Tables.dec(col("l_extendedprice")) * (one - Tables.dec(col("l_discount")))), 4)
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -122,9 +122,9 @@ object Transform {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 250""".stripMargin,
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'

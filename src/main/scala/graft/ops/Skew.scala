@@ -42,13 +42,13 @@ object Skew {
       xxhash64(col("l_orderkey"), col("l_linenumber")), buckets = 8)
       .groupBy(col("o_orderstatus"), col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(Tables.dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        Tables.toDouble(sum(Tables.dec(col("l_extendedprice"))), 2).as("sum_price"))
   }
 
   val oracle: Map[String, String] = Map(
     "q48_salted_join" ->
       """SELECT o_orderstatus, l_returnflag, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,
   )
