@@ -71,6 +71,9 @@ object SparkEntry {
     "q52_fuzzy_match"      -> (etl.Normalize.fuzzyNameMatch _),
     "q53_map_explode"      -> (ops.Events.mapExplode _),
     "q54_dedup_clusters"   -> (ops.Clusters.dedupClusters _),
+    "q55_window_suite"     -> (analytics.Relational.windowSuite _),
+    "q56_datetime_funcs"   -> (analytics.Relational.datetimeFuncs _),
+    "q57_string_suite"     -> (analytics.Relational.stringSuite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

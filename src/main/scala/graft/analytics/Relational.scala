@@ -140,7 +140,86 @@ object Relational {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 5)
 
+  /** Window-function breadth: distribution functions (ntile /
+    * percent_rank / cume_dist) and frame-addressed values (first /
+    * nth) over the same total order as q12. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    c.select(
+      col("c_custkey"), col("c_nationkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 9).as("pct_rank"),
+      round(cume_dist().over(w), 9).as("cume"),
+      first(col("c_custkey")).over(w).as("richest"),
+      nth_value(col("c_custkey"), 2).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second"))
+  }
+
+  /** Date/time surface over o_orderdate: parts, truncation, day
+    * arithmetic, month boundaries — the portable subset (dayofweek
+    * numbering and months_between semantics differ across engines and
+    * are deliberately excluded). */
+  def datetimeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      quarter(col("o_orderdate")).as("q"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      date_trunc("month", col("o_orderdate")).cast(org.apache.spark.sql.types.TimestampNTZType).as("month_start"),
+      datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).as("days_to_eoy"),
+      // surfaced as TIMESTAMP on both sides: DATE columns reach pandas as
+      // datetime.date from Spark parquet but Timestamp from DuckDB
+      last_day(col("o_orderdate").cast("date"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("month_end"))
+
+  /** String-function surface (portable subset shared with DuckDB):
+    * pad, translate, repeat/reverse, left/right, position. */
+  def stringSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("padded"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("xlated"),
+      reverse(col("p_type")).as("rev"),
+      expr("left(p_name, 4)").as("l4"),
+      expr("right(p_name, 3)").as("r3"),
+      expr("repeat('-', p_size % 5)").as("dashes"),
+      expr("instr(p_name, 'a')").as("first_a"))
+
   val oracle: Map[String, String] = Map(
+    "q55_window_suite" ->
+      """SELECT c_custkey, c_nationkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 9) AS pct_rank,
+        |  round(cume_dist() OVER w, 9) AS cume,
+        |  first_value(c_custkey) OVER w AS richest,
+        |  nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "q56_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS INT) AS y,
+        |  CAST(date_part('quarter', o_orderdate) AS INT) AS q,
+        |  CAST(date_part('month', o_orderdate) AS INT) AS m,
+        |  CAST(date_part('day', o_orderdate) AS INT) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+        |FROM orders""".stripMargin,
+    "q57_string_suite" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS xlated,
+        |  reverse(p_type) AS rev,
+        |  left(p_name, 4) AS l4,
+        |  right(p_name, 3) AS r3,
+        |  repeat('-', p_size % 5) AS dashes,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+        |FROM part""".stripMargin,
     "q12_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  rank() OVER w AS rnk,
