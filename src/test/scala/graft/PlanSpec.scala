@@ -59,4 +59,16 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("q09_semi_join"))
     assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
   }
+
+  test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    def planOf(hint: String): String =
+      o.join(c.hint(hint), o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString()
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+  }
 }
