@@ -74,6 +74,7 @@ object SparkEntry {
     "q55_window_suite"     -> (analytics.Relational.windowSuite _),
     "q56_datetime_funcs"   -> (analytics.Relational.datetimeFuncs _),
     "q57_string_suite"     -> (analytics.Relational.stringSuite _),
+    "q58_asof_tolerance"   -> (ops.TemporalJoins.asofJoinTolerance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -71,7 +71,32 @@ object TemporalJoins {
       .select(col("a_id"), col("b_id"), col("user_id"))
   }
 
+  /** AS-OF with a tolerance: matches older than 1 hour are nulled out
+    * (the pandas merge_asof `tolerance=` semantics) — a post-filter on
+    * the as-of result, so the single-shuffle plan is unchanged. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val base = asofJoin(spark, dir)
+    val fresh = col("err_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+    base
+      .withColumn("err_id_t", when(fresh, col("err_id")))
+      .withColumn("err_ts_t", when(fresh, col("err_ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("err_id_t").as("err_id"), col("err_ts_t").as("err_ts"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q58_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN err_ts >= ts - INTERVAL 1 HOUR THEN err_id END AS err_id,
+        |  CASE WHEN err_ts >= ts - INTERVAL 1 HOUR THEN err_ts END AS err_ts
+        |FROM (
+        |  SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |    e.err_id, e.err_ts
+        |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (
+        |    SELECT user_id AS e_user, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
+        |    FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.e_user AND CAST(p.ts AS TIMESTAMP) >= e.err_ts)""".stripMargin,
     "q19_asof_join" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
         |  e.err_id, e.err_ts
