@@ -75,12 +75,14 @@ object SparkEntry {
     "q56_datetime_funcs"   -> (analytics.Relational.datetimeFuncs _),
     "q57_string_suite"     -> (analytics.Relational.stringSuite _),
     "q58_asof_tolerance"   -> (ops.TemporalJoins.asofJoinTolerance _),
+    "q59_constraint_report" -> (etl.Constraints.constraintReport _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++ etl.Extract.oracle ++
+      etl.Constraints.oracle ++
       sources.Sinks.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
