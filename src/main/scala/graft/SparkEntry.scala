@@ -76,6 +76,7 @@ object SparkEntry {
     "q57_string_suite"     -> (analytics.Relational.stringSuite _),
     "q58_asof_tolerance"   -> (ops.TemporalJoins.asofJoinTolerance _),
     "q59_constraint_report" -> (etl.Constraints.constraintReport _),
+    "q60_text_clean"       -> (ops.TextAnalysis.textClean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

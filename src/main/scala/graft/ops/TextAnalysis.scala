@@ -137,6 +137,25 @@ object TextAnalysis {
       .filter(when(col("lang") === "en", col("h") < "c0").otherwise(col("h") < "40"))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** C4-style text cleaning for training corpora: scrub URLs and emails,
+    * strip control characters, collapse whitespace — each step a
+    * codegen'd regexp_replace (RE2-compatible patterns, identical in the
+    * oracle), with before/after sizes for audit. Map-side only. */
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("cleaned",
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("text"),
+          "https?://[^\\s]+", "<URL>"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+          "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("text")).as("len_before"),
+        length(col("cleaned")).as("len_after"),
+        md5(col("cleaned")).as("clean_fp"),
+        (length(col("text")) - length(col("cleaned"))).as("removed"))
+
   private def hitsSql(xs: Seq[String]) =
     s"len(list_filter(toks, x -> x IN (${inList(xs)})))"
 
@@ -202,6 +221,21 @@ object TextAnalysis {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CASE WHEN lang = 'en' THEN md5(CAST(doc_id AS VARCHAR)) < 'c0'
         |           ELSE md5(CAST(doc_id AS VARCHAR)) < '40' END""".stripMargin,
+    "q60_text_clean" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      text,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS len_before,
+        |  length(cleaned) AS len_after,
+        |  md5(cleaned) AS clean_fp,
+        |  length(text) - length(cleaned) AS removed
+        |FROM c""".stripMargin,
     "q31_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
