@@ -210,22 +210,28 @@ object Dedup {
     * one buffer per (doc × partition), not one row per token. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val vecSum = udaf(new graft.functions.VectorSumAgg(64))
-    Tables.documents(spark, dir)
+    val docTok = Tables.documents(spark, dir)
       // per-doc distinct tokens via array_distinct — map-side, no shuffle
       .select(col("doc_id"),
         explode(array_distinct(split(normText(col("text")), " "))).as("tok"))
       .filter(col("tok") =!= "")
-      // md5 once per token, hex-digit values once per digit — lambdas
-      // don't get common-subexpression elimination, so computing md5(tok)
-      // inside a 64-iteration transform would run it 64× per row.
+    // per-token bit vectors are a function of the VOCABULARY, not of token
+    // instances: compute md5→bits once per distinct token (vocab ≪
+    // instances in any natural corpus) and join back — AQE broadcasts the
+    // vocab side while it fits, falls back to a hash join when it doesn't.
+    // (md5 once per row, hex digits once per digit: lambdas get no
+    // common-subexpression elimination, so md5 inside the 64-iteration
+    // transform would run 64× per row.)
+    val vocabBits = docTok.select(col("tok")).distinct()
       .withColumn("h", md5(col("tok")))
       .withColumn("dv", expr(
         "transform(sequence(0, 15), d -> instr('0123456789abcdef', substring(h, d + 1, 1)) - 1)"))
-      .select(col("doc_id"), expr(
+      .select(col("tok"), expr(
         """flatten(transform(dv, v ->
           |  transform(sequence(0, 3), b ->
           |    CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1L ELSE -1L END)))""".stripMargin)
         .as("bits"))
+    docTok.join(vocabBits, "tok")
       .groupBy(col("doc_id"))
       .agg(vecSum(col("bits")).as("sums"))
       .select(col("doc_id"), expr(
