@@ -77,6 +77,8 @@ object SparkEntry {
     "q58_asof_tolerance"   -> (ops.TemporalJoins.asofJoinTolerance _),
     "q59_constraint_report" -> (etl.Constraints.constraintReport _),
     "q60_text_clean"       -> (ops.TextAnalysis.textClean _),
+    "q61_array_funcs"      -> (analytics.Relational.arrayFuncs _),
+    "q62_unpivot"          -> (analytics.Relational.unpivotMetrics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

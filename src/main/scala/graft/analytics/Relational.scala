@@ -188,7 +188,43 @@ object Relational {
       expr("repeat('-', p_size % 5)").as("dashes"),
       expr("instr(p_name, 'a')").as("first_a"))
 
+  /** Higher-order array function surface over the embedding vectors:
+    * transform / filter / exists / forall / aggregate — the lambda
+    * algebra (portably mirrored via DuckDB list_* functions). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+      expr("exists(embedding, x -> x > 2.0)").as("has_big"),
+      expr("forall(embedding, x -> abs(x) < 10.0)").as("all_small"),
+      expr("CAST(round(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + abs(x)), 4) AS DOUBLE)")
+        .as("l1_norm"),
+      expr("size(array_distinct(transform(embedding, x -> CAST(sign(x) AS INT))))")
+        .as("n_signs"))
+
+  /** UNPIVOT (the inverse of q42): wide per-size part metrics back to
+    * (key, metric, value) rows via the melt/stack shape. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("price"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("price")),
+        "metric", "value")
+
   val oracle: Map[String, String] = Map(
+    "q61_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  list_bool_or(list_transform(embedding, x -> x > 2.0)) AS has_big,
+        |  list_bool_and(list_transform(embedding, x -> abs(x) < 10.0)) AS all_small,
+        |  CAST(round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS DOUBLE) AS l1_norm,
+        |  CAST(len(list_distinct(list_transform(embedding, x -> CAST(sign(x) AS INT)))) AS INT) AS n_signs
+        |FROM embeddings""".stripMargin,
+    "q62_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price' AS metric, p_retailprice AS value FROM part""".stripMargin,
     "q55_window_suite" ->
       """SELECT c_custkey, c_nationkey,
         |  ntile(4) OVER w AS quartile,
