@@ -79,6 +79,9 @@ object SparkEntry {
     "q60_text_clean"       -> (ops.TextAnalysis.textClean _),
     "q61_array_funcs"      -> (analytics.Relational.arrayFuncs _),
     "q62_unpivot"          -> (analytics.Relational.unpivotMetrics _),
+    "q63_nullsafe_join"    -> (analytics.Relational.nullSafeJoin _),
+    "q64_setops_all"       -> (analytics.Relational.setOpsAll _),
+    "q65_sql_frontend"     -> (analytics.Relational.sqlFrontend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

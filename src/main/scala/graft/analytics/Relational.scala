@@ -212,7 +212,73 @@ object Relational {
       .unpivot(Array(col("p_partkey")), Array(col("size"), col("price")),
         "metric", "value")
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): keys where NULL
+    * matches NULL — the semantics pandas users expect and SQL `=`
+    * doesn't give (q03 tests the `=` side). Nulls are injected
+    * deterministically (every 7th key). */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_custkey")).as("k"),
+        col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .select(when(col("o_custkey") % 7 === 0, lit(null)).otherwise(col("o_custkey")).as("k"),
+        col("o_orderkey"))
+    c.join(o, c("k") <=> o("k"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Multiset set operations: EXCEPT ALL / INTERSECT ALL keep
+    * duplicates with bag semantics (q14 covers the DISTINCT forms). */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
+      .filter(col("k") % 3 === 0)
+    val b = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
+      .filter(col("k") % 2 === 0)
+    a.exceptAll(b).withColumn("setop", lit("except_all"))
+      .union(a.intersectAll(b).withColumn("setop", lit("intersect_all")))
+      .groupBy(col("setop")).agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys"))
+  }
+
+  /** The SQL front end itself: a correlated-subquery query submitted as
+    * TEXT through spark.sql over registered views — parser/analyzer
+    * surface, not just the DataFrame DSL. (DuckDB runs the identical
+    * statement.) */
+  def sqlFrontend(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders_v o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS max_f_price
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q63_nullsafe_join" ->
+      """WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k, c_custkey FROM customer),
+        |o AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k, o_orderkey FROM orders)
+        |SELECT c_custkey, count(*) AS n_orders
+        |FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+        |GROUP BY 1""".stripMargin,
+    "q64_setops_all" ->
+      """WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 3 = 0),
+        |b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+        |u AS (
+        |  SELECT k, 'except_all' AS setop FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |  UNION ALL
+        |  SELECT k, 'intersect_all' AS setop FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b))
+        |SELECT setop, count(*) AS n, count(DISTINCT k) AS n_keys
+        |FROM u GROUP BY 1""".stripMargin,
+    "q65_sql_frontend" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS max_f_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "q61_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
