@@ -82,6 +82,8 @@ object SparkEntry {
     "q63_nullsafe_join"    -> (analytics.Relational.nullSafeJoin _),
     "q64_setops_all"       -> (analytics.Relational.setOpsAll _),
     "q65_sql_frontend"     -> (analytics.Relational.sqlFrontend _),
+    "q66_right_join"       -> (analytics.Relational.rightJoin _),
+    "q67_range_frame"      -> (analytics.Relational.rangeFrame _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

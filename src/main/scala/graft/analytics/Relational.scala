@@ -256,7 +256,38 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
   }
 
+  /** Right outer join (completes the outer-join family with q03 left and
+    * q11 full): all orders kept, customer attributes where present. */
+  def rightJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") % 5 === 0)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "right")
+      .select(o("o_orderkey"), o("o_custkey"), c("c_name"), c("c_acctbal"))
+  }
+
+  /** RANGE window frame: value-based framing (all rows within ±100.0 of
+    * the current acctbal) — complements q12's ROWS framing. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+      .rangeBetween(-100L, 100L)
+    Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+      count(lit(1)).over(w).as("n_near"),
+      Tables.toDouble(sum(Tables.dec(col("c_acctbal"))).over(w), 2).as("sum_near"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q66_right_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_acctbal
+        |FROM (SELECT * FROM customer WHERE c_custkey % 5 = 0) c
+        |RIGHT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q67_range_frame" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  count(*) OVER w AS n_near,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) OVER w AS DECIMAL(28,2)) AS DOUBLE) AS sum_near
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |  RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)""".stripMargin,
     "q63_nullsafe_join" ->
       """WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k, c_custkey FROM customer),
         |o AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k, o_orderkey FROM orders)
