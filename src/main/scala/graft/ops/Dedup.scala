@@ -96,12 +96,21 @@ object Dedup {
       .withColumn("rk", row_number().over(w.orderBy(col("df"), col("shingle"))))
       .withColumn("sz", count(lit(1)).over(w))
     val pref = ranked.filter(col("rk") <= expr("sz div 2 + 1"))
-      .select(col("doc_id"), col("shingle"), col("sz"))
+      .select(col("doc_id"), col("shingle"), col("sz"), col("rk"))
+    // positional filter (PPJoin): ranks follow ONE global (df, shingle)
+    // order, so the first shared prefix shingle attains min(rk) on both
+    // sides simultaneously, and total overlap ≤ 1 + min(remaining
+    // suffix lengths). j ≥ 0.5 ⟺ overlap ≥ (sz_a+sz_b)/3, so pairs whose
+    // bound can't reach that are pruned EXACTLY.
     val cand = pref.as("a").join(pref.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(min(col("a.rk")).as("ra0"), min(col("b.rk")).as("rb0"))
+      .filter((lit(1) + least(col("sz_a") - col("ra0"), col("sz_b") - col("rb0"))) * 3
+        >= col("sz_a") + col("sz_b"))
+      .select(col("a_id"), col("b_id"))
     verifyJaccard(cand, sh, 0.5)
   }
 
