@@ -84,6 +84,7 @@ object SparkEntry {
     "q65_sql_frontend"     -> (analytics.Relational.sqlFrontend _),
     "q66_right_join"       -> (analytics.Relational.rightJoin _),
     "q67_range_frame"      -> (analytics.Relational.rangeFrame _),
+    "q68_numeric_profile"  -> (analytics.Relational.numericProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -276,7 +276,45 @@ object Relational {
       Tables.toDouble(sum(Tables.dec(col("c_acctbal"))).over(w), 2).as("sum_near"))
   }
 
+  /** Column profiling (the describe()/summary() surface made
+    * deterministic): counts, nulls, distincts, min/max, decimal-exact
+    * mean, and a fixed-width 10-bucket histogram — the pre-training data
+    * audit a pipeline runs before committing to a corpus. */
+  def numericProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val stats = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col("l_extendedprice")).as("n_distinct"),
+      min(col("l_extendedprice")).as("vmin"),
+      max(col("l_extendedprice")).as("vmax"),
+      Tables.toDouble(sum(Tables.dec(col("l_extendedprice"))), 2).as("vsum"))
+      .withColumn("mean", round(col("vsum") / col("n_rows"), 6))
+    val hist = li.crossJoin(broadcast(stats.select("vmin", "vmax")))
+      .withColumn("bucket",
+        least(floor((col("l_extendedprice") - col("vmin")) * 10.0 /
+          (col("vmax") - col("vmin"))), lit(9L)).cast("int"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_in_bucket"))
+    hist.crossJoin(broadcast(stats))
+      .select(col("bucket"), col("n_in_bucket"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("vmin"), col("vmax"), col("mean"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q68_numeric_profile" ->
+      """WITH stats AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT l_extendedprice) AS n_distinct,
+        |    min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax,
+        |    round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) / count(*), 6) AS mean
+        |  FROM lineitem),
+        |hist AS (
+        |  SELECT CAST(least(floor((l_extendedprice - vmin) * 10.0 / (vmax - vmin)), 9) AS INT) AS bucket,
+        |    count(*) AS n_in_bucket
+        |  FROM lineitem, stats GROUP BY 1)
+        |SELECT bucket, n_in_bucket, n_rows, n_null, n_distinct, vmin, vmax, mean
+        |FROM hist, stats""".stripMargin,
     "q66_right_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_acctbal
         |FROM (SELECT * FROM customer WHERE c_custkey % 5 = 0) c
