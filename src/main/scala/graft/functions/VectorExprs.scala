@@ -69,11 +69,14 @@ case class DotProductLong(left: Expression, right: Expression)
 object VectorExprs {
   /** Register `dot_long` in the session's function registry (idempotent)
     * so plain SQL/expr strings can call it. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("dot_long",
-        (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction("dot_long",
+      (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction("sorted_intersect_count",
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)), "built-in")
+  }
 }
 
 /** The public injection point for graft's native expressions: build the
@@ -83,10 +86,16 @@ object VectorExprs {
   * session of a deployment (the runtime `VectorExprs.register` covers
   * sessions graft didn't build). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductLong].getName, "dot_long"),
       (args: Seq[Expression]) => DotProductLong(args(0), args(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+  }
 }

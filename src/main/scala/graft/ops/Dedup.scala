@@ -52,23 +52,28 @@ object Dedup {
       .groupBy(md5(normText(col("text"))).as("text_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact-jaccard scoring of a candidate (a_id, b_id) pair set against
-    * the full shingle index: |A∩B| via a hash join on (id, shingle),
-    * |A∪B| by inclusion-exclusion, keep j ≥ threshold. Shared by the
-    * exact (q22) and LSH (q23) variants — only candidate *enumeration*
-    * differs between them; scores are always exact. */
+  /** Exact-jaccard scoring of a candidate (a_id, b_id) pair set: each
+    * doc's shingle set collapses once to a SORTED array of 60-bit
+    * md5-derived hashes (one shuffle), candidates join to the two arrays,
+    * and |A∩B| comes from the codegen'd sorted_intersect_count merge —
+    * O(|a|+|b|) per pair with no row blowup, where the relational form
+    * (explode + equi-join + count) shuffles |a|+|b| ROWS per candidate
+    * pair. Hash collisions are ~n²/2^60 (and the exact-string DuckDB
+    * oracle would catch one). Shared by the exact (q22) and LSH (q23)
+    * variants — only candidate *enumeration* differs; scores are exact. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
-        Seq("b_id", "shingle")) // equi-join on (b_id, shingle): no pair-local cross product
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
+    graft.functions.VectorExprs.register(sh.sparkSession)
+    val arrays = sh.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("arr"), count(lit(1)).as("sz"))
+    cand
+      .join(arrays.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
+        col("sz").as("sz_a")), "a_id")
+      .join(arrays.select(col("doc_id").as("b_id"), col("arr").as("arr_b"),
+        col("sz").as("sz_b")), "b_id")
+      .withColumn("inter", expr("sorted_intersect_count(arr_a, arr_b)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
