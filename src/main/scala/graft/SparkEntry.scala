@@ -85,6 +85,7 @@ object SparkEntry {
     "q66_right_join"       -> (analytics.Relational.rightJoin _),
     "q67_range_frame"      -> (analytics.Relational.rangeFrame _),
     "q68_numeric_profile"  -> (analytics.Relational.numericProfile _),
+    "q69_resample_ffill"   -> (ops.Events.resampleFfill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

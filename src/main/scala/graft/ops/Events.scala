@@ -78,7 +78,59 @@ object Events {
         max(col("value")).as("max_v"))
   }
 
+  /** Time-series resample + forward fill (pandas `resample('1h').mean()
+    * .ffill()` parity): per user, a dense hourly grid from first to last
+    * event, hourly means where data exists, previous hour's value carried
+    * forward into gaps. The grid generates from per-user bounds (one
+    * aggregate), the fill is one `last(ignoreNulls)` running window —
+    * single shuffle on user_id, no per-gap joins. */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("hr", date_trunc("hour", col("ts")).cast(TimestampNTZType))
+    val hourly = e.groupBy(col("user_id"), col("hr"))
+      .agg(Tables.dec(sum(Tables.dec(col("value")))).as("sumv"),
+        count(lit(1)).as("n"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, INTERVAL 1 HOUR)")).as("hr"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("hr")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      // double division of exact inputs (scale-6 sum, unscaled < 2^53 per
+      // hour) — identical in both engines; decimal division would round
+      // at engine-specific derived scales
+      .withColumn("hour_mean", col("sumv").cast("double") / col("n"))
+      .withColumn("filled_mean", last(col("hour_mean"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("n").isNull)
+      .select(col("user_id"), col("hr"), col("filled_mean"), col("is_gap"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q69_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, hr,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sumv,
+        |    count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds),
+        |joined AS (
+        |  SELECT g.user_id, g.hr,
+        |    CAST(h.sumv AS DOUBLE) / h.n AS hour_mean,
+        |    h.n IS NULL AS is_gap
+        |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id, hr,
+        |  last_value(hour_mean IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_mean,
+        |  is_gap
+        |FROM joined""".stripMargin,
     "q53_map_explode" ->
       """SELECT event_type, key, count(*) AS n,
         |  CAST(sum(v) AS BIGINT) AS sum_v, max(v) AS max_v

@@ -43,6 +43,30 @@ class ExpressionSpec extends SparkSpec {
     assert(spark.sql("SELECT dot_long(array(2L, 3L), array(4L, 5L)) AS d").head.getLong(0) == 23L)
   }
 
+  test("sorted_intersect_count equals array_intersect size on sorted distinct arrays") {
+    VectorExprs.register(spark)
+    val diff = Tables.embeddings(spark, sf)
+      .select(expr("sort_array(array_distinct(transform(embedding, x -> CAST(round(x * 100) AS BIGINT))))").as("a"),
+        expr("sort_array(array_distinct(transform(embedding, x -> CAST(round(x * 50) AS BIGINT))))").as("b"))
+      .select(
+        expr("sorted_intersect_count(a, b)").as("fast"),
+        expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+  }
+
+  test("sorted_intersect_count null/empty semantics") {
+    VectorExprs.register(spark)
+    val rows = Seq(
+      (Some(Seq(1L, 3L, 5L)), Some(Seq(2L, 3L, 5L, 9L))), // {3,5} -> 2
+      (Some(Seq.empty[Long]), Some(Seq(1L))),             // 0
+      (None, Some(Seq(1L))))                              // null
+      .toDF("a", "b").select(expr("sorted_intersect_count(a, b)").as("n")).collect()
+    assert(rows(0).getLong(0) == 2L)
+    assert(rows(1).getLong(0) == 0L)
+    assert(rows(2).isNullAt(0))
+  }
+
   test("dot_long rejects non-array<bigint> inputs at analysis time") {
     VectorExprs.register(spark)
     val e = intercept[Exception] {
