@@ -86,6 +86,7 @@ object SparkEntry {
     "q67_range_frame"      -> (analytics.Relational.rangeFrame _),
     "q68_numeric_profile"  -> (analytics.Relational.numericProfile _),
     "q69_resample_ffill"   -> (ops.Events.resampleFfill _),
+    "q70_funnel"           -> (ops.Events.funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -107,7 +107,42 @@ object Events {
       .select(col("user_id"), col("hr"), col("filled_mean"), col("is_gap"))
   }
 
+  /** Ordered funnel: signup → view → click → purchase, each stage's
+    * first occurrence strictly after the previous stage's. Per-stage
+    * user counts — one filtered min-aggregate per stage, joined on
+    * user_id (all equi-joins; no window over event history). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def stage(etype: String): DataFrame = e.filter(col("event_type") === etype)
+    val s1 = stage("signup").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stage("view").join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = stage("click").join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val s4 = stage("purchase").join(s3, "user_id").filter(col("ts") > col("t3"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t4"))
+    s1.select(lit("1_signup").as("stage"), col("user_id"))
+      .unionByName(s2.select(lit("2_view").as("stage"), col("user_id")))
+      .unionByName(s3.select(lit("3_click").as("stage"), col("user_id")))
+      .unionByName(s4.select(lit("4_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q70_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1)
+        |SELECT stage, count(DISTINCT user_id) AS n_users FROM (
+        |  SELECT '1_signup' AS stage, user_id FROM s1
+        |  UNION ALL SELECT '2_view', user_id FROM s2
+        |  UNION ALL SELECT '3_click', user_id FROM s3
+        |  UNION ALL SELECT '4_purchase', user_id FROM s4)
+        |GROUP BY 1""".stripMargin,
     "q69_resample_ffill" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value
