@@ -23,12 +23,18 @@ object Clusters {
   /** Connected components of an undirected edge list `(a_id, b_id)`:
     * returns (node, comp) where comp = min node id in the component. */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // localCheckpoint (not just persist) TRUNCATES lineage: without it
+    // every iteration re-plans the full upstream DAG (the edge pipeline
+    // can be an entire near-dup job) plus one more join per round — the
+    // standard iterative-graph hygiene (GraphX materializes the same way).
+    // On a fault-tolerant cluster run, swap for reliable checkpoint(): a
+    // local checkpoint cannot be recomputed after executor loss.
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       // each node offers its current label to every neighbor
@@ -36,11 +42,10 @@ object Clusters {
         .select(col("dst").as("node"), col("comp"))
       val next = labels.select("node", "comp").union(offers)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.as("n")
         .join(labels.as("l"), col("n.node") === col("l.node"))
         .filter(col("n.comp") =!= col("l.comp")).count()
-      labels.unpersist()
       labels = next
     }
     labels
