@@ -14,11 +14,14 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * single cheap shuffle at 100 TB.
   */
 class VectorSumAgg(val dim: Int)
-    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    extends Aggregator[Array[Long], Array[Long], Seq[Long]] {
 
   override def zero: Array[Long] = new Array[Long](dim)
 
-  override def reduce(buf: Array[Long], in: Seq[Long]): Array[Long] = {
+  // Array[Long] (not Seq) on the input side: the encoder decodes the
+  // array<bigint> column to a primitive array, avoiding 64 boxed Longs
+  // per input row
+  override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] = {
     var i = 0
     while (i < dim) { buf(i) += in(i); i += 1 }
     buf
