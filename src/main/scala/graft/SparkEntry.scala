@@ -87,6 +87,8 @@ object SparkEntry {
     "q68_numeric_profile"  -> (analytics.Relational.numericProfile _),
     "q69_resample_ffill"   -> (ops.Events.resampleFfill _),
     "q70_funnel"           -> (ops.Events.funnel _),
+    "q71_array_agg"        -> (analytics.Relational.arrayAgg _),
+    "q72_label_centroids"  -> (ops.Similarity.labelCentroids _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -300,7 +300,22 @@ object Relational {
         col("n_distinct"), col("vmin"), col("vmax"), col("mean"))
   }
 
+  /** Ordered collection aggregate: per nation, the sorted top-account
+    * customer keys as one array-valued result (serialized for the
+    * compare). Deterministic because the collected set is sorted. */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("top_keys"))
+
   val oracle: Map[String, String] = Map(
+    "q71_array_agg" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS top_keys
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY 1""".stripMargin,
     "q68_numeric_profile" ->
       """WITH stats AS (
         |  SELECT count(*) AS n_rows,

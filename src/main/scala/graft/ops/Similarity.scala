@@ -140,6 +140,21 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** Per-label centroid accumulation: element-wise sum of the integer-
+    * scaled vectors through the VectorSumAgg typed Aggregator (map-side
+    * partial buffers — one 64-long buffer per label × partition in the
+    * shuffle), summarized by the exact squared norm of the sum vector via
+    * the dot_long codegen expression. The distributed mean-embedding
+    * primitive (centroid refinement, per-class prototypes). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val vecSum = udaf(new graft.functions.VectorSumAgg(64))
+    scaled(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), vecSum(col("ai")).as("s"))
+      .select(col("label"), col("n_vecs"),
+        expr("dot_long(s, s)").as("sum_norm2"))
+  }
+
   private val scaledSql =
     """SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
@@ -163,6 +178,16 @@ object Similarity {
        |  WHERE rn <= $nAssign)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q72_label_centroids" ->
+      s"""WITH v AS ($scaledSql),
+         |sums AS (
+         |  SELECT label, i, sum(ai[i + 1]) AS s
+         |  FROM v, (SELECT unnest(range(0, 64)) AS i)
+         |  GROUP BY 1, 2),
+         |norms AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS sum_norm2 FROM sums GROUP BY 1),
+         |counts AS (SELECT label, count(*) AS n_vecs FROM v GROUP BY 1)
+         |SELECT label, n_vecs, sum_norm2
+         |FROM counts JOIN norms USING (label)""".stripMargin,
     "q25_cosine_topk" ->
       s"""WITH v AS (
          |  SELECT vec_id, ai,
