@@ -60,6 +60,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
   }
 
+  test("q49 tf-idf window partitions per document, never corpus-wide") {
+    val p = plan(q("q49_tfidf"))
+    assert(p.contains("Window"), "top-3 per doc uses a window")
+    assert(!p.contains("Window [") || !p.contains("PartitionBy []"),
+      "window must be partitioned")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf)
