@@ -89,6 +89,7 @@ object SparkEntry {
     "q70_funnel"           -> (ops.Events.funnel _),
     "q71_array_agg"        -> (analytics.Relational.arrayAgg _),
     "q72_label_centroids"  -> (ops.Similarity.labelCentroids _),
+    "q73_curation_summary" -> (ops.TextAnalysis.curationSummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -156,6 +156,33 @@ object TextAnalysis {
         md5(col("cleaned")).as("clean_fp"),
         (length(col("text")) - length(col("cleaned"))).as("removed"))
 
+  /** The curation pipeline composed end-to-end: canonical-copy selection
+    * (exact-dup fingerprint, keep min doc_id), alpha-ratio quality gate,
+    * and a minimum-length gate, accounted per language — the decision
+    * summary a corpus build reviews before committing (each gate is an
+    * operator from this module; composition stays one shuffled window +
+    * one aggregate). */
+  def curationSummary(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    val base = Tables.documents(spark, dir)
+      .withColumn("fp", md5(Dedup.normText(col("text"))))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_alpha",
+        length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+      .withColumn("alpha_ratio", col("n_alpha").cast("double") / length(col("text")))
+      .withColumn("n_tok", size(split(Dedup.normText(col("text")), " ")))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .withColumn("is_lowq", col("alpha_ratio") < 0.5)
+      .withColumn("is_short", col("n_tok") < 5)
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dupes"),
+        sum(when(!col("is_dup") && col("is_lowq"), 1L).otherwise(0L)).as("n_lowq"),
+        sum(when(!col("is_dup") && !col("is_lowq") && col("is_short"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(!col("is_dup") && !col("is_lowq") && !col("is_short"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   private def hitsSql(xs: Seq[String]) =
     s"len(list_filter(toks, x -> x IN (${inList(xs)})))"
 
@@ -221,6 +248,26 @@ object TextAnalysis {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CASE WHEN lang = 'en' THEN md5(CAST(doc_id AS VARCHAR)) < 'c0'
         |           ELSE md5(CAST(doc_id AS VARCHAR)) < '40' END""".stripMargin,
+    "q73_curation_summary" ->
+      """WITH base AS (
+        |  SELECT lang, doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tok
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT lang,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup,
+        |    alpha_ratio < 0.5 AS is_lowq,
+        |    n_tok < 5 AS is_short
+        |  FROM base)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+        |  CAST(sum(CASE WHEN NOT is_dup AND is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+        |  CAST(sum(CASE WHEN NOT is_dup AND NOT is_lowq AND is_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN NOT is_dup AND NOT is_lowq AND NOT is_short THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM flagged GROUP BY 1""".stripMargin,
     "q60_text_clean" ->
       """WITH c AS (SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
