@@ -27,19 +27,26 @@ object Bench {
     // warmup: exercise scan + join + agg codegen paths once, uncounted
     try etl.Transform.topkEnriched(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // a throwing query is recorded as FAILED (and excluded from the
+    // total), never as a fast "success" timing — a regression that breaks
+    // a query must not read as a speedup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":2}"""
     Files.writeString(Paths.get("BENCH.json"), json)
     println(json)
     spark.stop()

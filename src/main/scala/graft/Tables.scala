@@ -22,13 +22,14 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark's reader
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-    * (legacy conf) and surface a microsecond TIMESTAMP_NTZ — the same
-    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
-    * oracle comparisons stay exact. floorDiv keeps pre-epoch values
-    * correct (not exercised by this data, but cheap insurance).
+    * (legacy conf `spark.sql.legacy.parquet.nanosAsLong=true` — it is a
+    * SESSION conf, not a per-read option, so the SESSION BUILDER must set
+    * it: Verify, Bench, and the test fixture all do; a loader must never
+    * mutate session conf as a side effect) and surface a microsecond
+    * TIMESTAMP_NTZ — the same truncation DuckDB applies when casting
+    * TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // `ts div 1000` is integer division — ns epoch values exceed 2^53, so
     // double division (plain `/`) would lose up to ±256 ns and shift some
     // microseconds by one vs DuckDB's truncation.

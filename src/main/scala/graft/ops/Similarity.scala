@@ -20,8 +20,29 @@ import org.apache.spark.sql.functions._
   * partition). The IVF variant bounds probe work per query to nprobe
   * clusters; the near-dup variant scopes candidate pairs to shared IVF
   * cells — both are the 100 TB paths.
+  *
+  * Centroid cardinality is BOUNDED and corpus-independent: the centroid
+  * set is the K vectors with the smallest md5(vec_id) (a deterministic
+  * uniform sample selected by `ORDER BY md5 LIMIT K` →
+  * TakeOrderedAndProject: map-side bounded top-K, O(n log K) with a
+  * K-row driver result, never a full sort). The broadcast is K vectors
+  * and per-vector assignment work is O(K) regardless of n — at a real
+  * 100 TB corpus K is a tuning knob (K ≈ √n balances cell size against
+  * probe fan-out; e.g. K ≈ 2¹⁶ at 10¹⁰ vectors, still a trivially
+  * broadcastable ~32 MB of float32×64), here pinned small so the sf0.001
+  * spec corpus still populates every cell. Assignment itself is a
+  * map-side broadcast join + TopKAgg partial aggregation — no window
+  * over the candidate rows, so the shuffle carries one row per vector.
   */
 object Similarity {
+
+  /** IVF cell count for query probing (few, fuller cells: recall at
+    * nprobe=2 stays measurable on the tiny spec corpus). */
+  val IvfK = 16
+  /** IVF cell count for near-dup candidate scoping (more, smaller cells:
+    * within-cell pair enumeration is Σ k², so more cells = less verify
+    * work; both are corpus-independent constants). */
+  val NearDupK = 64
 
   /** embeddings with exact integer-scaled vector `ai` and its squared
     * norm `n2`. */
@@ -38,21 +59,32 @@ object Similarity {
   // higher-order aggregate(zip_with(…)) equivalent runs interpreted
   private val dotExpr = "dot_long(q_ai, ai)"
 
-  /** Assign every vector to its `nAssign` nearest centroids by cosine
-    * (broadcast join against the tiny centroid set — the only broadcast
-    * in the similarity family; the corpus itself never broadcasts). */
-  private def assignCells(v: DataFrame, nAssign: Int): DataFrame = {
-    val cents = v.select(col("vec_id").as("c_id"), col("ai").as("q_ai"),
-        col("n2").as("c_n2"))
-      .filter(col("c_id") % 37 === 0)
-    v.crossJoin(broadcast(cents))
+  /** The K-vector centroid set: smallest-md5(vec_id) sample, fully
+    * deterministic and independent of corpus size (plan:
+    * TakeOrderedAndProject, asserted in PlanSpec). */
+  private[graft] def centroids(v: DataFrame, k: Int): DataFrame =
+    v.select(col("vec_id").as("c_id"), col("ai").as("c_ai"), col("n2").as("c_n2"))
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(k)
+
+  /** Assign every vector to its `nAssign` nearest centroids by cosine.
+    * The centroid side is a broadcast of ≤k rows; the per-vector top-n
+    * accumulates in TopKAgg (map-side partial aggregation: each vector's
+    * K candidate rows collapse to one buffered row before the shuffle —
+    * no row_number window materializing n×K rows). `first(...)` carries
+    * the group-constant payload columns (ai/n2/label are functionally
+    * dependent on vec_id). */
+  private def assignCells(v: DataFrame, nAssign: Int, k: Int): DataFrame = {
+    val topn = udaf(new graft.functions.TopKAgg(nAssign))
+    v.crossJoin(broadcast(centroids(v, k)))
       .withColumn("cos",
-        expr(dotExpr).cast("double") /
+        expr("dot_long(ai, c_ai)").cast("double") /
           (sqrt(col("c_n2").cast("double")) * sqrt(col("n2").cast("double"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("c_id"))))
-      .filter(col("rn") <= nAssign)
-      .select(col("vec_id"), col("label"), col("ai"), col("n2"), col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"), first(col("ai")).as("ai"),
+        first(col("n2")).as("n2"), topn(col("cos"), col("c_id")).as("top"))
+      .select(col("vec_id"), col("label"), col("ai"), col("n2"),
+        explode(expr("transform(top, x -> x._2)")).as("c_id"))
   }
 
   /** Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) over the
@@ -78,27 +110,30 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate NN — the scale path.
-    * "Centroids" are a deterministic seed subset (vec_id % 37 = 0); every
-    * vector is assigned to its nearest centroid; a query probes only its
-    * nprobe=2 nearest clusters and reranks exactly. Fully deterministic,
-    * so the DuckDB oracle mirrors this whole pipeline; recall vs
-    * cosineTopK asserted in SimilaritySpec. */
+    * Centroids are the bounded deterministic md5-sample (IvfK vectors,
+    * corpus-independent); every vector is assigned to its nearest
+    * centroid; a query probes only its nprobe=2 nearest clusters and
+    * reranks exactly. Fully deterministic, so the DuckDB oracle mirrors
+    * this whole pipeline; recall vs cosineTopK and score-exactness
+    * asserted in SimilaritySpec. */
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val v = scaled(spark, dir)
-    val assigned = assignCells(v, 1)
-    val cents = v.filter(col("vec_id") % 37 === 0)
-      .select(col("vec_id").as("c_id"), col("ai").as("c_ai"), col("n2").as("c_n2"))
-    // probe: nprobe nearest centroids per query
+    val assigned = assignCells(v, 1, IvfK)
+    val cents = centroids(v, IvfK)
+    // probe: nprobe nearest centroids per query — same bounded TopKAgg
+    // shape as assignment (the probe side is |q| × IvfK rows)
     val q = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val topn = udaf(new graft.functions.TopKAgg(nprobe))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("cos",
         expr("dot_long(q_ai, c_ai)").cast("double") /
           (sqrt(col("q_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("c_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_ai"), col("q_n2"), col("c_id"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_ai")).as("q_ai"), first(col("q_n2")).as("q_n2"),
+        topn(col("cos"), col("c_id")).as("top"))
+      .select(col("q_id"), col("q_ai"), col("q_n2"),
+        explode(expr("transform(top, x -> x._2)")).as("c_id"))
     // rerank exactly within probed clusters, bounded top-k per query
     val topk = udaf(new graft.functions.TopKAgg(5))
     probes.join(assigned, "c_id")
@@ -119,11 +154,12 @@ object Similarity {
     * the exact cosine and keep ≥ 0.4. Candidate work is Σ_cells k², not
     * n² — no full-corpus broadcast, no all-pairs join; the pipeline is
     * deterministic end-to-end and the oracle mirrors it. Cross-cell pairs
-    * are out of scope by definition (recall vs the exact all-pairs join
-    * is measured in SimilaritySpec). */
+    * are out of scope by definition (precision vs the exact all-pairs
+    * join is asserted in SimilaritySpec). NearDupK cells keep per-cell
+    * pair enumeration small; the cell count stays corpus-independent. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = scaled(spark, dir)
-    val cells = assignCells(v, 2).select(col("c_id"), col("vec_id"))
+    val cells = assignCells(v, 2, NearDupK).select(col("c_id"), col("vec_id"))
     val cand = cells.as("x").join(cells.as("y"), "c_id")
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -143,16 +179,26 @@ object Similarity {
   /** Per-label centroid accumulation: element-wise sum of the integer-
     * scaled vectors through the VectorSumAgg typed Aggregator (map-side
     * partial buffers — one 64-long buffer per label × partition in the
-    * shuffle), summarized by the exact squared norm of the sum vector via
-    * the dot_long codegen expression. The distributed mean-embedding
-    * primitive (centroid refinement, per-class prototypes). */
+    * shuffle), summarized by the exact squared norm of the sum vector.
+    *
+    * The norm is computed in DECIMAL(38,0): per-label element sums grow
+    * with corpus size, and squaring them in Long would WRAP silently at
+    * |s_i| > √(2⁶³) ≈ 3.0e9 while the DuckDB oracle (HUGEINT) keeps
+    * going — the decimal path instead overflows loudly (ANSI error / null
+    * at the BIGINT boundary cast), so divergence is detected, not
+    * silent. The lambda runs interpreted but only on one row per label —
+    * post-aggregation, off the hot path. (VectorSumAgg's Long buffer
+    * itself holds to ~9e11 vectors per label at |x|≤10 before this
+    * guard matters.) */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val vecSum = udaf(new graft.functions.VectorSumAgg(64))
     scaled(spark, dir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), vecSum(col("ai")).as("s"))
       .select(col("label"), col("n_vecs"),
-        expr("dot_long(s, s)").as("sum_norm2"))
+        expr("""CAST(aggregate(s, CAST(0 AS DECIMAL(38,0)),
+                 (acc, x) -> acc + CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS BIGINT)""")
+          .as("sum_norm2"))
   }
 
   private val scaledSql =
@@ -160,14 +206,17 @@ object Similarity {
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
       |FROM embeddings""".stripMargin
 
-  /** Shared oracle CTE: scaled vectors with norms, centroids, and the
-    * n-way cell assignment (mirrors assignCells). */
-  private def assignSql(nAssign: Int) =
+  /** Shared oracle CTE: scaled vectors with norms, the bounded md5-sample
+    * centroid set (mirrors `centroids`), and the n-way cell assignment
+    * (mirrors assignCells; the oracle can afford the window form — it
+    * runs at sf0.01 in DuckDB, the Spark side is the scale path). */
+  private def assignSql(nAssign: Int, k: Int) =
     s"""v AS (
        |  SELECT vec_id, ai,
        |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
        |  FROM ($scaledSql)),
-       |c AS (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v WHERE vec_id % 37 = 0),
+       |c AS (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
        |assign AS (
        |  SELECT vec_id, ai, n2, c_id FROM (
        |    SELECT v.vec_id, v.ai, v.n2, c.c_id,
@@ -204,9 +253,10 @@ object Similarity {
          |  FROM pairs)
          |WHERE rn <= 5""".stripMargin,
     // q26: deterministic IVF — the oracle implements the identical
-    // assign/probe/rerank pipeline.
+    // assign/probe/rerank pipeline (plus SimilaritySpec's independent
+    // exact-cosine containment check against brute force).
     "q26_ann_ivf" ->
-      s"""WITH ${assignSql(1)},
+      s"""WITH ${assignSql(1, IvfK)},
          |q AS (SELECT vec_id AS q_id, ai AS q_ai, n2 AS q_n2 FROM v WHERE vec_id % 50 = 0),
          |probe AS (
          |  SELECT q_id, q_ai, q_n2, c_id FROM (
@@ -228,7 +278,7 @@ object Similarity {
     // q27: cluster-scoped near-dup — the oracle mirrors the 2-way cell
     // assignment and within-cell pair enumeration exactly.
     "q27_embedding_neardup" ->
-      s"""WITH ${assignSql(2)},
+      s"""WITH ${assignSql(2, NearDupK)},
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
          |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)

@@ -104,7 +104,6 @@ object StatefulSessions {
     * the events file source, AvailableNow, memory sink. */
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")

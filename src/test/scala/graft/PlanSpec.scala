@@ -48,6 +48,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no unbounded cartesian")
   }
 
+  test("q26 IVF: bounded centroid top-K, no window anywhere in the plan") {
+    val p = plan(q("q26_ann_ivf"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "centroid selection must be a bounded top-K, not a global sort")
+    assert(!p.contains("Window"),
+      "assignment/probe/rerank must use bounded aggregators, not row_number windows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q05 string pipeline stays inside whole-stage codegen") {
     val p = plan(q("q05_string_funcs"))
     // '*(n)' prefixes mark WholeStageCodegen stages in executedPlan.toString

@@ -38,11 +38,45 @@ class SimilaritySpec extends SparkSpec {
     val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     // this synthetic corpus is nearly unclustered (top-5 neighbors are
-    // scattered across cells), so nprobe=2 of ~14 cells recalls ~0.2–0.3;
-    // the spec pins the floor, the oracle pins exact determinism.
+    // scattered across cells), so nprobe=2 of IvfK=16 cells recalls a
+    // modest fraction; the spec pins the floor, the oracle pins exact
+    // determinism.
     assert(recall >= 0.15, s"IVF recall $recall below 0.15")
     assert(ivfRows.forall(_.getInt(3) >= 1), "rn starts at 1")
     assert(ivf.size == ivfRows.length, "no duplicate (q, vec) results")
+  }
+
+  /** Independent brute-force containment (not the mirrored oracle): every
+    * IVF-reported cosine must equal the EXACT cosine of that pair — a
+    * common-mode assignment bug in both the Spark pipeline and its
+    * mirrored DuckDB SQL would still fail here. */
+  test("IVF-reported scores equal the exact cosines") {
+    val v = Similarity.scaled(spark, sf)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val exact = q.join(v, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", expr(dot).cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) == r.getDouble(2), s"IVF cosine for $key is not the exact cosine")
+    }
+  }
+
+  test("centroid set is bounded regardless of corpus size") {
+    val v = Similarity.scaled(spark, sf)
+    assert(Similarity.centroids(v, Similarity.IvfK).count() == Similarity.IvfK)
+    // 3× the corpus (shifted ids): the centroid count must NOT grow —
+    // this is the round-2 O(n)-centroids defect pinned as a red test
+    val tripled = v
+      .union(v.withColumn("vec_id", col("vec_id") + 100000))
+      .union(v.withColumn("vec_id", col("vec_id") + 200000))
+    assert(Similarity.centroids(tripled, Similarity.IvfK).count() == Similarity.IvfK)
+    assert(Similarity.centroids(tripled, Similarity.NearDupK).count() == Similarity.NearDupK)
   }
 
   test("cluster-scoped near-dup has perfect precision vs all-pairs") {
