@@ -90,6 +90,7 @@ object SparkEntry {
     "q71_array_agg"        -> (analytics.Relational.arrayAgg _),
     "q72_label_centroids"  -> (ops.Similarity.labelCentroids _),
     "q73_curation_summary" -> (ops.TextAnalysis.curationSummary _),
+    "q74_fetch_parse"      -> (sources.FetchSource.fetchParse _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,7 +98,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++ etl.Extract.oracle ++
       etl.Constraints.oracle ++
-      sources.Sinks.oracle ++
+      sources.Sinks.oracle ++ sources.FetchSource.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
       ops.Clusters.oracle ++

@@ -64,18 +64,28 @@ object Normalize {
     * dictionary at Levenshtein ≤ 1 (the reference's README flags name
     * collisions as its entity-resolution gap). Works on the DISTINCT
     * name dictionary — entity resolution is a dictionary-sized problem,
-    * so the pair join is over thousands of names, not the fact table;
-    * an exact length-window block (edit distance k ⇒ length diff ≤ k)
-    * prunes candidates before the distance computation. At larger
-    * dictionary scales the same q-gram prefix filtering as q22 applies. */
+    * so the pair join is over thousands of names, not the fact table.
+    *
+    * The length block is a real EQUI-JOIN block, not a predicate: edit
+    * distance ≤ 1 ⇒ |len(a) − len(b)| ≤ 1, so each name emits bucket
+    * keys {l, l+1} and a qualifying pair meets exactly once at bucket =
+    * max(la, lb). Catalyst gets an equi-key and plans a hash join that
+    * partitions by bucket — never a BroadcastNestedLoopJoin over the
+    * dictionary (plan-asserted in PlanSpec). Levenshtein runs with an
+    * early-abandon threshold (3-arg form) on candidates only. At a
+    * 20M-name dictionary the bucket key would extend PassJoin-style
+    * (length × segment-substring keys) — same equi-join shape, finer
+    * buckets. */
   def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(spark, dir).select(col("p_name")).distinct()
       .withColumn("l", length(col("p_name")))
-    names.as("a").join(names.as("b"),
-        col("a.p_name") < col("b.p_name") &&
-        abs(col("a.l") - col("b.l")) <= 1)
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")).cast("int"))
-      .filter(col("dist") <= 1)
+    val keyed = names.withColumn("bucket", explode(array(col("l"), col("l") + 1)))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.bucket") === greatest(col("a.l"), col("b.l")) &&
+        col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 1))
+      .filter(col("dist") >= 0) // 3-arg levenshtein: −1 marks "above threshold"
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
   }
 

@@ -9,47 +9,86 @@ import org.apache.spark.storage.StorageLevel
   * component" — so connected components is the missing last stage of
   * every dedup pipeline here.
   *
-  * Algorithm: iterative min-label propagation (each node adopts the
-  * smallest id reachable so far; converges in ≤ diameter rounds). Each
-  * round is one join + one aggregate — all shuffle-partitioned on node
-  * id, no driver-side graph. Dup clusters in web corpora have tiny
-  * diameters (a cluster is near-clique shaped), so the loop count is
-  * small and independent of corpus size; the classic large-star/
-  * small-star optimization would drop the round count further at extreme
-  * diameters without changing this interface.
+  * Algorithm: alternating large-star / small-star rounds (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — each round is a pair of
+  * groupBy-min + join steps, all shuffle-partitioned on node id, no
+  * driver-side graph. Unlike plain min-label propagation (O(diameter)
+  * rounds — fine for near-clique dup clusters, pathological on chains),
+  * star contraction halves path heights every round and converges in
+  * O(log² n) rounds on ANY graph shape (ClustersSpec pins a length-64
+  * path converging in ≤ 8 rounds). Per-round lineage is truncated with
+  * localCheckpoint — without it every iteration re-plans the full
+  * upstream DAG (the edge input can be an entire near-dup job); on a
+  * fault-tolerant cluster run, swap for reliable checkpoint(), since a
+  * local checkpoint cannot be recomputed after executor loss.
   */
 object Clusters {
 
-  /** Connected components of an undirected edge list `(a_id, b_id)`:
-    * returns (node, comp) where comp = min node id in the component. */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    // localCheckpoint (not just persist) TRUNCATES lineage: without it
-    // every iteration re-plans the full upstream DAG (the edge pipeline
-    // can be an entire near-dup job) plus one more join per round — the
-    // standard iterative-graph hygiene (GraphX materializes the same way).
-    // On a fault-tolerant cluster run, swap for reliable checkpoint(): a
-    // local checkpoint cannot be recomputed after executor loss.
-    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      // each node offers its current label to every neighbor
-      val offers = und.join(labels, und("src") === labels("node"))
-        .select(col("dst").as("node"), col("comp"))
-      val next = labels.select("node", "comp").union(offers)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("l"), col("n.node") === col("l.node"))
-        .filter(col("n.comp") =!= col("l.comp")).count()
-      labels = next
-    }
-    labels
+  /** One large-star round: every node connects its LARGER neighbors to
+    * the minimum of its full neighborhood (incl. itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .union(e.select(col("v").as("x"), col("u").as("y")))
+    val mins = und.groupBy(col("x")).agg(least(col("x"), min(col("y"))).as("m"))
+    und.join(mins, "x")
+      .filter(col("y") > col("x"))
+      .select(least(col("y"), col("m")).as("u"), greatest(col("y"), col("m")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
+
+  /** One small-star round: every node connects its SMALLER neighbors and
+    * itself to the minimum among them. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val down = e.select(col("v").as("x"), col("u").as("y")) // y < x by canonical form
+    val mins = down.groupBy(col("x")).agg(least(col("x"), min(col("y"))).as("m"))
+    down.join(mins, "x")
+      .select(col("y").as("n"), col("m"))
+      .union(mins.select(col("x").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(least(col("n"), col("m")).as("u"), greatest(col("n"), col("m")).as("v"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected edge list `(a_id, b_id)`:
+    * returns ((node, comp) rows, rounds-to-converge) where comp = min
+    * node id in the component. */
+  def connectedComponentsWithRounds(edges: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    var e = edges
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      rounds += 1
+      // set equality on canonical distinct pair sets: same size + one-sided
+      // containment (cheap per-round; both are single-shuffle jobs)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+    }
+    // at the fixpoint the graph is a union of min-rooted stars: a leaf's
+    // only neighbor is its root, a root's neighbors are all larger
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .union(e.select(col("v").as("x"), col("u").as("y")))
+    val starLabels = und.groupBy(col("x")).agg(least(col("x"), min(col("y"))).as("comp"))
+      .select(col("x").as("node"), col("comp"))
+    // nodes whose only edges were self-loops vanish from the canonical
+    // edge set — restore them as singleton components
+    val nodes = edges.select(col("a_id").as("node"))
+      .union(edges.select(col("b_id").as("node"))).distinct()
+    val labels = nodes.join(starLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    (labels, rounds)
+  }
+
+  /** Interface kept from the min-label round-2 version. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
 
   /** q54: cluster the exact-jaccard near-dup pairs and emit one row per
     * member with its canonical representative (min doc_id of the

@@ -63,16 +63,22 @@ object Events {
         col("user_id"), col("n_events"), col("sum_value"))
   }
 
-  /** MapType surface: synthesize a two-key JSON object per event,
-    * parse it as map<string,long> (schema-on-read, no inference pass),
-    * explode entries, aggregate per key — the generic dynamic-key path
-    * the fixed-schema q15 from_json struct can't express. */
+  /** MapType surface: parse the REAL `props` JSON column as
+    * map<string,long> (schema-on-read dynamic keys — the path the
+    * fixed-schema q15 from_json struct can't express), merge with a
+    * natively-built map (`create_map`, no JSON synthesis round-trip —
+    * the round-2 version string-concatenated a JSON object per row and
+    * immediately re-parsed it, paying serialize+parse for nothing),
+    * explode entries, aggregate per key. A malformed props row keeps its
+    * native entries (coalesce to an empty map), mirroring the oracle's
+    * per-key union semantics. */
   def mapExplode(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .withColumn("j", concat(lit("{\"uid\": "), col("user_id"),
-        lit(", \"eid\": "), col("event_id"), lit("}")))
     e.select(col("event_type"),
-        explode(from_json(col("j"), MapType(StringType, LongType))))
+        explode(map_concat(
+          map(lit("uid"), col("user_id"), lit("eid"), col("event_id")),
+          coalesce(from_json(col("props"), MapType(StringType, LongType)),
+            expr("CAST(map() AS MAP<STRING, BIGINT>)")))))
       .groupBy(col("event_type"), col("key"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
         max(col("value")).as("max_v"))
@@ -172,7 +178,11 @@ object Events {
         |FROM (
         |  SELECT event_type, 'uid' AS key, user_id AS v FROM events
         |  UNION ALL
-        |  SELECT event_type, 'eid' AS key, event_id AS v FROM events)
+        |  SELECT event_type, 'eid' AS key, event_id AS v FROM events
+        |  UNION ALL
+        |  SELECT event_type, 'k' AS key,
+        |    CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS v
+        |  FROM events WHERE regexp_matches(props, '"k":\s*[0-9]+'))
         |GROUP BY 1, 2""".stripMargin,
     "q15_json_extract" ->
       """SELECT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INT) % 10 AS k_bucket,

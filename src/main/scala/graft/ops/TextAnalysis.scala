@@ -101,15 +101,17 @@ object TextAnalysis {
         col("tf").cast("double") *
           log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")))
     scored
+      // ln() is not correctly-rounded and differs by 1 ulp across libm
+      // implementations — rank AND report on the 6-dp-rounded score (tok
+      // as total-order tiebreak), so a 1-ulp cross-engine divergence at
+      // the rank-3/4 boundary cannot flip top-3 membership
+      .withColumn("tfidf", round(col("tfidf"), 6))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(desc("tfidf"), asc("tok"))))
       .filter(col("rn") <= 3)
-      // ln() is not correctly-rounded and differs by 1 ulp across libm
-      // implementations — round the *reported* score at the boundary
-      // (ranking above used full precision)
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-        round(col("tfidf"), 6).as("tfidf"), col("rn"))
+        col("tfidf"), col("rn"))
   }
 
   /** Reproducible train/eval split by content-independent hash: md5 of
@@ -234,9 +236,9 @@ object TextAnalysis {
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (
          |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
-         |    CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+         |    round(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
          |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
-         |SELECT doc_id, tok, tf, df, round(tfidf, 6) AS tfidf, rn FROM (
+         |SELECT doc_id, tok, tf, df, tfidf, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,

@@ -16,6 +16,27 @@ class ClustersSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("a length-64 path converges in O(log n) star rounds, not O(diameter)") {
+    // the min-label round-2 algorithm needed ~64 rounds here; the
+    // large-star/small-star contraction must stay logarithmic
+    val path = (1L until 65L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Clusters.connectedComponentsWithRounds(path)
+    assert(rounds <= 8, s"path-graph convergence took $rounds rounds (> 8)")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 65L).map(_ -> 1L).toMap, "single component rooted at 1")
+  }
+
+  test("star rounds handle disjoint components and an empty edge list") {
+    val (empty, r0) = Clusters.connectedComponentsWithRounds(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+    assert(empty.isEmpty && r0 == 0)
+    // two components given in "wrong" orientation + duplicate edges
+    val e = Seq((5L, 3L), (3L, 5L), (5L, 4L), (9L, 8L)).toDF("a_id", "b_id")
+    val got = Clusters.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("every near-dup pair lands in one cluster; canonical is the min member") {
     val pairs = graft.ops.Dedup.jaccardNearDup(spark, sf)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -90,4 +90,30 @@ class ExtractSpec extends SparkSpec {
     assert(s(r, 3) == Some(""))
     assert(s(r, 4) == Some(""))
   }
+
+  test("fetch source opens ONE fetcher per partition, not per row") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{FetchSource, StubListPageFetcher}
+    val urls = spark.range(1, 101).toDF("k")
+      .select(col("k"), concat(lit("https://fixture.local/title/tt"), col("k"),
+        lit("/")).as("url"))
+      .repartition(5)
+    StubListPageFetcher.inits.set(0)
+    val fetched = FetchSource.fetchHtml(urls, "url", () => new StubListPageFetcher)
+    assert(fetched.count() == 100)
+    assert(StubListPageFetcher.inits.get() == 5,
+      s"expected 5 per-partition fetcher inits, got ${StubListPageFetcher.inits.get()}")
+  }
+
+  test("fetched pages parse through the same list-item extractor") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.FetchSource
+    val r = FetchSource.fetchParse(spark, sf)
+      .filter(col("p_partkey") === 7).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("rank") == "7")
+    assert(r.head.getAs[String]("title") == " Movie 7")
+    assert(r.head.getAs[String]("year") == "1977")
+    assert(r.head.getAs[String]("details_url") == "https://www.imdb.com/title/tt7/")
+  }
 }

@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q52 fuzzy match blocks with an equi-join, never a nested loop") {
+    val p = plan(q("q52_fuzzy_match"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"length block must be an equi-join key, not a theta predicate:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q05 string pipeline stays inside whole-stage codegen") {
     val p = plan(q("q05_string_funcs"))
     // '*(n)' prefixes mark WholeStageCodegen stages in executedPlan.toString
