@@ -91,6 +91,7 @@ object SparkEntry {
     "q72_label_centroids"  -> (ops.Similarity.labelCentroids _),
     "q73_curation_summary" -> (ops.TextAnalysis.curationSummary _),
     "q74_fetch_parse"      -> (sources.FetchSource.fetchParse _),
+    "q75_jdbc_roundtrip"   -> (sources.Sinks.jdbcRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

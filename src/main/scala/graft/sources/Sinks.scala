@@ -44,9 +44,32 @@ object Sinks {
     spark.read.parquet(path)
   }
 
+  /** S3/S5's literal JDBC half (`webscraper-postgres.py:104-106,163,225`
+    * loads via SQLAlchemy/Postgres): a real `DataFrameWriter.jdbc` +
+    * `DataFrameReader.jdbc` roundtrip against embedded Derby (the one
+    * JDBC engine shipped in /opt/spark/jars — in-memory, no server, no
+    * network). At cluster scale the write side is exactly this API with
+    * numPartitions/batchsize options → one batched connection per
+    * partition (the foreachPartition story SURVEY S5 describes), and the
+    * read side adds partitionColumn bounds for a parallel scan. Derby
+    * has no exact DOUBLE↔DECIMAL-free roundtrip concerns here: nation is
+    * (bigint, varchar, bigint, varchar) only. */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // one shared in-memory DB per JVM; overwrite makes re-runs idempotent
+    System.setProperty("derby.stream.error.file", "target/derby.log")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.nation(spark, dir)
+      .write.mode("overwrite").jdbc(url, "nation_sink", props)
+    spark.read.jdbc(url, "nation_sink", props)
+  }
+
   val oracle: Map[String, String] = Map(
     "q37_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q75_jdbc_roundtrip" ->
+      "SELECT * FROM nation",
     "q38_sink_insert_absent" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey % 2 = 0

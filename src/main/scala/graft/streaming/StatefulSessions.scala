@@ -78,6 +78,77 @@ object StatefulSessions {
                       state: GroupState[Int]): Iterator[UserSession] =
     buildSessions(uid, evs)
 
+  /** Open-session buffer for the watermarked variant: the raw events of
+    * every session not yet closed by the watermark (bounded per user by
+    * events-per-gap-window — closed sessions leave state immediately). */
+  private[streaming] case class SessionBuf(events: Seq[SessionEvent])
+
+  /** Watermark-typed event: Spark event-time watermarks require
+    * TIMESTAMP (not NTZ) — under the UTC session timezone the cast is an
+    * exact reinterpretation, done once at the stream boundary. */
+  private[streaming] case class UtcEvent(user_id: Long, ts: java.time.Instant, value: Double)
+
+  private def epochMs(t: LocalDateTime): Long =
+    t.toEpochSecond(ZoneOffset.UTC) * 1000L + t.getNano / 1000000L
+
+  /** The long-running-deployment form the NoTimeout scaladoc points at:
+    * watermark + EventTimeTimeout. Each invocation (1) DROPS events at or
+    * before the current watermark — late beyond tolerance, mirroring the
+    * engine's late-row semantics explicitly, (2) merges the rest with the
+    * buffered open sessions, (3) EMITS every session whose close time
+    * (last event + gap) the watermark has passed — including on a pure
+    * timeout wake-up with no new data, which is what flushes state — and
+    * (4) re-arms the timeout at the earliest open close time. Sums reuse
+    * buildSessions, so emitted rows are bit-identical to the batch/
+    * AvailableNow forms for on-time data. */
+  private[streaming] def watermarkStateFn(
+      uid: Long, utcEvs: Iterator[UtcEvent],
+      state: GroupState[SessionBuf]): Iterator[UserSession] = {
+    val gapMs = GapMinutes * 60000L
+    val wmMs = state.getCurrentWatermarkMs()
+    val fresh = utcEvs
+      .map(e => SessionEvent(e.user_id,
+        LocalDateTime.ofInstant(e.ts, ZoneOffset.UTC), e.value))
+      .filter(e => epochMs(e.ts) >= wmMs).toVector
+    val buffered = state.getOption.map(_.events.toVector).getOrElse(Vector.empty)
+    val all = (buffered ++ fresh).sortBy(e =>
+      (e.ts.toEpochSecond(ZoneOffset.UTC), e.ts.getNano))
+    if (all.isEmpty) { state.remove(); return Iterator.empty }
+    // split into gap-separated sessions, then close the ones the
+    // watermark has passed
+    val sessions = all.foldLeft(Vector.empty[Vector[SessionEvent]]) { (acc, e) =>
+      if (acc.nonEmpty &&
+          epochMs(e.ts) - epochMs(acc.last.last.ts) < gapMs)
+        acc.init :+ (acc.last :+ e)
+      else acc :+ Vector(e)
+    }
+    val (closed, open) = sessions.partition(s => epochMs(s.last.ts) + gapMs <= wmMs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionBuf(open.flatten))
+      // earliest possible close among open sessions; > watermark by the
+      // partition above, as EventTimeTimeout requires
+      state.setTimeoutTimestamp(open.map(s => epochMs(s.last.ts)).min + gapMs)
+    }
+    closed.iterator.flatMap(s => buildSessions(uid, s.iterator))
+  }
+
+  /** Watermarked sessionization over any (streaming) Dataset of events —
+    * exercised by StreamingSpec with a two-batch MemoryStream; the
+    * bounded-source oracle gate stays on the NoTimeout forms (q46/q47). */
+  def sessionizeWatermarked(events: org.apache.spark.sql.Dataset[SessionEvent],
+                            delay: String = "10 minutes") = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .as[UtcEvent]
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        watermarkStateFn)
+  }
+
   /** q46: the state function run as a batch query (state starts empty,
     * one pass per group) — oracle-identical to the session_window form. */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {

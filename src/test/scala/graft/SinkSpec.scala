@@ -67,4 +67,15 @@ class SinkSpec extends SparkSpec {
     val keys = Sinks.insertIfAbsentSink(spark, sf).select("o_orderkey")
     assert(keys.count() == keys.distinct().count())
   }
+
+  test("JDBC write + read roundtrip preserves rows, names, and types (S3/S5)") {
+    val n = Tables.nation(spark, sf)
+    val back = Sinks.jdbcRoundtrip(spark, sf)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      n.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drifted through JDBC: ${back.schema} vs ${n.schema}")
+    assertSameRows(back, n)
+    // overwrite mode = idempotent re-run (the reference's weekly-cron property)
+    assert(Sinks.jdbcRoundtrip(spark, sf).count() == n.count())
+  }
 }

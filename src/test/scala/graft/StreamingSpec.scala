@@ -52,5 +52,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked EventTimeTimeout sessions: timeout flushes, late events drop") {
+    import graft.streaming.{SessionEvent, StatefulSessions}
+    import java.time.LocalDateTime
+    def t(h: Int, m: Int) = LocalDateTime.of(2024, 1, 1, h, m, 0)
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StatefulSessions.sessionizeWatermarked(input.toDS(), "10 minutes")
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_sessions")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 at 10:00/10:10, user 2 at 10:05 — nothing closes
+      // (watermark after the batch = 10:10 − 10m = 10:00)
+      input.addData(SessionEvent(1L, t(10, 0), 1.0), SessionEvent(1L, t(10, 10), 2.0),
+        SessionEvent(2L, t(10, 5), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_sessions").count() == 0, "open sessions must not emit early")
+
+      // batch 2: user 9 at 12:00 advances the watermark to 11:50 (after the
+      // batch); user 1's 09:30 event is behind the CURRENT watermark
+      // (10:00) and must be dropped, not merged into the open session
+      input.addData(SessionEvent(9L, t(12, 0), 0.5), SessionEvent(1L, t(9, 30), 100.0))
+      q.processAllAvailable()
+
+      // batch 3: any new data triggers timeout processing at wm=11:50 —
+      // both 10:xx sessions are past last+gap and must flush from state
+      input.addData(SessionEvent(9L, t(12, 10), 0.5))
+      q.processAllAvailable()
+      val got = spark.table("wm_sessions").collect()
+        .map(r => (r.getLong(2), r.getAs[LocalDateTime]("session_start"),
+          r.getAs[LocalDateTime]("session_end"), r.getLong(3), r.getDouble(4))).toSet
+      assert(got == Set(
+        (1L, t(10, 0), t(10, 40), 2L, 3.0), // late 09:30 event NOT counted
+        (2L, t(10, 5), t(10, 35), 1L, 4.0)),
+        s"timeout-flushed sessions wrong: $got")
+    } finally q.stop()
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
