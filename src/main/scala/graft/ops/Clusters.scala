@@ -61,14 +61,30 @@ object Clusters {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // one-job fixpoint signature (size + two order-independent checksums);
+    // a signature match is CONFIRMED with an exact except() before the loop
+    // exits, so a checksum collision can only cost one extra round, never
+    // a wrong answer
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("v"), col("u"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     var rounds = 0
     var converged = e.isEmpty
+    // sentinel: skips the up-front signature job; at worst (input already
+    // star-shaped) it costs one extra round, never a wrong answer
+    var sig = (-1L, 0L, 0L)
     while (!converged && rounds < maxRounds) {
+      // smallStar scans the large-star result twice (mins + re-join), but
+      // Catalyst reuses the shuffle exchange — only `next` needs the
+      // lineage-truncating checkpoint
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       rounds += 1
-      // set equality on canonical distinct pair sets: same size + one-sided
-      // containment (cheap per-round; both are single-shuffle jobs)
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == sig && next.except(e).isEmpty
+      sig = nextSig
       e = next
     }
     // at the fixpoint the graph is a union of min-rooted stars: a leaf's
