@@ -92,6 +92,8 @@ object SparkEntry {
     "q73_curation_summary" -> (ops.TextAnalysis.curationSummary _),
     "q74_fetch_parse"      -> (sources.FetchSource.fetchParse _),
     "q75_jdbc_roundtrip"   -> (sources.Sinks.jdbcRoundtrip _),
+    "q76_ann_lsh"          -> (ops.Similarity.lshTopK _),
+    "q77_media_features"   -> (ops.Multimodal.mediaFeaturesDf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

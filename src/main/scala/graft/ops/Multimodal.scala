@@ -13,6 +13,15 @@ case class MediaMeta(
     head_codes: Seq[Int],
     n_frames: Int)
 
+/** Typed output of the decode → resize → feature-extract stub: target
+  * dimensions plus a 16-bin byte histogram standing in for an image
+  * feature vector. */
+case class MediaFeatures(
+    doc_id: Long,
+    out_w: Int,
+    out_h: Int,
+    hist: Seq[Long])
+
 /** Multimodal-column plumbing (SURVEY.md north-star): treat media as
   * opaque `binary` payloads + typed metadata, with decode / feature
   * extraction as partition-wise batch processing.
@@ -76,6 +85,42 @@ object Multimodal {
       .withColumn("head_codes",
         expr("array_join(transform(head_codes, x -> CAST(x AS STRING)), ',')"))
 
+  /** The decode → resize → feature-extract half of the multimodal row
+    * (q32 covers metadata, q33 frame sampling): one extractor per
+    * partition streaming payload batches through — where a real pipeline
+    * would run jpeg decode + bilinear resize + a vision-model forward
+    * pass, the stub computes deterministic resize targets and a 16-bin
+    * byte histogram "feature vector", keeping schema, partitioning, and
+    * batch shape real and the output oracle-checkable. */
+  private final class StubFeatureExtractor {
+    // per-partition init — the model/codec handle slot
+    def extract(docId: Long, payload: Array[Byte]): MediaFeatures = {
+      val hist = new Array[Long](16)
+      payload.foreach(b => hist((b & 0xff) % 16) += 1)
+      MediaFeatures(
+        doc_id = docId,
+        out_w = 64 + payload.length % 64,
+        out_h = 32 + payload.length % 32,
+        hist = hist.toSeq)
+    }
+  }
+
+  /** q77: partition-wise feature extraction over the binary media column;
+    * hist serializes to a comma-joined string at the compare boundary
+    * (arrays crash the driver's pandas sort). */
+  def mediaFeaturesDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val extractor = new StubFeatureExtractor // per-partition init
+        rows.map { case (id, payload) => extractor.extract(id, payload) }
+      }
+      .toDF()
+      .withColumn("hist",
+        expr("array_join(transform(hist, x -> CAST(x AS STRING)), ',')"))
+  }
+
   /** Frame sampling stub: every 32-byte "frame" at a fixed stride,
     * emitted one row per sampled frame with its offset — the
     * explode-shaped half of a video pipeline. */
@@ -103,6 +148,26 @@ object Multimodal {
         |    i -> CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS VARCHAR)), ',') AS head_codes,
         |  CAST(octet_length(CAST(text AS BLOB)) // 32 AS INT) AS n_frames
         |FROM documents""".stripMargin,
+    // q77: the corpus is pure single-byte ASCII (verified), so DuckDB's
+    // char-indexed ascii(substr(..)) equals the Spark-side byte loop
+    "q77_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INT), 1)) % 16 AS bin
+        |  FROM documents, (SELECT unnest(range(0, 640)) AS i)
+        |  WHERE i < octet_length(CAST(text AS BLOB))),
+        |h AS (SELECT doc_id, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, g AS bin FROM documents, (SELECT unnest(range(0, 16)) AS g)),
+        |filled AS (
+        |  SELECT grid.doc_id, grid.bin, coalesce(h.n, 0) AS n
+        |  FROM grid LEFT JOIN h ON h.doc_id = grid.doc_id AND h.bin = grid.bin),
+        |hists AS (
+        |  SELECT doc_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin) AS hist
+        |  FROM filled GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(64 + octet_length(CAST(text AS BLOB)) % 64 AS INT) AS out_w,
+        |  CAST(32 + octet_length(CAST(text AS BLOB)) % 32 AS INT) AS out_h,
+        |  hists.hist
+        |FROM documents d JOIN hists USING (doc_id)""".stripMargin,
     "q33_frame_sample" ->
       """SELECT doc_id, f AS frame_idx,
         |  md5(substr(text, CAST(f * 32 + 1 AS INT), 32)) AS frame_md5

@@ -148,6 +148,69 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Signature length / banding for the random-hyperplane LSH variant:
+    * 12 sign bits, 2 bands × 6 bits (64 buckets per band). Corpus-
+    * independent constants; at larger corpora more planes and more,
+    * narrower bands are the knob (candidates per query ≈ bands ×
+    * n / 2^bandBits). */
+  val LshPlanes = 12
+  private val LshBandBits = 6
+
+  /** ±1 hyperplane coefficients derived from md5("p:i") — pure constants
+    * computed driver-side (no Spark action), reproduced bit-identically
+    * by the oracle's SQL md5, so the whole LSH pipeline is
+    * oracle-checkable like the md5 MinHash signatures of q23. */
+  private def planeCoefs(p: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { i =>
+      md.reset()
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1 else -1
+    }
+  }
+
+  /** Random-hyperplane LSH ANN (q76) — the bucket-join alternative to
+    * IVF: sign(v·h_p) bits form a per-vector signature (12 codegen'd
+    * dot_long calls against literal ±1 arrays — map-side, no shuffle),
+    * signatures band into (band, 6-bit value) bucket keys, a query's
+    * candidates are the vectors sharing ≥1 bucket (equi-join on the
+    * bucket key — never a distance scan), and candidates rerank exactly
+    * through the bounded TopKAgg. Unlike IVF there is no centroid set at
+    * all: bucketing is stateless per vector, so ingest is embarrassingly
+    * parallel and incremental (new vectors land in buckets without any
+    * re-clustering). */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = scaled(spark, dir)
+    val bits = (0 until LshPlanes).map { p =>
+      val arr = planeCoefs(p).map(c => s"${c}L").mkString(",")
+      when(expr(s"dot_long(ai, array($arr))") >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val buckets = v.withColumn("sig", concat(bits: _*))
+      .select(col("vec_id"), explode(array((0 until LshPlanes / LshBandBits).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * LshBandBits + 1, LshBandBits).as("bv"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.bv"))
+    val qb = buckets.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("band"), col("bv"))
+    val cand = broadcast(qb).join(buckets, Seq("band", "bv"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    cand
+      .join(v.select(col("vec_id").as("q_id"), col("ai").as("q_ai"),
+        col("n2").as("q_n2")), "q_id")
+      .join(v.select(col("vec_id"), col("ai"), col("n2")), "vec_id")
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Embedding near-duplicate pairs, cluster-scoped (the SemDeDup shape —
     * the industry-standard 100 TB semantics): candidate pairs share at
     * least one IVF cell under 2-way multi-assignment, then verify with
@@ -274,6 +337,41 @@ object Similarity {
          |SELECT q_id, vec_id, cos, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM cand)
+         |WHERE rn <= 5""".stripMargin,
+    // q76: the oracle recomputes the SAME md5-derived hyperplanes and
+    // re-runs the identical sign/band/bucket/rerank pipeline (plus the
+    // independent exact-cosine containment check in SimilaritySpec).
+    "q76_ann_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, ai,
+         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |  FROM ($scaledSql)),
+         |planes AS (
+         |  SELECT p, list_transform(range(0, 64),
+         |    i -> CASE WHEN substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+         |              THEN 1 ELSE -1 END) AS coef
+         |  FROM (SELECT unnest(range(0, $LshPlanes)) AS p)),
+         |bits AS (
+         |  SELECT v.vec_id, planes.p,
+         |    CASE WHEN list_sum(list_transform(range(0, 64), k -> v.ai[k+1] * planes.coef[k+1])) >= 0
+         |         THEN '1' ELSE '0' END AS bit
+         |  FROM v, planes),
+         |sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY 1),
+         |buckets AS (
+         |  SELECT vec_id, b, substring(sig, CAST(b * $LshBandBits + 1 AS INT), $LshBandBits) AS bv
+         |  FROM sigs, (SELECT unnest(range(0, ${LshPlanes / LshBandBits})) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id
+         |  FROM buckets q JOIN buckets x ON q.b = x.b AND q.bv = x.bv AND q.vec_id <> x.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    CAST(list_sum(list_transform(range(0, 64), k -> a.ai[k+1] * x.ai[k+1])) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(x.n2 AS DOUBLE))) AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.q_id JOIN v x ON x.vec_id = c.vec_id)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
     // q27: cluster-scoped near-dup — the oracle mirrors the 2-way cell
     // assignment and within-cell pair enumeration exactly.

@@ -67,6 +67,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH candidates rerank to exact cosines with positive recall") {
+    val v = Similarity.scaled(spark, sf)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val exact = q.join(v, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", expr(dot).cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(spark, sf).collect()
+    assert(lsh.nonEmpty, "LSH must surface candidates on this corpus")
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) == r.getDouble(2), s"LSH cosine for $key is not the exact cosine")
+    }
+    val brute = Similarity.cosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & hits).size.toDouble / brute.size
+    assert(recall > 0.0, s"LSH recall must be positive, got $recall")
+  }
+
   test("centroid set is bounded regardless of corpus size") {
     val v = Similarity.scaled(spark, sf)
     assert(Similarity.centroids(v, Similarity.IvfK).count() == Similarity.IvfK)
