@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q76 LSH: bucket equi-join candidates, bounded rerank, no window") {
+    val p = plan(q("q76_ann_lsh"))
+    assert(!p.contains("Window"), "rerank must use the bounded aggregator")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the bucket equi-join, not a distance scan")
+  }
+
   test("q52 fuzzy match blocks with an equi-join, never a nested loop") {
     val p = plan(q("q52_fuzzy_match"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
