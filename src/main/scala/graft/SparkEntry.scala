@@ -94,6 +94,9 @@ object SparkEntry {
     "q75_jdbc_roundtrip"   -> (sources.Sinks.jdbcRoundtrip _),
     "q76_ann_lsh"          -> (ops.Similarity.lshTopK _),
     "q77_media_features"   -> (ops.Multimodal.mediaFeaturesDf _),
+    "q78_token_budget_mix" -> (ops.TextAnalysis.tokenBudgetMix _),
+    "q79_decontaminate"    -> (ops.TextAnalysis.decontaminate _),
+    "q80_repetition"       -> (ops.TextAnalysis.repetitionScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -32,7 +32,7 @@ object Dedup {
     * `array_distinct` before the explode does it MAP-SIDE — a global
     * `.distinct()` after explode would shuffle every shingle row once for
     * nothing. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .select(col("doc_id"), explode(expr(

@@ -185,6 +185,82 @@ object TextAnalysis {
         sum(when(!col("is_dup") && !col("is_lowq") && !col("is_short"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Train/eval decontamination (the overlap-removal step every serious
+    * LLM data pipeline runs before training — flag training documents
+    * sharing any 3-gram shingle with the held-out eval split): the split
+    * is q50's content-independent md5 rule, eval shingles collapse to a
+    * DISTINCT set, and contamination is a LEFT SEMI join on the shingle
+    * key — shuffle-partitioned by shingle, no eval-set broadcast needed
+    * (at 100 TB the eval side is still the small side and Spark's
+    * runtime bloom filter prunes the probe scan). Output: per-language
+    * train/contaminated/clean counts. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def isEval(c: org.apache.spark.sql.Column) =
+      md5(c.cast("string")) >= "e6" // q50's split rule
+    val sh = Dedup.shingles(spark, dir)
+    val evalSh = sh.filter(isEval(col("doc_id"))).select(col("shingle")).distinct()
+    val contaminated = sh.filter(!isEval(col("doc_id")))
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(true))
+    Tables.documents(spark, dir).filter(!isEval(col("doc_id")))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("is_cont"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("n_clean", col("n_train") - col("n_contaminated"))
+  }
+
+  /** Token-budget data mixing: balance every language down to the
+    * smallest language's token count. The per-language keep fraction is
+    * DERIVED FROM THE DATA (min(lang tokens)/lang tokens, vs q51's fixed
+    * thresholds), then applied as a content-independent md5 threshold per
+    * document — deterministic, stable under re-runs, map-side apart from
+    * the two tiny per-language aggregates (broadcast back). The shape of
+    * every "hit a target token budget per source/language" mixing step. */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(Dedup.normText(col("text")), " ")).as("n_tok"))
+    val perLang = docs.groupBy(col("lang")).agg(sum(col("n_tok")).as("lang_toks"))
+    val minToks = perLang.agg(min(col("lang_toks")).as("min_toks"))
+    val frac = perLang.crossJoin(broadcast(minToks))
+      .withColumn("keep_frac",
+        least(lit(1.0), col("min_toks").cast("double") / col("lang_toks")))
+      .select(col("lang"), col("lang_toks"), col("keep_frac"))
+    docs.join(broadcast(frac), "lang")
+      // first 8 md5 hex chars as a uniform uint32 → fraction threshold
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("kept", col("h").cast("double") < col("keep_frac") * 4294967296.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lang_toks")).as("lang_toks"),
+        max(col("keep_frac")).as("keep_frac"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L)).as("kept_toks"))
+  }
+
+  /** Repetition/boilerplate scoring (the Gopher-style within-document
+    * duplicate-n-gram gate, Rae et al. 2021): fraction of repeated
+    * 2-grams per document. Pure map-side — the dedup family's
+    * cross-document machinery is overkill for within-doc repetition. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(Dedup.normText(col("text")), " "))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))
+          |  ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("lang"),
+        size(col("grams")).as("n_2grams"),
+        size(array_distinct(col("grams"))).as("n_uniq_2grams"))
+      .withColumn("rep_ratio",
+        when(col("n_2grams") > 0,
+          lit(1.0) - col("n_uniq_2grams").cast("double") / col("n_2grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+
   private def hitsSql(xs: Seq[String]) =
     s"len(list_filter(toks, x -> x IN (${inList(xs)})))"
 
@@ -242,6 +318,59 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    "q79_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(t)-2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        |  FROM (SELECT doc_id,
+        |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |        FROM documents)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE md5(CAST(doc_id AS VARCHAR)) >= 'e6'),
+        |cont AS (SELECT DISTINCT doc_id FROM sh JOIN ev USING (shingle)
+        |         WHERE md5(CAST(doc_id AS VARCHAR)) < 'e6')
+        |SELECT lang, count(*) AS n_train,
+        |  CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  count(*) - CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM documents d LEFT JOIN cont ON cont.doc_id = d.doc_id
+        |WHERE md5(CAST(d.doc_id AS VARCHAR)) < 'e6'
+        |GROUP BY 1""".stripMargin,
+    "q78_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tok
+        |  FROM documents),
+        |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_toks FROM d GROUP BY 1),
+        |m AS (SELECT min(lang_toks) AS min_toks FROM pl),
+        |f AS (SELECT lang, lang_toks,
+        |        least(1.0, CAST(min_toks AS DOUBLE) / lang_toks) AS keep_frac
+        |      FROM pl, m),
+        |k AS (SELECT d.lang, d.n_tok, f.lang_toks, f.keep_frac,
+        |        CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |      FROM d JOIN f USING (lang))
+        |SELECT lang, count(*) AS n_docs, max(lang_toks) AS lang_toks,
+        |  max(keep_frac) AS keep_frac,
+        |  CAST(sum(CASE WHEN CAST(h AS DOUBLE) < keep_frac * 4294967296.0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN CAST(h AS DOUBLE) < keep_frac * 4294967296.0 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_toks
+        |FROM k GROUP BY 1""".stripMargin,
+    "q80_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(0, len(t)-1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END AS grams
+        |  FROM (SELECT doc_id, lang,
+        |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |        FROM documents))
+        |SELECT doc_id, lang,
+        |  CAST(len(grams) AS INT) AS n_2grams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS n_uniq_2grams,
+        |  CASE WHEN len(grams) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |    ELSE 0.0 END AS rep_ratio,
+        |  CASE WHEN len(grams) > 0
+        |    THEN (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.2
+        |    ELSE FALSE END AS is_repetitive
+        |FROM g""".stripMargin,
     "q50_hash_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train' ELSE 'eval' END AS split

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the corpus-curation operators (q78–q80) that
+  * the row-compare oracle can't articulate. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("decontamination: flagged docs really share a shingle with eval; counts add up") {
+    val sh = Dedup.shingles(spark, sf)
+      .withColumn("eval", md5(col("doc_id").cast("string")) >= "e6")
+    val evalShingles = sh.filter(col("eval")).select("shingle").distinct()
+      .collect().map(_.getString(0)).toSet
+    val trainShingles = sh.filter(!col("eval"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rep = TextAnalysis.decontaminate(spark, sf).collect()
+    val nTrain = rep.map(_.getLong(1)).sum
+    val nCont = rep.map(_.getLong(2)).sum
+    val nClean = rep.map(_.getLong(3)).sum
+    assert(nTrain == nCont + nClean, "partition must be exact")
+    // ground truth from the raw shingle sets
+    val trueCont = trainShingles.count { case (_, s) => s.exists(evalShingles) }
+    assert(nCont == trueCont, s"flagged $nCont docs, ground truth $trueCont")
+  }
+
+  test("token-budget mix: the smallest language keeps everything, others are cut") {
+    val rows = TextAnalysis.tokenBudgetMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(5))).toSeq
+    val minLangToks = rows.map(_._2).min
+    rows.foreach { case (lang, langToks, frac, keptToks) =>
+      if (langToks == minLangToks)
+        assert(frac == 1.0, s"smallest language $lang must keep everything")
+      assert(keptToks <= langToks, s"$lang kept more tokens than it has")
+      // hash sampling is approximate: kept mass should land near the
+      // budget, never above ~2x (uniform md5 on >= 25 docs per stratum)
+      assert(keptToks <= 2 * minLangToks,
+        s"$lang kept $keptToks tokens vs budget $minLangToks")
+    }
+  }
+
+  test("repetition score: ratio bounds and the repeated-text fixture behaves") {
+    import spark.implicits._
+    val rows = TextAnalysis.repetitionScore(spark, sf).collect()
+    rows.foreach { r =>
+      val ratio = r.getDouble(4)
+      assert(ratio >= 0.0 && ratio < 1.0, s"ratio out of range: $r")
+    }
+    // a synthetic heavily-repeated doc must be flagged, a diverse one not —
+    // run the same expressions over a local fixture through the SQL path
+    val fx = Seq((1L, "en", "spam spam spam spam spam spam spam spam"),
+                 (2L, "en", "one two three four five six seven eight"))
+      .toDF("doc_id", "lang", "text")
+    fx.createOrReplaceTempView("fixture_docs")
+    val grams = fx
+      .withColumn("toks", split(Dedup.normText(col("text")), " "))
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams")))
+          .as("ratio"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(grams(1L) > 0.2, "all-spam doc must exceed the repetition gate")
+    assert(grams(2L) == 0.0, "all-distinct doc must score zero")
+  }
+}
