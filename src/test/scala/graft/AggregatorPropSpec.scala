@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.TopKAgg
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Partitioning/merge-order invariance of the bounded top-k Aggregator —
+  * the property the whole "TopKAgg replaces row_number windows" design
+  * rests on: Spark may split a group across any partitions and merge the
+  * partial buffers in any order, and the result must not move. Property
+  * inputs come from a FIXED ScalaCheck seed (deterministic CI), with
+  * duplicated scores included so the id tie-break is exercised. */
+class AggregatorPropSpec extends AnyFunSuite {
+
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private val pair: Gen[(Double, Long)] = for {
+    // coarse scores force plenty of exact ties
+    s <- Gen.chooseNum(0, 20).map(_ / 10.0)
+    id <- Gen.chooseNum(0L, 500L)
+  } yield (s, id)
+
+  private val datasets: List[List[(Double, Long)]] =
+    Gen.listOfN(60, Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, pair)))
+      .pureApply(Gen.Parameters.default, Seed(7L))
+
+  test("TopKAgg result is invariant to partitioning and merge order") {
+    val rnd = new Random(13)
+    for (k <- Seq(1, 3, 5); data <- datasets) {
+      val agg = new TopKAgg(k)
+      val expected = data.sortWith(before).take(k)
+      for (_ <- 1 to 4) {
+        val shuffled = rnd.shuffle(data)
+        val nChunks = 1 + rnd.nextInt(5)
+        val chunks = (0 until nChunks)
+          .map(i => shuffled.zipWithIndex.collect { case (x, j) if j % nChunks == i => x })
+        val partials = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged) == expected,
+          s"k=$k nChunks=$nChunks: merge-order changed the top-k for $data")
+      }
+    }
+  }
+}

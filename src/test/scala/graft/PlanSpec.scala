@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the bucket equi-join, not a distance scan")
   }
 
+  test("q79 decontamination probes eval shingles with a semi join") {
+    val p = plan(q("q79_decontaminate"))
+    assert(p.contains("LeftSemi"), "contamination probe must be a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q52 fuzzy match blocks with an equi-join, never a nested loop") {
     val p = plan(q("q52_fuzzy_match"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
