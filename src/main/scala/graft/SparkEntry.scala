@@ -97,6 +97,7 @@ object SparkEntry {
     "q78_token_budget_mix" -> (ops.TextAnalysis.tokenBudgetMix _),
     "q79_decontaminate"    -> (ops.TextAnalysis.decontaminate _),
     "q80_repetition"       -> (ops.TextAnalysis.repetitionScore _),
+    "q81_heavy_hitters"    -> (ops.TextAnalysis.heavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

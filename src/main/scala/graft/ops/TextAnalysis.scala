@@ -261,6 +261,43 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .withColumn("is_repetitive", col("rep_ratio") > 0.2)
 
+  /** Count-min sketch heavy-hitter estimation (Cormode & Muthukrishnan
+    * 2005): a DEPTH×WIDTH grid of counters — each token increments one
+    * bucket per row, bucket = md5("row:token") — built in ONE pass as a
+    * plain groupBy (mergeable across partitions/days by addition; the
+    * sketch is ~4 KB regardless of corpus size), then point-estimates
+    * for a probe list read min-over-rows without rescanning the corpus.
+    * md5 bucketing makes the sketch deterministic and the whole
+    * pipeline oracle-checkable; CMS never underestimates
+    * (CurationOpsSpec asserts est ≥ exact on every probe). */
+  private val CmsDepth = 4
+  private val CmsWidth = 256 // bucket = first 2 md5 hex chars
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // one corpus pass: every token lands in CmsDepth buckets
+    val sketch = toks
+      .select(explode(expr(
+        s"""transform(sequence(0, ${CmsDepth - 1}),
+           |  r -> struct(r AS r, substring(md5(concat(CAST(r AS STRING), ':', tok)), 1, 2) AS bucket))"""
+          .stripMargin)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // probe WITHOUT touching the corpus again: min over depth rows
+    val probes = (stopEn ++ Seq("zqxjk", "training")).distinct
+    val probeDf = spark.createDataFrame(probes.map(Tuple1(_))).toDF("tok")
+      .withColumn("cell", explode(expr(
+        s"""transform(sequence(0, ${CmsDepth - 1}),
+           |  r -> struct(r AS r, substring(md5(concat(CAST(r AS STRING), ':', tok)), 1, 2) AS bucket))"""
+          .stripMargin)))
+      .select(col("tok"), col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+    probeDf.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_count"))
+  }
+
   private def hitsSql(xs: Seq[String]) =
     s"len(list_filter(toks, x -> x IN (${inList(xs)})))"
 
@@ -318,6 +355,21 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    "q81_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS tok FROM documents),
+         |t AS (SELECT tok FROM toks WHERE tok <> ''),
+         |cells AS (
+         |  SELECT r, substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 2) AS bucket
+         |  FROM t, (SELECT unnest(range(0, 4)) AS r)),
+         |sketch AS (SELECT r, bucket, count(*) AS n FROM cells GROUP BY 1, 2),
+         |probes AS (SELECT unnest([${(stopEn ++ Seq("zqxjk", "training")).distinct.map(s => s"'$s'").mkString(", ")}]) AS tok),
+         |pcells AS (
+         |  SELECT tok, r, substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 2) AS bucket
+         |  FROM probes, (SELECT unnest(range(0, 4)) AS r))
+         |SELECT tok, CAST(min(coalesce(n, 0)) AS BIGINT) AS est_count
+         |FROM pcells LEFT JOIN sketch USING (r, bucket)
+         |GROUP BY 1""".stripMargin,
     "q79_decontaminate" ->
       """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(0, greatest(len(t)-2, 0)),

@@ -40,6 +40,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch never underestimates; exact on uncollided probes") {
+    val exact = graft.Tables.documents(spark, sf)
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = TextAnalysis.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (tok, e) =>
+      assert(e >= exact.getOrElse(tok, 0L),
+        s"CMS underestimated '$tok': $e < ${exact.getOrElse(tok, 0L)}")
+    }
+    // the heavy stopword must dominate the absent token's estimate
+    assert(est("the") > est("zqxjk"))
+  }
+
   test("repetition score: ratio bounds and the repeated-text fixture behaves") {
     import spark.implicits._
     val rows = TextAnalysis.repetitionScore(spark, sf).collect()
