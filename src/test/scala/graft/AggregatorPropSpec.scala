@@ -27,6 +27,26 @@ class AggregatorPropSpec extends AnyFunSuite {
     Gen.listOfN(60, Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, pair)))
       .pureApply(Gen.Parameters.default, Seed(7L))
 
+  test("VectorSumAgg is invariant to partitioning and merge order") {
+    val vec: Gen[Array[Long]] = Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)).map(_.toArray)
+    val data = Gen.listOfN(30, Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, vec)))
+      .pureApply(Gen.Parameters.default, Seed(11L))
+    val rnd = new Random(17)
+    data.foreach { vecs =>
+      val agg = new graft.functions.VectorSumAgg(8)
+      val expected = (0 until 8).map(i => vecs.map(_(i)).sum)
+      for (_ <- 1 to 3) {
+        val nChunks = 1 + rnd.nextInt(4)
+        val shuffled = rnd.shuffle(vecs)
+        val partials = rnd.shuffle((0 until nChunks).map(i =>
+          shuffled.zipWithIndex.collect { case (x, j) if j % nChunks == i => x }
+            .foldLeft(agg.zero)(agg.reduce)))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged) == expected)
+      }
+    }
+  }
+
   test("TopKAgg result is invariant to partitioning and merge order") {
     val rnd = new Random(13)
     for (k <- Seq(1, 3, 5); data <- datasets) {
