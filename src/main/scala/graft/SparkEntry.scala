@@ -98,6 +98,7 @@ object SparkEntry {
     "q79_decontaminate"    -> (ops.TextAnalysis.decontaminate _),
     "q80_repetition"       -> (ops.TextAnalysis.repetitionScore _),
     "q81_heavy_hitters"    -> (ops.TextAnalysis.heavyHitters _),
+    "q82_scd2_history"     -> (etl.Upsert.scd2History _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

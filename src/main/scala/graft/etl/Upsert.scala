@@ -114,7 +114,102 @@ object Upsert {
         col("last_updated").cast(org.apache.spark.sql.types.TimestampNTZType))
   }
 
+  /** SCD2 (type-2 slowly-changing dimension) history merge — the one
+    * capability the reference's own README names as future work
+    * (README.md:141 "track historical changes"): instead of overwriting
+    * dynamic fields, a changed key CLOSES its current row (valid_to =
+    * clock) and OPENS a new version (valid_from = clock); unchanged and
+    * already-closed rows pass through untouched; unseen keys open their
+    * first version. Deleted keys stay current (no-retire policy —
+    * documented choice). One full-outer shuffle on the key; change
+    * detection is null-safe (`<=>`); the injected clock keeps it
+    * deterministic and oracle-checkable like mergeWithClock. */
+  def scd2Merge(history: DataFrame, incoming: DataFrame, key: String,
+                attrs: Seq[String], clock: java.sql.Timestamp): DataFrame = {
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    val clockCol = lit(clock).cast(ntz)
+    val nullTs = lit(null).cast(ntz)
+    val closed = history.filter(col("valid_to").isNotNull)
+    val cur = history.filter(col("valid_to").isNull)
+    val changed = col(s"e.$key").isNotNull && col(s"i.$key").isNotNull &&
+      attrs.map(a => !(col(s"e.$a") <=> col(s"i.$a"))).reduce(_ || _)
+    val j = cur.as("e")
+      .join(incoming.as("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")
+      .withColumn("_chg", changed)
+    def row(side: String, from: Column, to: Column): Seq[Column] =
+      (col(s"$side.$key").as(key) +: attrs.map(a => col(s"$side.$a").as(a))) ++
+        Seq(from.as("valid_from"), to.as("valid_to"))
+    val kept = j.filter(col(s"e.$key").isNotNull && !col("_chg"))
+      .select(row("e", col("e.valid_from"), nullTs): _*)
+    val closedNow = j.filter(col("_chg"))
+      .select(row("e", col("e.valid_from"), clockCol): _*)
+    val opened = j.filter(col(s"i.$key").isNotNull && (col(s"e.$key").isNull || col("_chg")))
+      .select(row("i", clockCol, nullTs): _*)
+    closed.unionByName(kept).unionByName(closedNow).unionByName(opened)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** SCD2 as a query: customer balances as the tracked attribute —
+    * pre-existing closed versions for custkey % 7, changed balances for
+    * custkey % 5, brand-new keys for custkey % 11 (shifted ids). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    val closedHist = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") - 50.0).as("c_acctbal"),
+        lit("2023-01-01 00:00:00").cast(ntz).as("valid_from"),
+        lit("2024-01-01 00:00:00").cast(ntz).as("valid_to"))
+    val current = c
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast(ntz))
+      .withColumn("valid_to", lit(null).cast(ntz))
+    val incoming = c
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_acctbal")))
+    scd2Merge(closedHist.unionByName(current), incoming, "c_custkey",
+      Seq("c_acctbal"), java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q82_scd2_history" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+        |hist AS (
+        |  SELECT c_custkey, c_acctbal - 50.0 AS c_acctbal,
+        |    TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_to
+        |  FROM c WHERE c_custkey % 7 = 0),
+        |cur AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM c),
+        |inc AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal FROM c WHERE c_custkey % 11 = 0),
+        |j AS (
+        |  SELECT cur.c_custkey AS ek, cur.c_acctbal AS ea, cur.valid_from AS ef,
+        |         inc.c_custkey AS ik, inc.c_acctbal AS ia
+        |  FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey),
+        |o AS (
+        |  SELECT ek AS c_custkey, ea AS c_acctbal, ef AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM j WHERE ek IS NOT NULL AND NOT (ik IS NOT NULL AND ea IS DISTINCT FROM ia)
+        |  UNION ALL
+        |  SELECT ek, ea, ef, TIMESTAMP '2024-06-01 00:00:00'
+        |  FROM j WHERE ek IS NOT NULL AND ik IS NOT NULL AND ea IS DISTINCT FROM ia
+        |  UNION ALL
+        |  SELECT ik, ia, TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |  FROM j WHERE ik IS NOT NULL AND (ek IS NULL OR ea IS DISTINCT FROM ia)
+        |  UNION ALL
+        |  SELECT * FROM hist)
+        |SELECT c_custkey, c_acctbal, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM o""".stripMargin,
     "q09_semi_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

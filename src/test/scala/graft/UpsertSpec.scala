@@ -65,4 +65,26 @@ class UpsertSpec extends SparkSpec {
     assert(stamped.filter(col("op") === "kept").count() == 0)
     assert(untouched.filter(col("op") =!= "kept").count() == 0)
   }
+
+  test("SCD2 merge: versions chain correctly and re-applying is a no-op") {
+    val first = Upsert.scd2History(spark, sf)
+    // every key has exactly one current row
+    val perKey = first.groupBy(col("c_custkey"))
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"))
+    assert(perKey.filter(col("n_cur") =!= 1).count() == 0,
+      "each key must have exactly one open version")
+    // changed keys carry a closed old version stamped with the batch clock
+    val clock = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val closedNow = first.filter(col("valid_to") === lit(clock))
+    assert(closedNow.count() > 0)
+    closedNow.select("c_custkey").collect().map(_.getLong(0)).foreach { k =>
+      assert(k % 5 == 0, s"only changed keys may close at the batch clock ($k)")
+    }
+    // idempotency: merging the SAME snapshot again changes nothing
+    val incoming = first.filter(col("is_current")).select("c_custkey", "c_acctbal")
+    val again = Upsert.scd2Merge(first.drop("is_current"), incoming,
+      "c_custkey", Seq("c_acctbal"), clock)
+      .withColumn("is_current", col("valid_to").isNull)
+    assertSameRows(again, first)
+  }
 }
