@@ -99,6 +99,7 @@ object SparkEntry {
     "q80_repetition"       -> (ops.TextAnalysis.repetitionScore _),
     "q81_heavy_hitters"    -> (ops.TextAnalysis.heavyHitters _),
     "q82_scd2_history"     -> (etl.Upsert.scd2History _),
+    "q83_partitioned_sink" -> (sources.Sinks.partitionedSink _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

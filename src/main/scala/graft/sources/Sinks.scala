@@ -65,11 +65,30 @@ object Sinks {
     spark.read.jdbc(url, "nation_sink", props)
   }
 
+  /** Partitioned-layout sink + partition-pruned read-back: at 100 TB the
+    * table layout IS the first index — `partitionBy(year)` writes one
+    * directory per partition value, and a reader filtering on the
+    * partition column touches only that directory (PartitionFilters in
+    * the scan, asserted in SinkSpec — distinct from row-group pushdown,
+    * which PlanSpec already pins). */
+  def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+    val path = "target/tmp/graft_sink/orders_by_year"
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    spark.read.parquet(path).filter(col("o_year") === 1995)
+  }
+
   val oracle: Map[String, String] = Map(
     "q37_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q75_jdbc_roundtrip" ->
       "SELECT * FROM nation",
+    "q83_partitioned_sink" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(year(o_orderdate) AS INT) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
     "q38_sink_insert_absent" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey % 2 = 0

@@ -68,6 +68,19 @@ class SinkSpec extends SparkSpec {
     assert(keys.count() == keys.distinct().count())
   }
 
+  test("partitioned sink: the filtered read-back prunes to one partition directory") {
+    val df = Sinks.partitionedSink(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"partition-column filter must prune directories, not scan rows:\n$plan")
+    assert(df.count() > 0)
+    // and the pruned read equals the plain filter over the source
+    assertSameRows(df,
+      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"),
+        org.apache.spark.sql.functions.year(col("o_orderdate")).as("o_year"))
+        .filter(col("o_year") === 1995))
+  }
+
   test("JDBC write + read roundtrip preserves rows, names, and types (S3/S5)") {
     val n = Tables.nation(spark, sf)
     val back = Sinks.jdbcRoundtrip(spark, sf)
