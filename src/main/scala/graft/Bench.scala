@@ -38,7 +38,10 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      val okTimes = runs.collect { case (t, true) => t }
+      // a failed run's time-to-throw must never publish as the query's
+      // timing — report min over SUCCESSFUL runs only, -1 if none
+      (name, if (okTimes.nonEmpty) okTimes.min else -1.0, runs.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

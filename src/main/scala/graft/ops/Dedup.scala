@@ -33,7 +33,13 @@ object Dedup {
     * `.distinct()` after explode would shuffle every shingle row once for
     * nothing. */
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shinglesOf(Tables.documents(spark, dir))
+
+  /** Same shingling over an arbitrary (possibly pre-filtered) documents
+    * frame — filter-first callers shingle each document exactly once with
+    * no shared-diamond materialization. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 3

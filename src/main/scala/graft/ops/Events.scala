@@ -71,14 +71,21 @@ object Events {
     * immediately re-parsed it, paying serialize+parse for nothing),
     * explode entries, aggregate per key. A malformed props row keeps its
     * native entries (coalesce to an empty map), mirroring the oracle's
-    * per-key union semantics. */
+    * per-key union semantics. The parsed side drops any key colliding
+    * with the native ones BEFORE map_concat — Spark's default
+    * mapKeyDedupPolicy=EXCEPTION would otherwise throw at runtime the
+    * day a props object carries "uid"/"eid". (The oracle enumerates the
+    * fixture's key set — a regenerated fixture with new keys fails the
+    * gate loudly, which is the intended behavior for schema drift.) */
   def mapExplode(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.select(col("event_type"),
         explode(map_concat(
           map(lit("uid"), col("user_id"), lit("eid"), col("event_id")),
-          coalesce(from_json(col("props"), MapType(StringType, LongType)),
-            expr("CAST(map() AS MAP<STRING, BIGINT>)")))))
+          expr("""map_filter(
+                 |  coalesce(from_json(props, 'map<string,bigint>'),
+                 |           CAST(map() AS MAP<STRING, BIGINT>)),
+                 |  (k, v) -> k NOT IN ('uid', 'eid'))""".stripMargin))))
       .groupBy(col("event_type"), col("key"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
         max(col("value")).as("max_v"))

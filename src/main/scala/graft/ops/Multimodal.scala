@@ -149,11 +149,14 @@ object Multimodal {
         |  CAST(octet_length(CAST(text AS BLOB)) // 32 AS INT) AS n_frames
         |FROM documents""".stripMargin,
     // q77: the corpus is pure single-byte ASCII (verified), so DuckDB's
-    // char-indexed ascii(substr(..)) equals the Spark-side byte loop
+    // char-indexed ascii(substr(..)) equals the Spark-side byte loop; the
+    // index range derives from the ACTUAL max document length, so larger
+    // regenerated fixtures cannot silently truncate the histogram
     "q77_media_features" ->
       """WITH b AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INT), 1)) % 16 AS bin
-        |  FROM documents, (SELECT unnest(range(0, 640)) AS i)
+        |  FROM documents, (SELECT unnest(range(0,
+        |    (SELECT max(octet_length(CAST(text AS BLOB))) FROM documents))) AS i)
         |  WHERE i < octet_length(CAST(text AS BLOB))),
         |h AS (SELECT doc_id, bin, count(*) AS n FROM b GROUP BY 1, 2),
         |grid AS (SELECT doc_id, g AS bin FROM documents, (SELECT unnest(range(0, 16)) AS g)),

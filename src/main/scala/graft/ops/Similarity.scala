@@ -181,16 +181,23 @@ object Similarity {
     * re-clustering). */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val v = scaled(spark, dir)
-    val bits = (0 until LshPlanes).map { p =>
-      val arr = planeCoefs(p).map(c => s"${c}L").mkString(",")
-      when(expr(s"dot_long(ai, array($arr))") >= 0, lit("1")).otherwise(lit("0"))
+    def bucketsOf(vecs: DataFrame): DataFrame = {
+      val bits = (0 until LshPlanes).map { p =>
+        val arr = planeCoefs(p).map(c => s"${c}L").mkString(",")
+        when(expr(s"dot_long(ai, array($arr))") >= 0, lit("1")).otherwise(lit("0"))
+      }
+      vecs.withColumn("sig", concat(bits: _*))
+        .select(col("vec_id"), explode(array((0 until LshPlanes / LshBandBits).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("sig"), b * LshBandBits + 1, LshBandBits).as("bv"))): _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band"), col("bk.bv"))
     }
-    val buckets = v.withColumn("sig", concat(bits: _*))
-      .select(col("vec_id"), explode(array((0 until LshPlanes / LshBandBits).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("sig"), b * LshBandBits + 1, LshBandBits).as("bv"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.bv"))
-    val qb = buckets.filter(col("vec_id") % 50 === 0)
+    // filter-first: the corpus buckets feed only the candidate join; the
+    // query side re-derives its buckets from the tiny filtered query set
+    // (n/50 vectors × 12 codegen'd dot products — cheaper than
+    // materializing the corpus buckets to share them)
+    val buckets = bucketsOf(v)
+    val qb = bucketsOf(v.filter(col("vec_id") % 50 === 0))
       .select(col("vec_id").as("q_id"), col("band"), col("bv"))
     val cand = broadcast(qb).join(buckets, Seq("band", "bv"))
       .filter(col("q_id") =!= col("vec_id"))

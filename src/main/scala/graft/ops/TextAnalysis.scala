@@ -197,9 +197,14 @@ object TextAnalysis {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     def isEval(c: org.apache.spark.sql.Column) =
       md5(c.cast("string")) >= "e6" // q50's split rule
-    val sh = Dedup.shingles(spark, dir)
-    val evalSh = sh.filter(isEval(col("doc_id"))).select(col("shingle")).distinct()
-    val contaminated = sh.filter(!isEval(col("doc_id")))
+    // filter-first, not a shared diamond: each side shingles only ITS
+    // documents, so every doc is shingled exactly once across the two
+    // branches and nothing needs persisting (a persisted full-corpus
+    // shingle set would be an enormous materialization at 100 TB)
+    val docs = Tables.documents(spark, dir)
+    val evalSh = Dedup.shinglesOf(docs.filter(isEval(col("doc_id"))))
+      .select(col("shingle")).distinct()
+    val contaminated = Dedup.shinglesOf(docs.filter(!isEval(col("doc_id"))))
       .join(evalSh, Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("is_cont", lit(true))

@@ -32,7 +32,8 @@ object StreamingEvents {
     * file source and returns the final result table. Blocking — intended
     * for verification/bench, not a long-running service. */
   def tumblingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong comes from the session builder (Tables.scala's rule:
+    // loaders never mutate session conf)
     // file stream sources take a directory; glob-filter to the events table
     val events = spark.readStream
       .schema(rawSchema)
