@@ -100,6 +100,7 @@ object SparkEntry {
     "q81_heavy_hitters"    -> (ops.TextAnalysis.heavyHitters _),
     "q82_scd2_history"     -> (etl.Upsert.scd2History _),
     "q83_partitioned_sink" -> (sources.Sinks.partitionedSink _),
+    "q84_corpus_build_funnel" -> (ops.TextAnalysis.corpusBuildFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

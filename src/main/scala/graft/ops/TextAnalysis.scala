@@ -191,9 +191,9 @@ object TextAnalysis {
     * is q50's content-independent md5 rule, eval shingles collapse to a
     * DISTINCT set, and contamination is a LEFT SEMI join on the shingle
     * key — shuffle-partitioned by shingle, no eval-set broadcast needed
-    * (at 100 TB the eval side is still the small side and Spark's
-    * runtime bloom filter prunes the probe scan). Output: per-language
-    * train/contaminated/clean counts. */
+    * (at 100 TB the eval side is still the small side, eligible for
+    * Spark's runtime bloom-filter injection on the probe side).
+    * Output: per-language train/contaminated/clean counts. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     def isEval(c: org.apache.spark.sql.Column) =
       md5(c.cast("string")) >= "e6" // q50's split rule
@@ -265,6 +265,58 @@ object TextAnalysis {
           lit(1.0) - col("n_uniq_2grams").cast("double") / col("n_2grams"))
           .otherwise(lit(0.0)))
       .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+
+  /** The whole corpus build composed end-to-end (q84): train split →
+    * exact dedup → decontamination → quality gate → length gate →
+    * token-budget mixing, reported as a per-language survivor funnel —
+    * the artifact a corpus build signs off on. Every stage is one of
+    * this library's operators (q50/q21/q79/q29/q73/q78 semantics); the
+    * composition stays three shuffles (dedup window on the fingerprint,
+    * the contamination semi-join, the final aggregate) plus two tiny
+    * broadcast-back aggregates for the mix fractions, which are derived
+    * from the POST-GATE token mass (the budget balances what actually
+    * survives, not the raw corpus). */
+  def corpusBuildFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def isEval(c: org.apache.spark.sql.Column) = md5(c.cast("string")) >= "e6"
+    val train = Tables.documents(spark, dir).filter(!isEval(col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val contaminated = Dedup.shinglesOf(train)
+      .join(Dedup.shinglesOf(Tables.documents(spark, dir).filter(isEval(col("doc_id"))))
+        .select(col("shingle")).distinct(), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(true))
+    val flagged = train
+      .withColumn("fp", md5(Dedup.normText(col("text"))))
+      .withColumn("s1", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("alpha_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+          .cast("double") / length(col("text")))
+      .withColumn("n_tok", size(split(Dedup.normText(col("text")), " ")))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("s2", col("s1") && col("is_cont").isNull)
+      .withColumn("s3", col("s2") && col("alpha_ratio") >= 0.5)
+      .withColumn("s4", col("s3") && col("n_tok") >= 5)
+    val mass = flagged.filter(col("s4"))
+      .groupBy(col("lang")).agg(sum(col("n_tok")).as("lang_toks"))
+    val frac = mass
+      .crossJoin(broadcast(mass.agg(min(col("lang_toks")).as("min_toks"))))
+      .withColumn("keep_frac",
+        least(lit(1.0), col("min_toks").cast("double") / col("lang_toks")))
+      .select(col("lang"), col("keep_frac"))
+    flagged.join(broadcast(frac), Seq("lang"), "left")
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("s5", col("s4") &&
+        col("h").cast("double") < coalesce(col("keep_frac"), lit(0.0)) * 4294967296.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_decontam"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n_length"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("s5"), col("n_tok").cast("long")).otherwise(0L)).as("toks_final"))
+  }
 
   /** Count-min sketch heavy-hitter estimation (Cormode & Muthukrishnan
     * 2005): a DEPTH×WIDTH grid of counters — each token increments one
@@ -360,6 +412,54 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
          |  FROM scored)
          |WHERE rn <= 3""".stripMargin,
+    "q84_corpus_build_funnel" ->
+      """WITH train AS (
+        |  SELECT * FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < 'e6'),
+        |evsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(t)-2, 0)),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        |  FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |        FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) >= 'e6')),
+        |trsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(0, greatest(len(t)-2, 0)),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |        FROM train)),
+        |cont AS (SELECT DISTINCT doc_id FROM trsh JOIN evsh USING (shingle)),
+        |f AS (
+        |  SELECT t.lang, t.doc_id,
+        |    md5(lower(trim(regexp_replace(t.text, '\s+', ' ', 'g')))) AS fp,
+        |    CAST(length(t.text) - length(regexp_replace(t.text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(t.text) AS alpha_ratio,
+        |    len(string_split(lower(trim(regexp_replace(t.text, '\s+', ' ', 'g'))), ' ')) AS n_tok,
+        |    cont.doc_id IS NOT NULL AS is_cont
+        |  FROM train t LEFT JOIN cont ON cont.doc_id = t.doc_id),
+        |g AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS s1 FROM f),
+        |g2 AS (
+        |  SELECT *, s1 AND NOT is_cont AS s2,
+        |    s1 AND NOT is_cont AND alpha_ratio >= 0.5 AS s3,
+        |    s1 AND NOT is_cont AND alpha_ratio >= 0.5 AND n_tok >= 5 AS s4
+        |  FROM g),
+        |mass AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_toks FROM g2 WHERE s4 GROUP BY 1),
+        |fr AS (
+        |  SELECT lang,
+        |    least(1.0, CAST((SELECT min(lang_toks) FROM mass) AS DOUBLE) / lang_toks) AS keep_frac
+        |  FROM mass),
+        |g3 AS (
+        |  SELECT g2.*,
+        |    g2.s4 AND CAST(CAST('0x' || substring(md5(CAST(g2.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      < coalesce(fr.keep_frac, 0.0) * 4294967296.0 AS s5
+        |  FROM g2 LEFT JOIN fr USING (lang))
+        |SELECT lang, count(*) AS n_train,
+        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+        |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+        |  CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |  CAST(sum(CASE WHEN s5 THEN n_tok ELSE 0 END) AS BIGINT) AS toks_final
+        |FROM g3 GROUP BY 1""".stripMargin,
     "q81_heavy_hitters" ->
       s"""WITH toks AS (
          |  SELECT unnest($toksSql) AS tok FROM documents),

@@ -40,6 +40,15 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus-build funnel gates are monotone per language") {
+    TextAnalysis.corpusBuildFunnel(spark, sf).collect().foreach { r =>
+      val stages = (1 to 6).map(r.getLong)
+      assert(stages.zip(stages.tail).forall { case (a, b) => a >= b },
+        s"survivor counts must be non-increasing through the gates: $r")
+      assert(stages.head > 0, "train split must be non-empty")
+    }
+  }
+
   test("count-min sketch never underestimates; exact on uncollided probes") {
     val exact = graft.Tables.documents(spark, sf)
       .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
