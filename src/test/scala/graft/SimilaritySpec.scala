@@ -86,7 +86,8 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & hits).size.toDouble / brute.size
-    assert(recall > 0.0, s"LSH recall must be positive, got $recall")
+    info(f"LSH recall vs brute force at sf0.001: $recall%.3f")
+    assert(recall >= 0.05, s"LSH recall floor breached: $recall")
   }
 
   test("centroid set is bounded regardless of corpus size") {
