@@ -70,10 +70,15 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
     graft.functions.VectorExprs.register(sh.sparkSession)
+    // joined twice (a-side and b-side) and the joins broadcast, so exchange
+    // reuse never fires — without persist the collect_list aggregate over
+    // every shingle row runs twice per query. Expensive to compute, one
+    // short row per doc to store: the profitable persist shape.
     val arrays = sh.select(col("doc_id"),
         expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("arr"), count(lit(1)).as("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cand
       .join(arrays.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
         col("sz").as("sz_a")), "a_id")
@@ -106,8 +111,11 @@ object Dedup {
     val ranked = sh.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(w.orderBy(col("df"), col("shingle"))))
       .withColumn("sz", count(lit(1)).over(w))
+    // self-joined below; the df-join + per-doc rank window would otherwise
+    // run twice (broadcast join defeats exchange reuse)
     val pref = ranked.filter(col("rk") <= expr("sz div 2 + 1"))
       .select(col("doc_id"), col("shingle"), col("sz"), col("rk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // positional filter (PPJoin): ranks follow ONE global (df, shingle)
     // order, so the first shared prefix shingle attains min(rk) on both
     // sides simultaneously, and total overlap ≤ 1 + min(remaining
@@ -152,7 +160,10 @@ object Dedup {
     * implementing this same pipeline. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = signaturesOf(sh)
+    // the band-bucket self-join reads sig from both sides and one side
+    // broadcasts, so the 16-min signature aggregate would run twice;
+    // one 16-hash row per doc is the cheapest thing in this plan to cache
+    val sig = signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       val cols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
