@@ -39,6 +39,9 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val okTimes = runs.collect { case (t, true) => t }
+      // one query's cache hygiene must never bill the next: drop any
+      // plan-cache entries it left behind before the next query runs
+      spark.catalog.clearCache()
       // a failed run's time-to-throw must never publish as the query's
       // timing — report min over SUCCESSFUL runs only, -1 if none
       (name, if (okTimes.nonEmpty) okTimes.min else -1.0, runs.forall(_._2))

@@ -70,16 +70,28 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
     graft.functions.VectorExprs.register(sh.sparkSession)
-    // joined twice (a-side and b-side) and the joins broadcast, so exchange
-    // reuse never fires — without persist the collect_list aggregate over
-    // every shingle row runs twice per query. Expensive to compute, one
-    // short row per doc to store: the profitable persist shape.
-    val arrays = sh.select(col("doc_id"),
+    // materialize the (small) candidate pair set once — it feeds the join
+    // AND the filter-first doc restriction below, and for q22 it hangs off
+    // an expensive prefix self-join we must not replay per branch
+    val pairs = cand.localCheckpoint(true)
+    // filter-first: only docs that appear in some candidate pair need
+    // their sorted hash array. Candidate docs are a small fraction of the
+    // corpus (near-dup rate, not corpus size), so the collect_list
+    // aggregate — the expensive step here — runs over a sliver of the
+    // shingle index instead of all of it. The restriction broadcasts.
+    val candDocs = pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val arrays = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
         expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("arr"), count(lit(1)).as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cand
+    // eager localCheckpoint materializes the (tiny) verified pair set so the
+    // cached shingle-array index can be released before returning — a
+    // long-lived session (the 100 TB curation-service shape) must not leak
+    // one corpus-sized cache per invocation
+    val out = pairs
       .join(arrays.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
         col("sz").as("sz_a")), "a_id")
       .join(arrays.select(col("doc_id").as("b_id"), col("arr").as("arr_b"),
@@ -89,6 +101,9 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+      .localCheckpoint(true)
+    arrays.unpersist(false)
+    out
   }
 
   /** Exact n-gram (3-shingle) Jaccard near-dup pairs, j ≥ 0.5, via
@@ -130,7 +145,12 @@ object Dedup {
       .filter((lit(1) + least(col("sz_a") - col("ra0"), col("sz_b") - col("rb0"))) * 3
         >= col("sz_a") + col("sz_b"))
       .select(col("a_id"), col("b_id"))
-    verifyJaccard(cand, sh, 0.5)
+    // verifyJaccard returns eagerly materialized → the shingle index and
+    // prefix index are no longer reachable; release them now
+    val out = verifyJaccard(cand, sh, 0.5)
+    sh.unpersist(false)
+    pref.unpersist(false)
+    out
   }
 
   private val NumHashes = 16
@@ -174,7 +194,10 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, sh, 0.5)
+    val out = verifyJaccard(cand, sh, 0.5) // eager — safe to release inputs
+    sh.unpersist(false)
+    sig.unpersist(false)
+    out
   }
 
   /** SimHash near-dup, Hamming ≤ 3 over 64-bit signatures — semantics:
@@ -185,15 +208,22 @@ object Dedup {
     *  1. Collapse to DISTINCT signatures first — duplicate-heavy corpora
     *     (this one: 5000 docs / 3905 sigs, one sig × 248 docs) otherwise
     *     pay k² of the largest cluster in the candidate join.
-    *  2. Band the distinct sigs by the C(8,3)=56 *triples* of 8-bit
-    *     chunks (24-bit band values). Pigeonhole: ≤3 differing bits touch
-    *     ≤3 chunks, leaving ≥5 clean ⇒ ≥C(5,3)=10 clean triples — exact
-    *     recall for Hamming ≤ 3, with 256× narrower buckets than 16-bit
-    *     chunk pairs (bounded per-bucket groups at corpus scale).
+    *  2. Band the distinct sigs by the C(8,4)=70 *quads* of 8-bit
+    *     chunks (32-bit band values). Pigeonhole: ≤3 differing bits touch
+    *     ≤3 chunks, leaving ≥5 clean ⇒ ≥C(5,4)=5 clean quads — exact
+    *     recall for Hamming ≤ 3. Quads over triples is a measured call:
+    *     natural-language sigs are heavily correlated, and the extra 8
+    *     bits of band agreement cut candidate pairs ~an order of
+    *     magnitude for +25% band rows.
     *  3. Verify Hamming on candidate sig pairs, then expand sig pairs
     *     back to doc pairs (identical-sig groups are Hamming 0 by
     *     definition). Equivalence with the brute-force oracle is exactly
-    *     the recall guarantee in (2); also asserted in DedupSpec. */
+    *     the recall guarantee in (2); also asserted in DedupSpec.
+    *
+    * Signatures are bit-packed BIGINTs: band values are shift/mask
+    * integer ops and the Hamming check is one `bit_count(xor)` — the
+    * string form paid 128 substring calls per candidate pair and
+    * shuffled 64-byte keys where 8 bytes carry the same information. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(spark, dir)
     // tiny (≤ #distinct signatures) but feeds four plan branches — without
@@ -201,19 +231,23 @@ object Dedup {
     val groups = sig.groupBy(col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandCols = for { i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8 } yield
-      struct(lit(i * 64 + j * 8 + k).as("band"),
-        concat(substring(col("sig"), i * 8 + 1, 8),
-               substring(col("sig"), j * 8 + 1, 8),
-               substring(col("sig"), k * 8 + 1, 8)).as("bv"))
+    def chunk(c: Int): Column =
+      shiftright(col("sig"), c * 8).bitwiseAND(lit(255L))
+    val quads = (for {
+      i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8; l <- k + 1 until 8
+    } yield (i, j, k, l)).zipWithIndex
+    val bandCols = quads.map { case ((i, j, k, l), b) =>
+      struct(lit(b).as("band"),
+        shiftleft(chunk(i), 24).bitwiseOR(shiftleft(chunk(j), 16))
+          .bitwiseOR(shiftleft(chunk(k), 8)).bitwiseOR(chunk(l)).as("bv"))
+    }
     val buckets = groups.select(col("sig"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sig"), col("bk.band"), col("bk.bv"))
     val sigPairs = buckets.as("x").join(buckets.as("y"), Seq("band", "bv"))
       .filter(col("x.sig") < col("y.sig"))
       .select(col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct()
-      .withColumn("hamming", expr(
-        "CAST(size(filter(sequence(1, 64), k -> substring(sa, k, 1) <> substring(sb, k, 1))) AS INT)"))
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
       .filter(col("hamming") <= 3)
     val cross = sigPairs
       .join(groups.select(col("sig").as("sa"), col("ids").as("ids_a")), "sa")
@@ -229,16 +263,23 @@ object Dedup {
           |  i -> transform(sequence(i+1, size(ids)-1),
           |         j -> struct(ids[i] AS a_id, ids[j] AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"), lit(0).cast("int").as("hamming"))
-    cross.unionByName(within)
+    // materialize the pair set eagerly, then release the signature-group
+    // cache — same leak-free lifecycle as the jaccard family
+    val out = cross.unionByName(within).localCheckpoint(true)
+    groups.unpersist(false)
+    out
   }
 
-  /** doc_id → 64-bit simhash of its token set, as a 64-char '0'/'1'
-    * string (bit i at position i+1). Per-token bits come from the md5 hex
-    * digits (bit i = bit (i mod 4) of hex digit (i div 4)) — engine-
-    * portable, so DuckDB derives identical signatures. The per-bit ±1
-    * sums accumulate through the VectorSumAgg typed Aggregator: partial
-    * aggregation merges 64-long buffers map-side, so the shuffle carries
-    * one buffer per (doc × partition), not one row per token. */
+  /** doc_id → 64-bit simhash of its token set, bit-packed into a BIGINT
+    * (bit i of the long = sign of per-bit sum i). Per-token bits come
+    * from the md5 hex digits (bit i = bit (i mod 4) of hex digit
+    * (i div 4)) — engine-portable, so the DuckDB oracle derives
+    * bit-for-bit identical signatures (it keeps the '0'/'1'-string form;
+    * the bijection bit i ↔ string position i+1 makes Hamming distances
+    * equal). The per-bit ±1 sums accumulate through the VectorSumAgg
+    * typed Aggregator: partial aggregation merges 64-long buffers
+    * map-side, so the shuffle carries one buffer per (doc × partition),
+    * not one row per token. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val vecSum = udaf(new graft.functions.VectorSumAgg(64))
     val docTok = Tables.documents(spark, dir)
@@ -265,8 +306,11 @@ object Dedup {
     docTok.join(vocabBits, "tok")
       .groupBy(col("doc_id"))
       .agg(vecSum(col("bits")).as("sums"))
+      // pack: Σ 2^i over nonnegative sums. Each term is a distinct power
+      // of two (bit 63 = Long.MinValue), so every partial sum stays in
+      // range — no ANSI overflow possible.
       .select(col("doc_id"), expr(
-        "concat_ws('', transform(sums, s -> CASE WHEN s >= 0 THEN '1' ELSE '0' END))")
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN sums[i] >= 0 THEN shiftleft(1L, i) ELSE 0L END)")
         .as("sig"))
   }
 

@@ -87,17 +87,20 @@ object Similarity {
         explode(expr("transform(top, x -> x._2)")).as("c_id"))
   }
 
-  /** Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) over the
+  /** Brute-force cosine top-k for query vectors (vec_id % 50 = 0) over the
     * whole corpus — the exact baseline the ANN variants are measured
     * against. Queries are broadcast; the corpus streams through once; the
     * per-query top-k accumulates in TopKAgg with map-side partial
     * aggregation (no full-corpus window partition per query — recall spec
-    * in SimilaritySpec compares ivfTopK against this). */
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    * in SimilaritySpec compares ivfTopK against this).
+    *
+    * @param topK results per query (shuffle carries ≤ topK rows per
+    *             query × partition — cost is linear in it) */
+  def cosineTopK(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     val v = scaled(spark, dir)
     val q = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("ai").as("q_ai"), col("n2").as("q_n2"))
-    val topk = udaf(new graft.functions.TopKAgg(5))
+    val topk = udaf(new graft.functions.TopKAgg(topK))
     broadcast(q).join(v, col("q_id") =!= col("vec_id"))
       .withColumn("cos",
         expr(dotExpr).cast("double") /
@@ -115,11 +118,18 @@ object Similarity {
     * centroid; a query probes only its nprobe=2 nearest clusters and
     * reranks exactly. Fully deterministic, so the DuckDB oracle mirrors
     * this whole pipeline; recall vs cosineTopK and score-exactness
-    * asserted in SimilaritySpec. */
-  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    * asserted in SimilaritySpec.
+    *
+    * Knobs (SURVEY §8.1): `k` cells ⇒ expected cell size n/k, probe work
+    * per query ≈ nprobe·n/k — k ≈ √n balances the broadcast (k vectors)
+    * against per-probe rerank size; `nprobe` trades recall for rerank
+    * cost linearly. Defaults are the pinned small-corpus constants. */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 2,
+              k: Int = IvfK, topK: Int = 5): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, s"nprobe must be in [1, $k]")
     val v = scaled(spark, dir)
-    val assigned = assignCells(v, 1, IvfK)
-    val cents = centroids(v, IvfK)
+    val assigned = assignCells(v, 1, k)
+    val cents = centroids(v, k)
     // probe: nprobe nearest centroids per query — same bounded TopKAgg
     // shape as assignment (the probe side is |q| × IvfK rows)
     val q = v.filter(col("vec_id") % 50 === 0)
@@ -135,7 +145,7 @@ object Similarity {
       .select(col("q_id"), col("q_ai"), col("q_n2"),
         explode(expr("transform(top, x -> x._2)")).as("c_id"))
     // rerank exactly within probed clusters, bounded top-k per query
-    val topk = udaf(new graft.functions.TopKAgg(5))
+    val topk = udaf(new graft.functions.TopKAgg(topK))
     probes.join(assigned, "c_id")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos",

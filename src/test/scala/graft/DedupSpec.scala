@@ -50,8 +50,7 @@ class DedupSpec extends SparkSpec {
     val brute = sig.as("a").crossJoin(sig.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("CAST(size(filter(sequence(1, 64), k -> substring(a.sig, k, 1) <> substring(b.sig, k, 1))) AS INT)")
-          .as("hamming"))
+        expr("CAST(bit_count(a.sig ^ b.sig) AS INT)").as("hamming"))
       .filter(col("hamming") <= 3)
     assertSameRows(Dedup.simhashNearDup(spark, sf), brute)
   }
