@@ -38,12 +38,12 @@ object SparkEntry {
     "q19_asof_join"        -> (ops.TemporalJoins.asofJoin _),
     "q20_range_join"       -> (ops.TemporalJoins.rangeJoin _),
     "q21_dedup_exact"      -> (ops.Dedup.exact _),
-    "q22_jaccard_neardup"  -> (ops.Dedup.jaccardNearDup _),
-    "q23_minhash_lsh"      -> (ops.Dedup.minhashLsh _),
-    "q24_simhash_neardup"  -> (ops.Dedup.simhashNearDup _),
-    "q25_cosine_topk"      -> (ops.Similarity.cosineTopK _),
+    "q22_jaccard_neardup"  -> ((s, d) => ops.Dedup.jaccardNearDup(s, d)),
+    "q23_minhash_lsh"      -> ((s, d) => ops.Dedup.minhashLsh(s, d)),
+    "q24_simhash_neardup"  -> ((s, d) => ops.Dedup.simhashNearDup(s, d)),
+    "q25_cosine_topk"      -> ((s, d) => ops.Similarity.cosineTopK(s, d)),
     "q26_ann_ivf"          -> ((s, d) => ops.Similarity.ivfTopK(s, d)),
-    "q27_embedding_neardup" -> (ops.Similarity.embeddingNearDup _),
+    "q27_embedding_neardup" -> ((s, d) => ops.Similarity.embeddingNearDup(s, d)),
     "q28_langid"           -> (ops.TextAnalysis.langId _),
     "q29_quality_score"    -> (ops.TextAnalysis.qualityScore _),
     "q30_token_stats"      -> (ops.TextAnalysis.tokenStats _),
@@ -92,7 +92,7 @@ object SparkEntry {
     "q73_curation_summary" -> (ops.TextAnalysis.curationSummary _),
     "q74_fetch_parse"      -> (sources.FetchSource.fetchParse _),
     "q75_jdbc_roundtrip"   -> (sources.Sinks.jdbcRoundtrip _),
-    "q76_ann_lsh"          -> (ops.Similarity.lshTopK _),
+    "q76_ann_lsh"          -> ((s, d) => ops.Similarity.lshTopK(s, d)),
     "q77_media_features"   -> (ops.Multimodal.mediaFeaturesDf _),
     "q78_token_budget_mix" -> (ops.TextAnalysis.tokenBudgetMix _),
     "q79_decontaminate"    -> (ops.TextAnalysis.decontaminate _),

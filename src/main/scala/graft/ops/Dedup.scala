@@ -106,17 +106,30 @@ object Dedup {
     out
   }
 
-  /** Exact n-gram (3-shingle) Jaccard near-dup pairs, j ≥ 0.5, via
-    * prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
-    * Search", WWW'07): order each doc's shingles by ascending global
-    * document frequency and index only the first ⌊sz/2⌋+1 — if
-    * j(A,B) ≥ 0.5 the prefixes must intersect, so enumeration over the
-    * prefix index is EXACT while heavy-hitter shingles (which rank last)
-    * structurally never drive the candidate join. A length filter
-    * (j ≥ 0.5 ⇒ sizes within 2×) prunes further. Verification scores
-    * candidates over ALL shingles; the oracle is the plain uncapped
-    * inverted-index SQL, proving equivalence on every run. */
-  def jaccardNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs, j ≥ `threshold`,
+    * via prefix filtering (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07): order each doc's shingles by ascending
+    * global document frequency and index only the first
+    * sz − ⌈t·sz⌉ + 1 — if j(A,B) ≥ t the two prefixes must share an
+    * element (the first intersection element in global order sits within
+    * both), so enumeration over the prefix index is EXACT while
+    * heavy-hitter shingles (which rank last) structurally never drive
+    * the candidate join. A length filter (j ≥ t ⇒ min size ≥ t·max
+    * size) prunes further. Verification scores candidates over ALL
+    * shingles; the oracle is the plain uncapped inverted-index SQL,
+    * proving equivalence on every run.
+    *
+    * Knobs (SURVEY §8.1): higher `threshold` shrinks the prefix index
+    * (length 1 + (1−t)·sz per doc) and tightens both filters — candidate
+    * count falls superlinearly in t. The float bounds carry a 1e-9
+    * epsilon in the CONSERVATIVE direction (longer prefix, weaker
+    * prune), so rounding can only admit an extra candidate for the exact
+    * verifier to reject, never drop a true pair; at the default t = 0.5
+    * every bound is exactly the ⌊sz/2⌋+1 / 2× / (sa+sb)/3 form. */
+  def jaccardNearDup(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val t = threshold
     // the shingle index feeds candidate enumeration AND verification —
     // persist it once instead of re-exploding the corpus per use (the
     // standard candidate/verify diamond; spills to disk at scale)
@@ -128,26 +141,28 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(w))
     // self-joined below; the df-join + per-doc rank window would otherwise
     // run twice (broadcast join defeats exchange reuse)
-    val pref = ranked.filter(col("rk") <= expr("sz div 2 + 1"))
+    val pref = ranked
+      .filter(col("rk") <= col("sz") - expr(s"CAST(ceil(sz * $t - 1e-9) AS BIGINT)") + 1)
       .select(col("doc_id"), col("shingle"), col("sz"), col("rk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // positional filter (PPJoin): ranks follow ONE global (df, shingle)
     // order, so the first shared prefix shingle attains min(rk) on both
     // sides simultaneously, and total overlap ≤ 1 + min(remaining
-    // suffix lengths). j ≥ 0.5 ⟺ overlap ≥ (sz_a+sz_b)/3, so pairs whose
-    // bound can't reach that are pruned EXACTLY.
+    // suffix lengths). j ≥ t ⟺ overlap ≥ t/(1+t)·(sz_a+sz_b), so pairs
+    // whose bound can't reach that are pruned EXACTLY.
     val cand = pref.as("a").join(pref.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double")
+        >= greatest(col("a.sz"), col("b.sz")) * t - 1e-9)
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(min(col("a.rk")).as("ra0"), min(col("b.rk")).as("rb0"))
-      .filter((lit(1) + least(col("sz_a") - col("ra0"), col("sz_b") - col("rb0"))) * 3
-        >= col("sz_a") + col("sz_b"))
+      .filter((lit(1) + least(col("sz_a") - col("ra0"), col("sz_b") - col("rb0"))).cast("double")
+        >= (col("sz_a") + col("sz_b")) * (t / (1 + t)) - 1e-9)
       .select(col("a_id"), col("b_id"))
     // verifyJaccard returns eagerly materialized → the shingle index and
     // prefix index are no longer reachable; release them now
-    val out = verifyJaccard(cand, sh, 0.5)
+    val out = verifyJaccard(cand, sh, t)
     sh.unpersist(false)
     pref.unpersist(false)
     out
@@ -166,26 +181,37 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesOf(shingles(spark, dir))
 
-  private def signaturesOf(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(s =>
+  private def signaturesOf(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    val aggs = (0 until numHashes).map(s =>
       min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"h$s"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup: band the signatures (band hash = md5 of the
     * band's rows), bucket-join on (band, band_hash), then verify
-    * candidates with EXACT jaccard and keep j ≥ 0.5. Output ⊆ the exact
-    * q22 result (approximate recall, perfect precision after
+    * candidates with EXACT jaccard and keep j ≥ `threshold`. Output ⊆
+    * the exact q22 result (approximate recall, perfect precision after
     * verification) — asserted in DedupSpec and against the DuckDB oracle
-    * implementing this same pipeline. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * implementing this same pipeline.
+    *
+    * Knobs (SURVEY §8.1): with b = numHashes/bandRows bands of r =
+    * bandRows rows, P(candidate | j) = 1 − (1 − j^r)^b — the defaults
+    * (8 bands × 2 rows) give ≈ 0.90 at j = 0.5; more bands raise recall
+    * and candidate volume, longer bands sharpen the threshold. Costs
+    * scale as numHashes md5-mins per shingle (one shuffle regardless)
+    * and b bucket rows per doc. */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 numHashes: Int = NumHashes, bandRows: Int = BandRows,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must split evenly into bands")
     val sh = shingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     // the band-bucket self-join reads sig from both sides and one side
-    // broadcasts, so the 16-min signature aggregate would run twice;
-    // one 16-hash row per doc is the cheapest thing in this plan to cache
-    val sig = signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until NumHashes / BandRows).map { b =>
-      val cols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+    // broadcasts, so the numHashes-min signature aggregate would run
+    // twice; one short row per doc is the cheapest thing in this plan to
+    // cache
+    val sig = signaturesOf(sh, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until numHashes / bandRows).map { b =>
+      val cols = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -194,7 +220,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val out = verifyJaccard(cand, sh, 0.5) // eager — safe to release inputs
+    val out = verifyJaccard(cand, sh, threshold) // eager — safe to release inputs
     sh.unpersist(false)
     sig.unpersist(false)
     out
@@ -224,7 +250,12 @@ object Dedup {
     * integer ops and the Hamming check is one `bit_count(xor)` — the
     * string form paid 128 substring calls per candidate pair and
     * shuffled 64-byte keys where 8 bytes carry the same information. */
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def simhashNearDup(spark: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    // quad banding over 8 chunks is exact while ≥ 4 chunks stay clean:
+    // pigeonhole needs C(8 − maxHamming, 4) ≥ 1 ⇔ maxHamming ≤ 4
+    require(maxHamming >= 0 && maxHamming <= 4,
+      "quad banding is exact only for Hamming radius <= 4")
     val sig = simhashSignatures(spark, dir)
     // tiny (≤ #distinct signatures) but feeds four plan branches — without
     // persist the whole per-token signature pipeline recomputes per branch
@@ -248,7 +279,7 @@ object Dedup {
       .select(col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
     val cross = sigPairs
       .join(groups.select(col("sig").as("sa"), col("ids").as("ids_a")), "sa")
       .join(groups.select(col("sig").as("sb"), col("ids").as("ids_b")), "sb")

@@ -188,32 +188,61 @@ object Similarity {
     * through the bounded TopKAgg. Unlike IVF there is no centroid set at
     * all: bucketing is stateless per vector, so ingest is embarrassingly
     * parallel and incremental (new vectors land in buckets without any
-    * re-clustering). */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    * re-clustering).
+    *
+    * Knobs (SURVEY §8.1): candidates per query ≈ bands · n / 2^bandBits,
+    * with bands = planes / bandBits — more planes and wider bands cut
+    * candidates; `probeBits = 1` additionally probes every bucket whose
+    * band value differs from the query's in exactly one bit (multiprobe:
+    * bandBits extra buckets per band, the standard recall lever that
+    * needs NO extra tables — a vector one hyperplane-sign away from the
+    * query still collides). probeBits = 0 reproduces the single-bucket
+    * probe. */
+  def lshTopK(spark: SparkSession, dir: String, planes: Int = LshPlanes,
+              bandBits: Int = LshBandBits, probeBits: Int = 1,
+              topK: Int = 5): DataFrame = {
+    require(planes % bandBits == 0, "planes must split evenly into bands")
+    require(probeBits >= 0 && probeBits <= 1, "only 1-bit multiprobe is implemented")
     val v = scaled(spark, dir)
     def bucketsOf(vecs: DataFrame): DataFrame = {
-      val bits = (0 until LshPlanes).map { p =>
+      val bits = (0 until planes).map { p =>
         val arr = planeCoefs(p).map(c => s"${c}L").mkString(",")
         when(expr(s"dot_long(ai, array($arr))") >= 0, lit("1")).otherwise(lit("0"))
       }
       vecs.withColumn("sig", concat(bits: _*))
-        .select(col("vec_id"), explode(array((0 until LshPlanes / LshBandBits).map(b =>
+        .select(col("vec_id"), explode(array((0 until planes / bandBits).map(b =>
           struct(lit(b).as("band"),
-            substring(col("sig"), b * LshBandBits + 1, LshBandBits).as("bv"))): _*)).as("bk"))
+            substring(col("sig"), b * bandBits + 1, bandBits).as("bv"))): _*)).as("bk"))
         .select(col("vec_id"), col("bk.band"), col("bk.bv"))
     }
     // filter-first: the corpus buckets feed only the candidate join; the
     // query side re-derives its buckets from the tiny filtered query set
-    // (n/50 vectors × 12 codegen'd dot products — cheaper than
+    // (n/50 vectors × `planes` codegen'd dot products — cheaper than
     // materializing the corpus buckets to share them)
     val buckets = bucketsOf(v)
-    val qb = bucketsOf(v.filter(col("vec_id") % 50 === 0))
+    val qbExact = bucketsOf(v.filter(col("vec_id") % 50 === 0))
       .select(col("vec_id").as("q_id"), col("band"), col("bv"))
+    // multiprobe expansion happens on the QUERY side only: the corpus
+    // bucket table is untouched (ingest stays stateless/incremental);
+    // each query band contributes its own bucket plus its bandBits 1-bit
+    // neighbors
+    val qb =
+      if (probeBits == 0) qbExact
+      else {
+        val flips = (1 to bandBits).map { i =>
+          expr(s"""concat(substring(bv, 1, ${i - 1}),
+                  |  CASE WHEN substring(bv, $i, 1) = '1' THEN '0' ELSE '1' END,
+                  |  substring(bv, ${i + 1}, ${bandBits - i}))""".stripMargin)
+        }
+        qbExact
+          .select(col("q_id"), col("band"),
+            explode(array(col("bv") +: flips: _*)).as("bv"))
+      }
     val cand = broadcast(qb).join(buckets, Seq("band", "bv"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    val topk = udaf(new graft.functions.TopKAgg(5))
+    val topk = udaf(new graft.functions.TopKAgg(topK))
     cand
       .join(v.select(col("vec_id").as("q_id"), col("ai").as("q_ai"),
         col("n2").as("q_n2")), "q_id")
@@ -236,10 +265,16 @@ object Similarity {
     * deterministic end-to-end and the oracle mirrors it. Cross-cell pairs
     * are out of scope by definition (precision vs the exact all-pairs
     * join is asserted in SimilaritySpec). NearDupK cells keep per-cell
-    * pair enumeration small; the cell count stays corpus-independent. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    * pair enumeration small; the cell count stays corpus-independent.
+    *
+    * Knobs (SURVEY §8.1): candidate pairs ≈ Σ_cells size² ≈ n²·nAssign²/k
+    * — k grows with the corpus (k ∝ n keeps per-cell work constant);
+    * nAssign > 1 trades recall across cell boundaries for nAssign× the
+    * assignment rows. */
+  def embeddingNearDup(spark: SparkSession, dir: String, k: Int = NearDupK,
+                       nAssign: Int = 2, minCos: Double = 0.4): DataFrame = {
     val v = scaled(spark, dir)
-    val cells = assignCells(v, 2, NearDupK).select(col("c_id"), col("vec_id"))
+    val cells = assignCells(v, nAssign, k).select(col("c_id"), col("vec_id"))
     val cand = cells.as("x").join(cells.as("y"), "c_id")
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -252,7 +287,7 @@ object Similarity {
       .withColumn("cos",
         expr(dotExpr).cast("double") /
           (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= minCos)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
@@ -356,7 +391,8 @@ object Similarity {
          |  FROM cand)
          |WHERE rn <= 5""".stripMargin,
     // q76: the oracle recomputes the SAME md5-derived hyperplanes and
-    // re-runs the identical sign/band/bucket/rerank pipeline (plus the
+    // re-runs the identical sign/band/bucket/rerank pipeline INCLUDING
+    // the 1-bit multiprobe expansion of each query band value (plus the
     // independent exact-cosine containment check in SimilaritySpec).
     "q76_ann_lsh" ->
       s"""WITH v AS (
@@ -377,10 +413,18 @@ object Similarity {
          |buckets AS (
          |  SELECT vec_id, b, substring(sig, CAST(b * $LshBandBits + 1 AS INT), $LshBandBits) AS bv
          |  FROM sigs, (SELECT unnest(range(0, ${LshPlanes / LshBandBits})) AS b)),
+         |qprobe AS (
+         |  SELECT vec_id, b, bv FROM buckets WHERE vec_id % 50 = 0
+         |  UNION
+         |  SELECT vec_id, b,
+         |    substring(bv, 1, CAST(i - 1 AS INT))
+         |      || (CASE WHEN substring(bv, CAST(i AS INT), 1) = '1' THEN '0' ELSE '1' END)
+         |      || substring(bv, CAST(i + 1 AS INT), CAST($LshBandBits - i AS INT)) AS bv
+         |  FROM buckets, (SELECT unnest(range(1, $LshBandBits + 1)) AS i)
+         |  WHERE vec_id % 50 = 0),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id
-         |  FROM buckets q JOIN buckets x ON q.b = x.b AND q.bv = x.bv AND q.vec_id <> x.vec_id
-         |  WHERE q.vec_id % 50 = 0),
+         |  FROM qprobe q JOIN buckets x ON q.b = x.b AND q.bv = x.bv AND q.vec_id <> x.vec_id),
          |scored AS (
          |  SELECT c.q_id, c.vec_id,
          |    CAST(list_sum(list_transform(range(0, 64), k -> a.ai[k+1] * x.ai[k+1])) AS DOUBLE)

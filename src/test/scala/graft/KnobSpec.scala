@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The approximate operators' knobs are function parameters, not baked-in
+  * constants (SURVEY §8.1 gives the knob-vs-corpus formulas). Each test
+  * here instantiates a NON-default knob and re-asserts the operator's
+  * structural guarantee at that setting — the guarantee must hold across
+  * the knob's range, not just at the shipped default. */
+class KnobSpec extends SparkSpec {
+
+  /** Brute-force jaccard pairs at an arbitrary threshold. */
+  private def bruteJaccard(t: Double): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+          |  ELSE array() END""".stripMargin).as("sh"))
+    docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("size(array_intersect(a.sh, b.sh))").cast("double")
+          ./(expr("size(array_union(a.sh, b.sh))")).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
+  test("prefix-filter threshold knob: t=0.7 still equals brute force") {
+    assertSameRows(
+      Dedup.jaccardNearDup(spark, sf, threshold = 0.7).select("a_id", "b_id"),
+      bruteJaccard(0.7).select("a_id", "b_id"))
+  }
+
+  test("minhash banding knob: 2 bands x 4 rows keeps perfect precision and exact scores") {
+    val exact = bruteJaccard(0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLsh(spark, sf, numHashes = 8, bandRows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      "longer bands must still never invent a pair")
+    lsh.foreach { case (k, j) => assert(j == exact(k)) }
+  }
+
+  test("simhash radius knob: maxHamming=1 equals brute force at <=1") {
+    val sig = Dedup.simhashSignatures(spark, sf)
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("CAST(bit_count(a.sig ^ b.sig) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 1)
+    assertSameRows(Dedup.simhashNearDup(spark, sf, maxHamming = 1), brute)
+  }
+
+  test("ivf knobs: non-default cell count still yields exactly k bounded centroids") {
+    val v = Similarity.scaled(spark, sf)
+    assert(Similarity.centroids(v, 8).count() == 8)
+    val ivf = Similarity.ivfTopK(spark, sf, nprobe = 3, k = 8, topK = 3).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(_.getInt(3) <= 3), "topK=3 must cap results per query")
+  }
+
+  test("near-dup knobs: single-assignment with fewer cells keeps perfect precision") {
+    val v = Similarity.scaled(spark, sf)
+    val dot = "aggregate(zip_with(q_ai, ai, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    val a = v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"), col("n2").as("a_n2"))
+    val b = v.select(col("vec_id").as("b_id"), col("ai"), col("n2").as("b_n2"))
+    val allPairs = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", expr(dot).cast("double") /
+        (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))))
+      .filter(col("cos") >= 0.3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scoped = Similarity.embeddingNearDup(spark, sf, k = 16, nAssign = 1, minCos = 0.3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scoped.subsetOf(allPairs),
+      "cluster-scoped pairs must be true near-dups at any (k, nAssign, minCos)")
+  }
+}

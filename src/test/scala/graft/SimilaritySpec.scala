@@ -87,7 +87,30 @@ class SimilaritySpec extends SparkSpec {
     val hits = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & hits).size.toDouble / brute.size
     info(f"LSH recall vs brute force at sf0.001: $recall%.3f")
-    assert(recall >= 0.05, s"LSH recall floor breached: $recall")
+    // default lshTopK multiprobes (probeBits = 1); floor raised from the
+    // single-bucket era's 0.05 to match
+    assert(recall >= 0.3, s"LSH recall floor breached: $recall")
+  }
+
+  test("multiprobe recall dominates the single-bucket probe") {
+    val brute = Similarity.cosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(probeBits: Int): Double = {
+      val hits = Similarity.lshTopK(spark, sf, probeBits = probeBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & hits).size.toDouble / brute.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    info(f"LSH recall at sf0.001: exact-bucket $r0%.3f, 1-bit multiprobe $r1%.3f")
+    // a query's candidate set under multiprobe is a superset of the
+    // single-bucket candidates, and a true top-k member is outranked by
+    // < k vectors globally, so per-query recall is monotone in the
+    // candidate set — multiprobe can never lose a hit
+    assert(r1 >= r0, s"multiprobe recall $r1 must dominate single-bucket $r0")
+    // measured: 0.12 single-bucket vs 0.58 multiprobe on this corpus —
+    // the floor pins the multiprobe lift, not just positivity
+    assert(r1 >= 0.3, s"multiprobe recall floor breached: $r1")
   }
 
   test("centroid set is bounded regardless of corpus size") {
