@@ -101,12 +101,14 @@ object SparkEntry {
     "q82_scd2_history"     -> (etl.Upsert.scd2History _),
     "q83_partitioned_sink" -> (sources.Sinks.partitionedSink _),
     "q84_corpus_build_funnel" -> (ops.TextAnalysis.corpusBuildFunnel _),
+    "q85_movie_pipeline"   -> (etl.Pipeline.moviePipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     etl.Transform.oracle ++ etl.Normalize.oracle ++ etl.Upsert.oracle ++ etl.Extract.oracle ++
+      etl.Pipeline.oracle ++
       etl.Constraints.oracle ++
       sources.Sinks.oracle ++ sources.FetchSource.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++

@@ -37,13 +37,18 @@ object Normalize {
     * contiguous ids per partition with a per-partition offset — the
     * standard cluster-safe surrogate-key assignment.
     */
-  def surrogateIds(spark: SparkSession, dir: String): DataFrame = {
-    val ids = entityNames(spark, dir)
+  def surrogateIds(spark: SparkSession, dir: String): DataFrame =
+    surrogateIdsFor(entityNames(spark, dir))
+
+  /** Same assignment over an arbitrary distinct `name` frame (reused by
+    * the composed pipeline's people dictionary, q85). */
+  def surrogateIdsFor(names: DataFrame): DataFrame = {
+    val ids = names
       .select("name").rdd.map(_.getString(0))
       .sortBy(identity)
       .zipWithIndex()
       .map { case (n, i) => (n, i + 1) }
-    spark.createDataFrame(ids).toDF("name", "name_id")
+    names.sparkSession.createDataFrame(ids).toDF("name", "name_id")
   }
 
   /** J2–J4 + A2: FK-resolution edge build — explode the list column,
