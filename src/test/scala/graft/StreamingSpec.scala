@@ -89,5 +89,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed restart resumes watermarked sessions exactly") {
+    import graft.streaming.{SessionEvent, StatefulSessions}
+    import org.apache.spark.sql.types._
+    import java.time.LocalDateTime
+    def t(h: Int, m: Int) = LocalDateTime.of(2024, 1, 1, h, m, 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val src = s"$base/src"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("value", DoubleType)))
+    def append(evs: Seq[SessionEvent]): Unit =
+      evs.toDS().toDF().write.mode("append").parquet(src)
+    // one run leg: file source -> watermarked sessions -> parquet sink,
+    // AvailableNow; the checkpoint carries source offsets, state store,
+    // and watermark across restarts
+    def run(out: String, ckpt: String): Unit = {
+      val events = spark.readStream.schema(schema).parquet(src).as[SessionEvent]
+      val q = StatefulSessions.sessionizeWatermarked(events, "10 minutes")
+        .toDF().writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: two open sessions (users 1, 2) — nothing closes, all state
+    append(Seq(SessionEvent(1L, t(10, 0), 1.0), SessionEvent(1L, t(10, 10), 2.0),
+      SessionEvent(2L, t(10, 5), 4.0)))
+    run(s"$base/out_resumed", s"$base/ckpt_resumed")
+    // "crash" between batches: new data lands, the query restarts from
+    // the SAME checkpoint — state and watermark must recover, file 1 must
+    // not reprocess
+    append(Seq(SessionEvent(1L, t(11, 30), 8.0), SessionEvent(9L, t(15, 0), 0.5)))
+    run(s"$base/out_resumed", s"$base/ckpt_resumed")
+    // reference: one uninterrupted run over the identical source
+    run(s"$base/out_ref", s"$base/ckpt_ref")
+    val resumed = spark.read.parquet(s"$base/out_resumed")
+    val ref = spark.read.parquet(s"$base/out_ref")
+    assertSameRows(resumed, ref)
+    // and both must equal the semantically-expected closed set (watermark
+    // 14:50 closes everything except user 9's open 15:00 session) — a
+    // bug that silently emits nothing on both legs must not pass
+    val got = resumed.collect().map(r => (r.getLong(2),
+      r.getAs[LocalDateTime]("session_start"), r.getAs[LocalDateTime]("session_end"),
+      r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, t(10, 0), t(10, 40), 2L, 3.0),
+      (2L, t(10, 5), t(10, 35), 1L, 4.0),
+      (1L, t(11, 30), t(12, 0), 1L, 8.0)),
+      s"recovered sessions wrong: $got")
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
