@@ -71,27 +71,52 @@ object Normalize {
     * name dictionary — entity resolution is a dictionary-sized problem,
     * so the pair join is over thousands of names, not the fact table.
     *
-    * The length block is a real EQUI-JOIN block, not a predicate: edit
-    * distance ≤ 1 ⇒ |len(a) − len(b)| ≤ 1, so each name emits bucket
-    * keys {l, l+1} and a qualifying pair meets exactly once at bucket =
-    * max(la, lb). Catalyst gets an equi-key and plans a hash join that
-    * partitions by bucket — never a BroadcastNestedLoopJoin over the
-    * dictionary (plan-asserted in PlanSpec). Levenshtein runs with an
-    * early-abandon threshold (3-arg form) on candidates only. At a
-    * 20M-name dictionary the bucket key would extend PassJoin-style
-    * (length × segment-substring keys) — same equi-join shape, finer
-    * buckets. */
+    * Candidate keys are PassJoin segments (Li, Deng, Feng, "PassJoin: A
+    * Partition-based Method for Similarity Joins", VLDB'12), specialized
+    * to τ = 1: each data string s of length ls splits into two halves
+    * (h = ls div 2); any t with ed(s,t) ≤ 1 contains one half EXACTLY —
+    * the prefix s[1..h] at position 1 when the single edit falls after
+    * it, else the suffix s[h+1..ls] at position h + 1 + (|t| − ls) —
+    * so probing t's 6 windows (2 segments × data length ∈ {|t|−1, |t|,
+    * |t|+1}) finds every qualifying pair. The key (part, length,
+    * segment-CONTENT) is a real equi-join key: when one length class
+    * dominates the dictionary, buckets still subdivide by content,
+    * unlike pure length blocking — this is what keeps bucket sizes
+    * bounded at a 20M-name dictionary. Catalyst plans a hash join,
+    * never a BroadcastNestedLoopJoin (plan-asserted in PlanSpec);
+    * Levenshtein runs with an early-abandon threshold (3-arg form) on
+    * deduped candidates only. */
   def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(spark, dir).select(col("p_name")).distinct()
       .withColumn("l", length(col("p_name")))
-    val keyed = names.withColumn("bucket", explode(array(col("l"), col("l") + 1)))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-        col("a.bucket") === greatest(col("a.l"), col("b.l")) &&
-        col("a.p_name") < col("b.p_name"))
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 1))
+    // index side: the two exact segments of each data string
+    val seg = names.select(col("p_name"), explode(array(
+        struct(lit(1).as("part"), col("l").as("ls"),
+          expr("substring(p_name, 1, l div 2)").as("seg")),
+        struct(lit(2).as("part"), col("l").as("ls"),
+          expr("substring(p_name, l div 2 + 1, l - l div 2)").as("seg")))).as("k"))
+      .select(col("p_name"), col("k.part").as("part"), col("k.ls").as("ls"),
+        col("k.seg").as("seg"))
+    // probe side: for each candidate data length ls = l + dl, the exact
+    // window where a matching segment must sit (suffix start shifts by
+    // δ = |t| − ls = −dl); substring truncation at the string end can
+    // only produce a too-short (never falsely-equal) key
+    val probe = names.select(col("p_name").as("q_name"), explode(expr(
+        """filter(flatten(transform(array(-1, 0, 1), dl ->
+          |  array(named_struct('part', 1, 'ls', l + dl,
+          |          'seg', substring(p_name, 1, (l + dl) div 2)),
+          |        named_struct('part', 2, 'ls', l + dl,
+          |          'seg', substring(p_name, (l + dl) div 2 + 1 - dl,
+          |                           (l + dl) - (l + dl) div 2))))),
+          |  k -> k.ls >= 1)""".stripMargin)).as("k"))
+      .select(col("q_name"), col("k.part").as("part"), col("k.ls").as("ls"),
+        col("k.seg").as("seg"))
+    seg.join(probe, Seq("part", "ls", "seg"))
+      .filter(col("p_name") < col("q_name"))
+      .select(col("p_name").as("name_a"), col("q_name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
       .filter(col("dist") >= 0) // 3-arg levenshtein: −1 marks "above threshold"
-      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
   }
 
   private val namesSql =

@@ -54,6 +54,16 @@ class KnobSpec extends SparkSpec {
     assertSameRows(Dedup.simhashNearDup(spark, sf, maxHamming = 1), brute)
   }
 
+  test("PassJoin segment keys find exactly the brute-force edit-distance-1 pairs") {
+    val names = Tables.part(spark, sf).select(col("p_name")).distinct()
+    val brute = names.as("a").crossJoin(names.as("b"))
+      .filter(col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+    assertSameRows(graft.etl.Normalize.fuzzyNameMatch(spark, sf), brute)
+  }
+
   test("ivf knobs: non-default cell count still yields exactly k bounded centroids") {
     val v = Similarity.scaled(spark, sf)
     assert(Similarity.centroids(v, 8).count() == 8)
