@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: synthesize a larger scale factor for the dedup/similarity
+  * bench trend (the driver ships sf0.001/0.01/0.1 only; /root/testdata is
+  * read-only). `runMain graft.ScaleGen <srcSfDir> <outDir> [reps=10]`.
+  *
+  * Construction keeps the workload's CHARACTER while scaling volume:
+  *  - documents: `reps` replicas with offset doc_ids; every token gets a
+  *    replica prefix, so the per-replica shingle spaces are DISJOINT —
+  *    within-replica dup/near-dup structure is preserved exactly and no
+  *    artificial cross-replica near-dups appear (naive copies would give
+  *    every doc `reps` exact duplicates and square the pair counts,
+  *    which is not what a 10× corpus looks like).
+  *  - embeddings: offset vec_ids with a small deterministic per-replica,
+  *    per-coordinate perturbation — copies drift apart instead of
+  *    stacking at cosine 1.0.
+  *
+  * Bench-only data: no oracle runs here (the CORRECTNESS gate stays on
+  * the driver's own parquet).
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, src)
+    val emb = Tables.embeddings(spark, src)
+    val docsN = (0 until reps).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r$r-$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+    val embN = (0 until reps).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> CAST(x + $r * 0.003 * ((i % 5) - 2) AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+    docsN.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    embN.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"WROTE $out docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
+      s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+    spark.stop()
+  }
+}
