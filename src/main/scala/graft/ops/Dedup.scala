@@ -136,7 +136,13 @@ object Dedup {
     val sh = shingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ranked = sh.join(dfreq, "shingle")
+    // shuffle_hash beats the default sort-merge here: both sides shuffle
+    // on shingle anyway, and hashing the (vocab-sized) df side skips two
+    // full sorts. The build side stays bounded per partition as long as
+    // partition count scales with the corpus (the prefix SELF-join below
+    // deliberately keeps SMJ — its two sides share one exchange+sort via
+    // ReuseExchange, which a hash build would break; measured 2× slower).
+    val ranked = sh.join(dfreq.hint("shuffle_hash"), "shingle")
       .withColumn("rk", row_number().over(w.orderBy(col("df"), col("shingle"))))
       .withColumn("sz", count(lit(1)).over(w))
     // self-joined below; the df-join + per-doc rank window would otherwise
