@@ -102,6 +102,7 @@ object SparkEntry {
     "q83_partitioned_sink" -> (sources.Sinks.partitionedSink _),
     "q84_corpus_build_funnel" -> (ops.TextAnalysis.corpusBuildFunnel _),
     "q85_movie_pipeline"   -> (etl.Pipeline.moviePipeline _),
+    "q86_stream_join"      -> (streaming.StreamingEvents.clickPurchaseJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -60,11 +60,72 @@ object StreamingEvents {
     spark.table(name)
   }
 
-  /** Oracle: identical to the batch tumbling query — the point. */
+  /** q86: watermarked stream-stream INNER join — clicks joined to the
+    * purchases the same user makes within the following 30 minutes. The
+    * canonical Structured Streaming two-stream operator: both sides
+    * carry watermarks and the join condition carries the event-time
+    * range, so the engine can bound join state (a click's state expires
+    * once the purchase watermark passes click_ts + 30 min). Under
+    * AvailableNow on the bounded source the result provably equals the
+    * batch interval join — which is exactly the oracle SQL. */
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(kind: String, prefix: String) = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === kind)
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
+        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("click", "click").join(side("purchase", "purchase"),
+      expr("""click_user = purchase_user AND
+             |purchase_ts >= click_ts AND
+             |purchase_ts <= click_ts + interval 30 minutes""".stripMargin))
+      .select(col("click_id"), col("purchase_id"),
+        col("click_user").as("user_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+    val name = s"stream_join_${System.nanoTime()}"
+    // a stateful streaming query pins its state parallelism at FIRST run
+    // (the partition count is written into the state metadata), so it
+    // must be sized to the stream's throughput, not inherited from a
+    // batch session default: each partition carries four state stores
+    // (two per join side), and 32 of them cost ~5 s of per-batch store
+    // init/commit for a stream this size. 8 is right here; a 100 TB
+    // deployment sizes UP with input rate at query birth.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // microbatches plan asynchronously after start() — the conf must
+      // hold until the (bounded) query terminates
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+  }
+
+  /** Oracle: identical to the batch queries — the point. */
   val oracle: Map[String, String] = Map(
     "q34_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the stream-stream join's batch statement: a plain interval join
+    "q86_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
   )
 }

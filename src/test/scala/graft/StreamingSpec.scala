@@ -141,5 +141,37 @@ class StreamingSpec extends SparkSpec {
       s"recovered sessions wrong: $got")
   }
 
+  test("stream-stream interval join emits matches and evicts expired state") {
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+    val joined = c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_join")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: click and matching purchase arrive -> inner join emits
+      clicks.addData((1L, ts(0)))
+      purchases.addData((1L, ts(10)))
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 1, "on-time match must emit")
+
+      // batch 2: advance both watermarks far past the click's join window
+      // (click state is evictable once wm > c_ts + 30 min + delay)
+      clicks.addData((9L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")))
+      purchases.addData((9L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+
+      // batch 3: a matching purchase for the OLD click arrives behind the
+      // watermark — the click's state has been evicted, so no new row
+      purchases.addData((1L, ts(20)))
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 2,
+        "late purchase must not match evicted click state (only the 9L self-match adds)")
+    } finally q.stop()
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
