@@ -34,6 +34,15 @@ class KnobSpec extends SparkSpec {
       bruteJaccard(0.7).select("a_id", "b_id"))
   }
 
+  test("jaccard threshold is monotone: tighter thresholds only remove pairs") {
+    def pairs(t: Double) = Dedup.jaccardNearDup(spark, sf, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = pairs(0.5)
+    val tight = pairs(0.8)
+    assert(tight.subsetOf(loose),
+      s"pairs at t=0.8 must be a subset of t=0.5: extra=${(tight -- loose).take(3)}")
+  }
+
   test("minhash banding knob: 2 bands x 4 rows keeps perfect precision and exact scores") {
     val exact = bruteJaccard(0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
