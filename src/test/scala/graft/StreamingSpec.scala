@@ -173,5 +173,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the null match only after the watermark closes the window") {
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+    val joined = c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+      "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_left_join")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: a click with no purchase — the engine must NOT emit the
+      // null match yet (a matching purchase could still arrive)
+      clicks.addData((1L, ts(0)))
+      purchases.addData((2L, ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("ss_left_join").filter(col("p_ts").isNull).count() == 0,
+        "null match must not emit while the join window is open")
+
+      // batch 2: both watermarks jump far past click+30min+delay — now the
+      // engine KNOWS no purchase can match, and the null row must emit
+      clicks.addData((8L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00")))
+      purchases.addData((8L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // one more batch: outer-join null emission happens when state evicts,
+      // which some versions defer to the subsequent batch
+      clicks.addData((8L, java.sql.Timestamp.valueOf("2024-01-01 14:30:00")))
+      purchases.addData((8L, java.sql.Timestamp.valueOf("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      val nullRows = spark.table("ss_left_join").filter(col("p_ts").isNull).collect()
+      assert(nullRows.map(_.getLong(0)).contains(1L),
+        s"user 1's unmatched click must surface with a null purchase: ${nullRows.mkString}")
+    } finally q.stop()
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
