@@ -15,7 +15,7 @@ import org.apache.spark.storage.StorageLevel
   * per-doc *prefix* shingles (Bayardo prefix filtering — heavy hitters
   * rank last and never drive the join), MinHash-LSH replaces "share a
   * shingle" with "share a band bucket", SimHash bands distinct
-  * signatures by 24-bit chunk triples.
+  * bit-packed signatures by 32-bit chunk quads.
   *
   * Determinism/oracle design: every hash here is md5 — bit-identical in
   * Spark and DuckDB — so q22/q23/q24 are all checkable against DuckDB

@@ -192,7 +192,7 @@ object StatefulSessions {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    StreamingEvents.freeze(spark, name)
       .select(col("session_start"), col("session_end"), col("user_id"),
         col("n_events"), col("sum_value"))
   }

@@ -57,7 +57,18 @@ object StreamingEvents {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    freeze(spark, name)
+  }
+
+  /** Copy a memory-sink table out and DROP the temp view — each
+    * invocation would otherwise pin a full result copy in driver memory
+    * forever (the memory sink registers a per-query temp view that
+    * clearCache never touches). The localCheckpoint copy is GC'd with
+    * the returned frame by the ContextCleaner. */
+  private[streaming] def freeze(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** q86: watermarked stream-stream INNER join — clicks joined to the
@@ -107,7 +118,7 @@ object StreamingEvents {
       // hold until the (bounded) query terminates
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    freeze(spark, name)
   }
 
   /** Oracle: identical to the batch queries — the point. */

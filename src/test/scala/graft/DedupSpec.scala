@@ -8,23 +8,9 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle alone can't state (SURVEY.md §5.2–5.3). */
 class DedupSpec extends SparkSpec {
 
-  /** Brute-force exact jaccard pairs (uncapped inverted index) — the
-    * semantic ground truth for q22/q23. */
-  private def exactJaccard: DataFrame = {
-    val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3
-          |  THEN array_distinct(transform(sequence(0, size(toks)-3),
-          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-          |  ELSE array() END""".stripMargin).as("sh"))
-    docs.as("a").crossJoin(docs.as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("size(array_intersect(a.sh, b.sh))").cast("double")
-          ./(expr("size(array_union(a.sh, b.sh))")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-  }
+  /** Brute-force exact jaccard pairs at the default threshold — shared
+    * ground truth lives in [[SparkSpec.bruteJaccard]]. */
+  private def exactJaccard: DataFrame = bruteJaccard(0.5)
 
   test("prefix-filtered jaccard equals brute-force exact jaccard") {
     assertSameRows(

@@ -11,23 +11,6 @@ import org.apache.spark.sql.functions._
   * the knob's range, not just at the shipped default. */
 class KnobSpec extends SparkSpec {
 
-  /** Brute-force jaccard pairs at an arbitrary threshold. */
-  private def bruteJaccard(t: Double): DataFrame = {
-    val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3
-          |  THEN array_distinct(transform(sequence(0, size(toks)-3),
-          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-          |  ELSE array() END""".stripMargin).as("sh"))
-    docs.as("a").crossJoin(docs.as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("size(array_intersect(a.sh, b.sh))").cast("double")
-          ./(expr("size(array_union(a.sh, b.sh))")).as("jaccard"))
-      .filter(col("jaccard") >= t)
-  }
-
   test("prefix-filter threshold knob: t=0.7 still equals brute force") {
     assertSameRows(
       Dedup.jaccardNearDup(spark, sf, threshold = 0.7).select("a_id", "b_id"),
