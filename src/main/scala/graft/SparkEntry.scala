@@ -103,6 +103,7 @@ object SparkEntry {
     "q84_corpus_build_funnel" -> (ops.TextAnalysis.corpusBuildFunnel _),
     "q85_movie_pipeline"   -> (etl.Pipeline.moviePipeline _),
     "q86_stream_join"      -> (streaming.StreamingEvents.clickPurchaseJoin _),
+    "q87_pq_ann"           -> ((s, d) => ops.Similarity.pqTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

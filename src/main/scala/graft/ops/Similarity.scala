@@ -257,6 +257,79 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** q87: product-quantization ANN (the memory-compression scale path —
+    * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI'11). The 64-dim space splits into `subspaces`
+    * sub-vectors; each sub-vector quantizes to its nearest of
+    * `codebookK` centroid sub-vectors (the same bounded md5-sample
+    * centroid set as IVF, so the codebook is deterministic and
+    * corpus-independent); a vector's PQ code is its per-subspace
+    * centroid ids — 64 floats compress to `subspaces` small ids, the
+    * representation a 10¹⁰-vector store actually keeps in RAM. A query
+    * scans codes with ADC (asymmetric distance computation): its
+    * per-(subspace, centroid) distance table has codebookK × subspaces
+    * entries, and the approximate distance to any vector is a pure
+    * table-lookup sum — no original vectors touched. All distances are
+    * integer-exact squared euclidean over the scaled BIGINT vectors, so
+    * the DuckDB oracle mirrors the whole pipeline bit-for-bit (this is
+    * the plain ADC scan; at deployment scale it composes with the IVF
+    * cell scoping of q26 exactly as IVF-PQ does).
+    *
+    * Knobs (SURVEY §8.1): compression = 64·4 bytes → subspaces·log₂
+    * codebookK bits; quantization error falls as either rises; ADC work
+    * per query = codebookK·subspaces table entries + n·subspaces adds. */
+  def pqTopK(spark: SparkSession, dir: String, subspaces: Int = 8,
+             codebookK: Int = 16, topK: Int = 5): DataFrame = {
+    require(64 % subspaces == 0, "subspaces must divide the 64-dim space")
+    val w = 64 / subspaces
+    val v = scaled(spark, dir)
+    // per-(vector, centroid) sub-distances: one broadcast join row per
+    // pair, all `subspaces` integer sums computed in that row. Feeds
+    // BOTH the corpus encoding and the query distance tables — the
+    // persist/release diamond lifecycle again.
+    val dCols = (0 until subspaces).map { s =>
+      expr(s"""aggregate(sequence(${s * w}, ${s * w + w - 1}), 0L,
+              | (acc, i) -> acc + (ai[i] - c_ai[i]) * (ai[i] - c_ai[i]))""".stripMargin)
+        .as(s"d$s")
+    }
+    val pairs = v.crossJoin(broadcast(centroids(v, codebookK)))
+      .select(col("vec_id") +: dCols :+ col("c_id"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // encode: per subspace, the centroid minimizing (d, c_id) — the
+    // struct min is the deterministic argmin (same total order as the
+    // oracle's row_number over (d, c_id))
+    val enc = pairs.groupBy(col("vec_id"))
+      .agg(min(struct(col("d0"), col("c_id"))).as("m0"),
+        (1 until subspaces).map(s =>
+          min(struct(col(s"d$s"), col("c_id"))).as(s"m$s")): _*)
+    val codes = enc.select(col("vec_id"), explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("s"), col(s"m$s.c_id").as("code"))): _*)).as("k"))
+      .select(col("vec_id"), col("k.s").as("s"), col("k.code").as("code"))
+    // query ADC tables: the SAME pair rows, restricted to query vectors
+    val qd = pairs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("c_id"),
+        explode(array((0 until subspaces).map(s =>
+          struct(lit(s).as("s"), col(s"d$s").as("d"))): _*)).as("k"))
+      .select(col("q_id"), col("c_id"), col("k.s").as("s"), col("k.d").as("d"))
+    // ADC scan: every (vector, subspace, code) row looks its distance up
+    // in the broadcast table; partial aggregation sums map-side
+    val topk = udaf(new graft.functions.TopKAgg(topK))
+    val out = codes
+      .join(broadcast(qd), codes("s") === qd("s") && codes("code") === qd("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("approx_dist"))
+      .groupBy(col("q_id"))
+      .agg(topk(negate(col("approx_dist")).cast("double"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"),
+        negate(col("col._1")).cast("long").as("approx_dist"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    out
+  }
+
   /** Embedding near-duplicate pairs, cluster-scoped (the SemDeDup shape —
     * the industry-standard 100 TB semantics): candidate pairs share at
     * least one IVF cell under 2-way multi-assignment, then verify with
@@ -433,6 +506,34 @@ object Similarity {
          |SELECT q_id, vec_id, cos, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+    // q87: PQ/ADC — the oracle replays codebook, per-subspace argmin
+    // encoding (row_number over (d, c_id) ≡ the Spark struct-min), the
+    // query distance tables, and the table-lookup sum, all in exact
+    // BIGINT arithmetic.
+    "q87_pq_ann" ->
+      s"""WITH v AS (SELECT vec_id, ai FROM ($scaledSql)),
+         |c AS (SELECT vec_id AS c_id, ai AS c_ai FROM v
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |pairs AS (
+         |  SELECT v.vec_id, s.s, c.c_id,
+         |    list_sum(list_transform(range(CAST(s.s*8 AS INT), CAST(s.s*8+8 AS INT)),
+         |      i -> (v.ai[i+1] - c.c_ai[i+1]) * (v.ai[i+1] - c.c_ai[i+1]))) AS d
+         |  FROM v, (SELECT unnest(range(0, 8)) AS s) s, c),
+         |enc AS (
+         |  SELECT vec_id, s, c_id AS code FROM (
+         |    SELECT vec_id, s, c_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c_id) AS rn
+         |    FROM pairs)
+         |  WHERE rn = 1),
+         |qd AS (SELECT vec_id AS q_id, s, c_id, d FROM pairs WHERE vec_id % 50 = 0),
+         |approx AS (
+         |  SELECT qd.q_id, e.vec_id, CAST(sum(qd.d) AS BIGINT) AS approx_dist
+         |  FROM enc e JOIN qd ON qd.s = e.s AND qd.c_id = e.code AND qd.q_id <> e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, vec_id, approx_dist, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS rn
+         |  FROM approx)
          |WHERE rn <= 5""".stripMargin,
     // q27: cluster-scoped near-dup — the oracle mirrors the 2-way cell
     // assignment and within-cell pair enumeration exactly.
