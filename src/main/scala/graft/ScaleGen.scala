@@ -34,15 +34,25 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, src)
     val emb = Tables.embeddings(spark, src)
+    // replica id offset derived from the source's own key range — a fixed
+    // 1e8 constant would silently collide (duplicate keys corrupting the
+    // dedup shape) if ids ever grow past it at larger source scales
+    val off = math.max(
+      docs.agg(max(col("doc_id"))).head.getLong(0),
+      emb.agg(max(col("vec_id"))).head.getLong(0)) + 1L
     val docsN = (0 until reps).map { r =>
       docs.select(
-        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        (col("doc_id") + lit(r.toLong * off)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"r$r-$$1").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+        // the replica prefix changes every token, so the stored n_chars
+        // would no longer equal length(text) — recompute it
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionByName(_))
     val embN = (0 until reps).map { r =>
       emb.select(
-        (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+        (col("vec_id") + lit(r.toLong * off)).as("vec_id"),
         expr(s"transform(embedding, (x, i) -> CAST(x + $r * 0.003 * ((i % 5) - 2) AS FLOAT))")
           .as("embedding"),
         col("label"))

@@ -24,6 +24,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Candidate-doc ids above this stop broadcasting in verifyJaccard
+    * (~4M longs ≈ 32 MB serialized — well inside executor broadcast
+    * budgets; beyond it the semi-join shuffles instead of failing). */
+  private val MaxBroadcastCandDocs = 4L << 20
+
   /** Canonical text normalization shared by the dedup family. */
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
@@ -81,7 +86,15 @@ object Dedup {
     // shingle index instead of all of it. The restriction broadcasts.
     val candDocs = pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
-    val arrays = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // the restriction broadcasts only while it provably fits: 2·|pairs|
+    // bounds the candidate-doc count (cheap to know — pairs is already
+    // materialized). A pathological corpus / low threshold where the
+    // candidate set approaches corpus size degrades to a shuffled
+    // semi-join instead of blowing the broadcast limit.
+    val restrict =
+      if (pairs.count() * 2 <= MaxBroadcastCandDocs) broadcast(candDocs)
+      else candDocs
+    val arrays = sh.join(restrict, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy(col("doc_id"))

@@ -80,7 +80,18 @@ object StreamingEvents {
     * AvailableNow on the bounded source the result provably equals the
     * batch interval join — which is exactly the oracle SQL. */
   def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
-    def side(kind: String, prefix: String) = spark.readStream
+    // a stateful streaming query pins its state parallelism at FIRST run
+    // (the partition count is written into the state metadata), so it
+    // must be sized to the stream's throughput, not inherited from a
+    // batch session default: each partition carries four state stores
+    // (two per join side), and 32 of them cost ~5 s of per-batch store
+    // init/commit for a stream this size. Scope the override to a CLONED
+    // session (shared SparkContext + builder conf, own SQLConf) so
+    // concurrent planning on the caller's session never observes it —
+    // the library rule is that operators don't mutate the caller's conf.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def side(kind: String, prefix: String) = ss.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -98,27 +109,16 @@ object StreamingEvents {
         col("click_ts").cast(TimestampNTZType).as("click_ts"),
         col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
     val name = s"stream_join_${System.nanoTime()}"
-    // a stateful streaming query pins its state parallelism at FIRST run
-    // (the partition count is written into the state metadata), so it
-    // must be sized to the stream's throughput, not inherited from a
-    // batch session default: each partition carries four state stores
-    // (two per join side), and 32 of them cost ~5 s of per-batch store
-    // init/commit for a stream this size. 8 is right here; a 100 TB
-    // deployment sizes UP with input rate at query birth.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // microbatches plan asynchronously after start() — the conf must
-      // hold until the (bounded) query terminates
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    freeze(spark, name)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the memory sink registers its temp view in the session that started
+    // the query — freeze from the clone (the checkpointed result outlives it)
+    freeze(ss, name)
   }
 
   /** Oracle: identical to the batch queries — the point. */
