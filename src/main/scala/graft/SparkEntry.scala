@@ -104,6 +104,8 @@ object SparkEntry {
     "q85_movie_pipeline"   -> (etl.Pipeline.moviePipeline _),
     "q86_stream_join"      -> (streaming.StreamingEvents.clickPurchaseJoin _),
     "q87_pq_ann"           -> ((s, d) => ops.Similarity.pqTopK(s, d)),
+    "q88_bloom_decontaminate" -> ((s, d) => ops.Curation.bloomDecontaminate(s, d)),
+    "q89_chunk_dedup"      -> ((s, d) => ops.Curation.chunkDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,7 +117,7 @@ object SparkEntry {
       sources.Sinks.oracle ++ sources.FetchSource.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
-      ops.Clusters.oracle ++
+      ops.Clusters.oracle ++ ops.Curation.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++
       streaming.StatefulSessions.oracle

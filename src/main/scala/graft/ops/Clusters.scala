@@ -55,34 +55,36 @@ object Clusters {
     * returns ((node, comp) rows, rounds-to-converge) where comp = min
     * node id in the component. */
   def connectedComponentsWithRounds(edges: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
-    var e = edges
+    // fixpoint signature (size + two order-independent checksums) rides
+    // the checkpoint materialization as an `observe` metric — the job
+    // that truncates lineage also yields the signature, so a round costs
+    // ONE scan of the edge set, not two. A signature match is CONFIRMED
+    // with an exact except() before the loop exits, so a checksum
+    // collision can only cost one extra round, never a wrong answer.
+    def checkpointWithSig(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("huv"),
+        coalesce(bit_xor(xxhash64(col("v"), col("u"))), lit(0L)).as("hvu"))
+        .localCheckpoint(true) // eager — fires the observation
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long], m("huv").asInstanceOf[Long],
+        m("hvu").asInstanceOf[Long]))
+    }
+    var (e, sig) = checkpointWithSig(edges
       .select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    // one-job fixpoint signature (size + two order-independent checksums);
-    // a signature match is CONFIRMED with an exact except() before the loop
-    // exits, so a checksum collision can only cost one extra round, never
-    // a wrong answer
-    def signature(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
-        coalesce(bit_xor(xxhash64(col("v"), col("u"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+      .distinct())
     var rounds = 0
-    var converged = e.isEmpty
-    // sentinel: skips the up-front signature job; at worst (input already
-    // star-shaped) it costs one extra round, never a wrong answer
-    var sig = (-1L, 0L, 0L)
+    var converged = sig._1 == 0L // empty edge set is already a fixpoint
     while (!converged && rounds < maxRounds) {
       // smallStar scans the large-star result twice (mins + re-join), but
       // Catalyst reuses the shuffle exchange — only `next` needs the
       // lineage-truncating checkpoint
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val (next, nextSig) = checkpointWithSig(smallStar(largeStar(e)))
       rounds += 1
-      val nextSig = signature(next)
       converged = nextSig == sig && next.except(e).isEmpty
       sig = nextSig
       e = next

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the q79/q84 exact forms: a
+  * Bloom-prefiltered decontamination (the 100 TB shape of the eval-overlap
+  * scan) and C4-style chunk-level exact dedup with document
+  * reconstruction (Raffel et al., JMLR 2020 §2.2 dedup three-sentence
+  * spans across the corpus; with the synthetic corpus's unpunctuated
+  * text, the span unit is a fixed token window).
+  */
+object Curation {
+
+  /** Bloom width: 2^20 bits = 16 Ki longs ≈ 128 KiB — broadcastable to
+    * every executor at any cluster size. */
+  private val BloomBits = 1 << 20
+
+  /** q50's content-independent train/eval split rule (shared with q79). */
+  private def isEval(c: Column) = md5(c.cast("string")) >= "e6"
+
+  /** Two md5-derived bit positions (k = 2) for a shingle — 60-bit uniform
+    * ints from disjoint hex ranges, mod the filter width. md5 keeps the
+    * construction engine-portable: DuckDB derives the IDENTICAL bitset,
+    * so the candidate counts (not just the final answer) oracle-check. */
+  private def bloomPositions(bits: Int): Column = array(
+    expr(s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $bits"),
+    expr(s"CAST(conv(substring(md5(shingle), 17, 15), 16, 10) AS BIGINT) % $bits"))
+
+  /** q88: decontamination with a Bloom-filter prefilter — same exact
+    * answer as q79, different 100 TB cost shape. q79's semi-join
+    * shuffles EVERY train shingle on the shingle key; here the eval
+    * shingle set collapses to a fixed 128 KiB bitset (one BitsetOrAgg
+    * aggregate, `words * 8` bytes per partition on the exchange), the
+    * bitset broadcasts, and train shingles test membership MAP-SIDE —
+    * only Bloom survivors (true contamination + the ~(kn/m)^k false
+    * positives) reach the exact verification semi-join. With no false
+    * negatives by construction and exact verification after, the final
+    * counts equal the exact scan's; the oracle recomputes the same
+    * bitset in SQL and checks the candidate counts too.
+    *
+    * This is Spark's own runtime-bloom-join idea (InjectRuntimeFilter)
+    * made explicit and portable, with the filter sized by the operator
+    * instead of left to conf thresholds. */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+                         bits: Int = BloomBits): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    val bitsetOr = udaf(new graft.functions.BitsetOrAgg(bits / 64))
+    val docs = Tables.documents(spark, dir)
+    val evalSh = Dedup.shinglesOf(docs.filter(isEval(col("doc_id"))))
+      .select(col("shingle")).distinct()
+    val bloom = evalSh.select(bloomPositions(bits).as("ps"))
+      .agg(bitsetOr(col("ps")).as("bits"))
+    val trainSh = Dedup.shinglesOf(docs.filter(!isEval(col("doc_id"))))
+    // membership is pure column algebra over the broadcast 1-row bitset:
+    // forall positions p, bit (p % 64) of word (p div 64) is set
+    val candidates = trainSh
+      .withColumn("ps", bloomPositions(bits))
+      .crossJoin(broadcast(bloom))
+      .filter(expr(
+        "forall(ps, p -> ((bits[CAST(p DIV 64 AS INT)] >> CAST(p % 64 AS INT)) & 1) = 1)"))
+      .select(col("doc_id"), col("shingle"))
+    val candDocs = candidates.select(col("doc_id")).distinct()
+      .withColumn("is_cand", lit(true))
+    // exact verify over survivors only — false positives die here
+    val contaminated = candidates.join(evalSh, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(true))
+    docs.filter(!isEval(col("doc_id")))
+      .join(candDocs, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_bloom_candidates"),
+        sum(when(col("is_cont"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("n_clean", col("n_train") - col("n_contaminated"))
+  }
+
+  /** Span unit for chunk dedup: consecutive windows of this many tokens. */
+  private val ChunkTokens = 10
+
+  /** q89: C4-style cross-corpus exact span dedup — every distinct
+    * `ChunkTokens`-token chunk keeps exactly its FIRST occurrence
+    * (min (doc_id, position) over the whole corpus) and every other
+    * occurrence is cut; documents are reconstructed from their surviving
+    * chunks in order.
+    *
+    * Scale shape: chunk TEXT never shuffles. The keep-first winner per
+    * chunk is a groupBy-min over (md5(chunk), doc_id, pos) — 16-byte
+    * keys + two ints on the exchange — and reconstruction re-derives the
+    * surviving text MAP-SIDE by re-slicing the source document against
+    * its kept-position list (one equi-join on doc_id), instead of
+    * shuffling chunk strings back together. At 100 TB the alternative
+    * (window over md5(chunk) carrying text, or reassembling from shuffled
+    * chunk strings) moves the whole corpus through the exchange twice. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 chunkTokens: Int = ChunkTokens): DataFrame = {
+    require(chunkTokens > 0, "chunk size must be positive")
+    val ct = chunkTokens
+    def toksOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"),
+        split(Dedup.normText(col("text")), " ").as("toks"))
+    // (doc_id, pos, chunk-hash); split(text) is never empty, so
+    // ceil(size/ct) >= 1 and sequence() is always ascending
+    val chunks = toksOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(toks) / $ct.0) AS INT) - 1),
+           |  c -> md5(concat_ws(' ', slice(toks, c * $ct + 1, $ct))))""".stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val keep = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+    val keptPos = chunks.join(keep, "h")
+      .filter(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    toksOf(Tables.documents(spark, dir))
+      .join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(ceil(size(toks) / $ct.0) AS BIGINT)").as("n_chunks"),
+        when(col("ps").isNull, 0L).otherwise(size(col("ps")).cast("long")).as("n_kept"),
+        when(col("ps").isNull, lit("")).otherwise(expr(
+          s"concat_ws(' ', flatten(transform(ps, c -> slice(toks, c * $ct + 1, $ct))))"))
+          .as("text_clean"))
+  }
+
+  private val shinglesSql =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(t)-2, 0)),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+      |FROM (SELECT doc_id,
+      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |      FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // recomputes the SAME bitset (md5 positions are engine-portable), so
+    // the bloom candidate column is checked bit-for-bit, not just the
+    // exact final counts
+    "q88_bloom_decontaminate" ->
+      s"""WITH sh AS ($shinglesSql),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE md5(CAST(doc_id AS VARCHAR)) >= 'e6'),
+         |bits AS (SELECT CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % $BloomBits AS p FROM ev
+         |  UNION SELECT CAST('0x' || substring(md5(shingle), 17, 15) AS BIGINT) % $BloomBits FROM ev),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE md5(CAST(doc_id AS VARCHAR)) < 'e6'),
+         |cand AS (SELECT doc_id, shingle FROM tr
+         |  WHERE CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % $BloomBits IN (SELECT p FROM bits)
+         |    AND CAST('0x' || substring(md5(shingle), 17, 15) AS BIGINT) % $BloomBits IN (SELECT p FROM bits)),
+         |cd AS (SELECT DISTINCT doc_id FROM cand),
+         |cont AS (SELECT DISTINCT c.doc_id FROM cand c JOIN ev USING (shingle))
+         |SELECT d.lang, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_candidates,
+         |  CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  count(*) - CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM documents d LEFT JOIN cd ON cd.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+         |WHERE md5(CAST(d.doc_id AS VARCHAR)) < 'e6'
+         |GROUP BY 1""".stripMargin,
+    "q89_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+         |  FROM documents),
+         |ch AS (SELECT doc_id,
+         |    unnest(range(0, CAST(ceil(len(t)/$ChunkTokens.0) AS BIGINT))) AS pos,
+         |    unnest(list_transform(range(0, CAST(ceil(len(t)/$ChunkTokens.0) AS BIGINT)),
+         |      c -> array_to_string(t[CAST(c*$ChunkTokens+1 AS INT):CAST(c*$ChunkTokens+$ChunkTokens AS INT)], ' '))) AS chunk
+         |  FROM d),
+         |keep AS (SELECT doc_id, pos, chunk,
+         |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn FROM ch),
+         |rb AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+         |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, CAST(ceil(len(d.t)/$ChunkTokens.0) AS BIGINT) AS n_chunks,
+         |  coalesce(rb.n_kept, 0) AS n_kept, coalesce(rb.text_clean, '') AS text_clean
+         |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin,
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, TextAnalysis}
+
+/** q88 bloom decontamination + q89 chunk dedup. */
+class CurationSpec extends SparkSpec {
+
+  test("bloom decontamination: exact columns equal the exact q79 scan") {
+    val bloom = Curation.bloomDecontaminate(spark, sf)
+      .select("lang", "n_train", "n_contaminated", "n_clean")
+    val exact = TextAnalysis.decontaminate(spark, sf)
+      .select("lang", "n_train", "n_contaminated", "n_clean")
+    assertSameRows(bloom, exact)
+  }
+
+  test("bloom candidates superset contaminated; never exceed train count") {
+    val r = Curation.bloomDecontaminate(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (train, cand, cont) = (row.getAs[Long]("n_train"),
+        row.getAs[Long]("n_bloom_candidates"), row.getAs[Long]("n_contaminated"))
+      assert(cand >= cont, s"bloom has no false negatives: $row")
+      assert(cand <= train, s"candidates bounded by split size: $row")
+    }
+  }
+
+  test("smaller bloom degrades candidates gracefully, never the answer") {
+    // 2^10 bits over thousands of shingles → heavy false-positive load;
+    // the exact columns must not move
+    val tiny = Curation.bloomDecontaminate(spark, sf, bits = 1 << 10)
+      .select("lang", "n_train", "n_contaminated", "n_clean")
+    val exact = TextAnalysis.decontaminate(spark, sf)
+      .select("lang", "n_train", "n_contaminated", "n_clean")
+    assertSameRows(tiny, exact)
+  }
+
+  test("chunk dedup: chunk multiset is globally unique after the cut") {
+    val out = Curation.chunkDedup(spark, sf)
+    // re-chunk the cleaned text: every surviving chunk appears exactly once
+    // corpus-wide (first occurrences survive, all repeats are cut)
+    val reChunks = out.filter(col("n_kept") > 0)
+      .select(col("doc_id"), split(col("text_clean"), " ").as("toks"))
+      .select(explode(expr(
+        """transform(sequence(0, CAST(ceil(size(toks) / 10.0) AS INT) - 1),
+          |  c -> concat_ws(' ', slice(toks, c * 10 + 1, 10)))""".stripMargin)).as("chunk"))
+    // re-chunking reproduces the kept chunks exactly: every non-final
+    // source chunk is exactly 10 tokens and the only short chunk (a doc's
+    // final one) sorts last in the reconstruction, so boundaries align
+    val dupCount = reChunks.groupBy("chunk").count().filter(col("count") > 1).count()
+    assert(dupCount == 0, s"$dupCount chunks still duplicated after dedup")
+    assert(out.agg(sum("n_kept")).head.getLong(0) == reChunks.count(),
+      "kept chunk count consistent with reconstruction")
+  }
+
+  test("chunk dedup: first doc is untouched; totals conserve") {
+    val out = Curation.chunkDedup(spark, sf).cache()
+    val first = out.orderBy("doc_id").limit(1).head()
+    assert(first.getAs[Long]("n_kept") == first.getAs[Long]("n_chunks"),
+      "doc 0 keeps everything (nothing precedes it)")
+    val r = out.agg(sum("n_kept").as("k"), sum("n_chunks").as("c")).head()
+    assert(r.getLong(0) <= r.getLong(1))
+    assert(out.filter(col("n_kept") < col("n_chunks")).count() > 0,
+      "the synthetic corpus does contain repeated chunks")
+    out.unpersist()
+  }
+}
