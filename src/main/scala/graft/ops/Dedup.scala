@@ -190,20 +190,40 @@ object Dedup {
   private val NumHashes = 16
   private val BandRows = 2 // 8 bands × 2 rows: P(candidate|j=0.5) ≈ 0.90
 
-  /** MinHash signatures: one row per doc, h0..h15 = lexicographic min over
-    * shingles of md5("seed:shingle") (a uniform hash's hex string is a
-    * valid permutation proxy, and md5 is engine-portable — DuckDB computes
-    * the identical signature, which is what makes q23 oracle-checkable).
-    * A single shuffle (groupBy doc_id) computes all 16 mins with map-side
-    * partial aggregation — this is the 100 TB path where the exact
-    * inverted index blows up. */
+  /** Carter-Wegman universal hash family over a 31-bit Mersenne-prime
+    * field: h_i(x) = (a_i·x + b_i) mod (2^31 − 1). Products stay under
+    * 2^62, so BOTH engines evaluate in exact 64-bit integer arithmetic —
+    * the family is engine-portable by construction. The (a_i, b_i)
+    * constants are fixed LCG-derived literals so the DuckDB oracle can
+    * embed the identical numbers. */
+  private val MersenneP = 2147483647L
+  private[graft] def cwConstants(i: Int): (Long, Long) = {
+    val a = (1103515245L * (i + 1) + 12345L) % MersenneP
+    val b = (22695477L * (i + 1) + 1L) % MersenneP
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** MinHash signatures: one row per doc, h0..h15 = min over shingles of
+    * CW-hash_i(md5-int of the shingle). ONE md5 per shingle row — the
+    * per-permutation work is two integer ops, not another full-text hash
+    * (the 16× md5 form paid the dominant cost of signature building at
+    * corpus scale for no statistical gain; a universal family is the
+    * textbook MinHash construction, Broder 1997). md5 keeps the base
+    * hash engine-portable, so DuckDB derives bit-identical signatures —
+    * what makes q23 oracle-checkable. A single shuffle (groupBy doc_id)
+    * computes all 16 mins with map-side partial aggregation — this is
+    * the 100 TB path where the exact inverted index blows up. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesOf(shingles(spark, dir))
 
   private def signaturesOf(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
-    val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"h$s"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withBase = sh.withColumn("hv",
+      expr(s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MersenneP"))
+    val aggs = (0 until numHashes).map { s =>
+      val (a, b) = cwConstants(s)
+      min((lit(a) * col("hv") + lit(b)) % MersenneP).as(s"h$s")
+    }
+    withBase.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup: band the signatures (band hash = md5 of the
@@ -230,7 +250,9 @@ object Dedup {
     // cache
     val sig = signaturesOf(sh, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until numHashes / bandRows).map { b =>
-      val cols = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      // explicit cast: both engines render a BIGINT as plain decimal
+      // digits, keeping the band hash portable
+      val cols = (0 until bandRows).map(r => col(s"h${b * bandRows + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -390,14 +412,18 @@ object Dedup {
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
 
   private val minhashSigSql = {
-    val mins = (0 until NumHashes)
-      .map(s => s"min(md5('$s:' || shingle)) AS h$s").mkString(",\n  ")
-    s"SELECT doc_id,\n  $mins\nFROM sh GROUP BY doc_id"
+    val mins = (0 until NumHashes).map { s =>
+      val (a, b) = cwConstants(s)
+      s"min(($a * hv + $b) % $MersenneP) AS h$s"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,\n  $mins\nFROM (SELECT doc_id,
+       |  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % $MersenneP AS hv
+       |  FROM sh) GROUP BY doc_id""".stripMargin
   }
 
   private val minhashBandSql = {
     val cases = (0 until NumHashes / BandRows).map { b =>
-      val parts = (0 until BandRows).map(r => s"h${b * BandRows + r}")
+      val parts = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
       s"WHEN $b THEN md5(${parts.mkString(" || '|' || ")})"
     }.mkString(" ")
     s"""SELECT doc_id, band, CASE band $cases END AS bh

@@ -97,6 +97,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q88 bloom prefilter is a map-side forall over the broadcast bitset") {
+    val p = plan(q("q88_bloom_decontaminate"))
+    assert(p.toLowerCase.contains("bitsetoragg"),
+      "bitset must build via the typed aggregator (partial, fixed-size buffers)")
+    assert(p.contains("forall"),
+      "membership must be a plain Filter over the broadcast bitset, not a join")
+    assert(p.contains("LeftSemi"), "exact verification stays a semi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q89 keep-first is a partial groupBy-min over hashes; text never windows") {
+    val p = plan(q("q89_chunk_dedup"))
+    assert(!p.contains("Window"),
+      "keep-first must be groupBy-min (partial), not row_number carrying chunk text")
+    assert(p.contains("partial_min"), "winner selection must combine map-side")
+    assert(p.contains("partial_collect_list(pos"),
+      "reconstruction must collect POSITIONS, not chunk strings")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf)
