@@ -106,6 +106,7 @@ object SparkEntry {
     "q87_pq_ann"           -> ((s, d) => ops.Similarity.pqTopK(s, d)),
     "q88_bloom_decontaminate" -> ((s, d) => ops.Curation.bloomDecontaminate(s, d)),
     "q89_chunk_dedup"      -> ((s, d) => ops.Curation.chunkDedup(s, d)),
+    "q90_shard_manifest"   -> ((s, d) => ops.Curation.shardManifest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -125,6 +125,46 @@ object Curation {
           .as("text_clean"))
   }
 
+  /** Default shard count for q90 (a knob; real deployments size shards
+    * to ~1 GB of tokens each). */
+  private val NumShards = 64
+
+  /** q90: deterministic corpus sharding — the last step of every corpus
+    * build, turning the curated document set into fixed, reproducible
+    * training shards. Each doc gets a content-independent shuffle key
+    * (md5 of its id): shard = key mod `nShards`, within-shard order =
+    * the full hex key — so the shard layout is a pure function of doc
+    * ids, stable across re-runs, cluster sizes, and partitionings (the
+    * property that makes training jobs resumable and ablations
+    * comparable). Output is the shard MANIFEST (per-shard doc/token
+    * counts + the first doc in shuffle order), which is what a loader
+    * consumes; the write path is the same keys through
+    * repartitionByRange(shard) + sortWithinPartitions(ord) (asserted in
+    * CurationSpec over a real parquet write).
+    *
+    * Scale shape: one groupBy(shard) aggregate — 64 groups regardless
+    * of corpus size, partial map-side; the write is one range shuffle. */
+  def shardManifest(spark: SparkSession, dir: String,
+                    nShards: Int = NumShards): DataFrame = {
+    require(nShards > 0, "shard count must be positive")
+    shardKeys(spark, dir, nShards)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min_by(col("doc_id"), col("ord")).as("first_doc_id"))
+  }
+
+  /** (doc_id, n_tok, shard_id, ord) — the sharding keys, shared by the
+    * manifest query and the writer path. */
+  private[graft] def shardKeys(spark: SparkSession, dir: String,
+                               nShards: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(Dedup.normText(col("text")), " ")).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("shard_id",
+        expr(s"CAST(conv(substring(ord, 1, 15), 16, 10) AS BIGINT) % $nShards"))
+
   private val shinglesSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(0, greatest(len(t)-2, 0)),
@@ -156,6 +196,15 @@ object Curation {
          |  LEFT JOIN cont ON cont.doc_id = d.doc_id
          |WHERE md5(CAST(d.doc_id AS VARCHAR)) < 'e6'
          |GROUP BY 1""".stripMargin,
+    "q90_shard_manifest" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok,
+         |    md5(CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents)
+         |SELECT CAST('0x' || substring(ord, 1, 15) AS BIGINT) % $NumShards AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  arg_min(doc_id, ord) AS first_doc_id
+         |FROM k GROUP BY 1""".stripMargin,
     "q89_chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.{Curation, TextAnalysis}
 
-/** q88 bloom decontamination + q89 chunk dedup. */
+/** q88 bloom decontamination + q89 chunk dedup + q90 shard manifest. */
 class CurationSpec extends SparkSpec {
 
   test("bloom decontamination: exact columns equal the exact q79 scan") {
@@ -51,6 +51,34 @@ class CurationSpec extends SparkSpec {
     assert(dupCount == 0, s"$dupCount chunks still duplicated after dedup")
     assert(out.agg(sum("n_kept")).head.getLong(0) == reChunks.count(),
       "kept chunk count consistent with reconstruction")
+  }
+
+  test("shard manifest: partition-of-corpus, deterministic, knob-stable") {
+    val m = Curation.shardManifest(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(m.agg(sum("n_docs")).head.getLong(0) == docs, "shards partition the corpus")
+    // pure function of doc ids: a second evaluation is bit-identical
+    assertSameRows(m, Curation.shardManifest(spark, sf))
+    // a different shard count still partitions everything
+    val m8 = Curation.shardManifest(spark, sf, nShards = 8)
+    assert(m8.agg(sum("n_docs")).head.getLong(0) == docs)
+    assert(m8.count() == 8)
+    m.unpersist()
+  }
+
+  test("sharded write lays out sorted shards that reproduce the manifest") {
+    import org.apache.spark.sql.functions.{col => c}
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val keys = Curation.shardKeys(spark, sf, 8)
+    keys.repartitionByRange(8, c("shard_id"))
+      .sortWithinPartitions(c("shard_id"), c("ord"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    val back = spark.read.parquet(out)
+    // the written layout reproduces the manifest exactly
+    val manifest = back.groupBy(c("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(c("n_tok")).as("n_tokens"),
+        min_by(c("doc_id"), c("ord")).as("first_doc_id"))
+    assertSameRows(manifest, Curation.shardManifest(spark, sf, nShards = 8))
   }
 
   test("chunk dedup: first doc is untouched; totals conserve") {
