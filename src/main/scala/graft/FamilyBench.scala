@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: scale-trend bench for the dedup/similarity/curation
+  * family (the operators whose cost depends on corpus structure, not
+  * just volume). `runMain graft.FamilyBench <sfDir> [outFile]` — runs
+  * each family query twice warm (min-of-2, cache cleared between
+  * queries) and prints/writes one JSON line. Pair a driver-sf run with
+  * a `graft.ScaleGen` synthetic run for the trend (SURVEY §8.3).
+  *
+  * Needs only documents.parquet + embeddings.parquet in sfDir — exactly
+  * what ScaleGen synthesizes. */
+object FamilyBench {
+  private val Family = Seq(
+    "q21_dedup_exact", "q22_jaccard_neardup", "q23_minhash_lsh",
+    "q24_simhash_neardup", "q25_cosine_topk", "q26_ann_ivf",
+    "q27_embedding_neardup", "q54_dedup_clusters", "q76_ann_lsh",
+    "q88_bloom_decontaminate", "q89_chunk_dedup", "q90_shard_manifest")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outFile = if (args.length > 1) args(1) else "FAMILY_BENCH.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup: codegen/classload once, uncounted
+    SparkEntry.queries("q21_dedup_exact")(spark, sfDir).count()
+    val results = Family.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      (name, times.min)
+    }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      f"""{"metric":"dedup_similarity_family_total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(json)
+    spark.stop()
+  }
+}
