@@ -107,6 +107,7 @@ object SparkEntry {
     "q88_bloom_decontaminate" -> ((s, d) => ops.Curation.bloomDecontaminate(s, d)),
     "q89_chunk_dedup"      -> ((s, d) => ops.Curation.chunkDedup(s, d)),
     "q90_shard_manifest"   -> ((s, d) => ops.Curation.shardManifest(s, d)),
+    "q91_incremental_dedup" -> ((s, d) => ops.Dedup.incrementalDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -46,4 +46,32 @@ class DedupSpec extends SparkSpec {
     assert(d.count() == d.select("text_fp").distinct().count())
     assert(d.agg(sum("n_dups")).head.getLong(0) == Tables.documents(spark, sf).count())
   }
+
+  test("incremental dedup equals the brute-force delta-vs-corpus truth") {
+    val isDelta = (c: org.apache.spark.sql.Column) => md5(c.cast("string")) >= "c0"
+    val out = Dedup.incrementalDedup(spark, sf).cache()
+    // covers exactly the delta slice, one row per delta doc
+    val delta = Tables.documents(spark, sf).filter(isDelta(col("doc_id")))
+    assert(out.count() == delta.count())
+    // near-dup truth: brute-force jaccard pairs with one end on each side
+    // (bruteJaccard emits a_id < b_id, so check membership both ways)
+    val nearTruth = bruteJaccard(0.5)
+      .filter(isDelta(col("a_id")) =!= isDelta(col("b_id")))
+      .select(when(isDelta(col("a_id")), col("a_id")).otherwise(col("b_id")).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    // exact-dup truth: fingerprint shared with the corpus side
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp"))
+    val exactTruth = fp.filter(isDelta(col("doc_id"))).as("d")
+      .join(fp.filter(!isDelta(col("doc_id"))).as("c"), expr("d.fp = c.fp"), "left_semi")
+      .select(col("d.doc_id")).collect().map(_.getLong(0)).toSet
+    out.collect().foreach { r =>
+      val (id, st) = (r.getLong(0), r.getString(2))
+      val expected = if (exactTruth(id)) "exact_dup"
+        else if (nearTruth(id)) "near_dup" else "kept"
+      assert(st == expected, s"doc $id: got $st, expected $expected")
+    }
+    assert(out.filter(col("status") === "kept").count() > 0)
+    out.unpersist()
+  }
 }
