@@ -108,6 +108,7 @@ object SparkEntry {
     "q89_chunk_dedup"      -> ((s, d) => ops.Curation.chunkDedup(s, d)),
     "q90_shard_manifest"   -> ((s, d) => ops.Curation.shardManifest(s, d)),
     "q91_incremental_dedup" -> ((s, d) => ops.Dedup.incrementalDedup(s, d)),
+    "q92_stream_dedup"     -> (streaming.StreamingEvents.streamDistinctKeys _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

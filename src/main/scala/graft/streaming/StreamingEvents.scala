@@ -121,8 +121,39 @@ object StreamingEvents {
     freeze(ss, name)
   }
 
+  /** q92: streaming exact dedup — the streaming face of q21's
+    * fingerprint dedup, as the stateful `dropDuplicates` operator over
+    * the event stream. Emits the distinct (user_id, event_type) key
+    * set, which is deterministic regardless of arrival order (WHICH
+    * row wins is order-dependent; the key set is not — selecting keys
+    * first is what makes the streaming result provably equal the batch
+    * DISTINCT, i.e. the oracle). Under AvailableNow on the bounded
+    * backlog the dedup state is finite; a continuous deployment
+    * bounds state with `dropDuplicatesWithinWatermark` instead — that
+    * variant's re-delivery/expiry semantics are pinned in
+    * StreamingDedupSpec. */
+  def streamDistinctKeys(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = events.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freeze(spark, name)
+  }
+
   /** Oracle: identical to the batch queries — the point. */
   val oracle: Map[String, String] = Map(
+    "q92_stream_dedup" ->
+      "SELECT user_id, event_type FROM events GROUP BY 1, 2",
     "q34_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
