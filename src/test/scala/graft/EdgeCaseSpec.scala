@@ -72,4 +72,23 @@ class EdgeCaseSpec extends SparkSpec {
       .agg(min(col("doc_id")).as("keep_id")).collect()
     assert(fp.length == 1)
   }
+
+  test("chunk dedup edges: full copy empties, short doc keeps, first wins") {
+    val dir = java.nio.file.Files.createTempDirectory("edge_chunks").toString
+    val text25 = (1 to 25).map(i => s"w$i").mkString(" ") // 3 chunks (10/10/5)
+    Seq(
+      (0L, text25, "en", "src", text25.length.toLong),
+      (1L, text25, "en", "src", text25.length.toLong), // exact copy, higher id
+      (2L, "solo", "en", "src", 4L))                   // single token, unique
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Curation.chunkDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_kept") == 3 &&
+      out(0L).getAs[String]("text_clean") == text25, "first occurrence keeps all")
+    assert(out(1L).getAs[Long]("n_kept") == 0 &&
+      out(1L).getAs[String]("text_clean") == "", "full copy loses every chunk")
+    assert(out(2L).getAs[Long]("n_kept") == 1 &&
+      out(2L).getAs[String]("text_clean") == "solo", "unique short doc survives")
+  }
 }
