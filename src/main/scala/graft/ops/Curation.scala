@@ -24,9 +24,9 @@ object Curation {
     * ints from disjoint hex ranges, mod the filter width. md5 keeps the
     * construction engine-portable: DuckDB derives the IDENTICAL bitset,
     * so the candidate counts (not just the final answer) oracle-check. */
-  private def bloomPositions(bits: Int): Column = array(
-    expr(s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $bits"),
-    expr(s"CAST(conv(substring(md5(shingle), 17, 15), 16, 10) AS BIGINT) % $bits"))
+  private def bloomPositionSql(bits: Int): Seq[String] = Seq(
+    s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $bits",
+    s"CAST(conv(substring(md5(shingle), 17, 15), 16, 10) AS BIGINT) % $bits")
 
   /** q88: decontamination with a Bloom-filter prefilter — same exact
     * answer as q79, different 100 TB cost shape. q79's semi-join
@@ -50,16 +50,21 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val evalSh = Dedup.shinglesOf(docs.filter(isEval(col("doc_id"))))
       .select(col("shingle")).distinct()
-    val bloom = evalSh.select(bloomPositions(bits).as("ps"))
+    val bloom = evalSh
+      .select(array(bloomPositionSql(bits).map(expr): _*).as("ps"))
       .agg(bitsetOr(col("ps")).as("bits"))
     val trainSh = Dedup.shinglesOf(docs.filter(!isEval(col("doc_id"))))
-    // membership is pure column algebra over the broadcast 1-row bitset:
-    // forall positions p, bit (p % 64) of word (p div 64) is set
+    // membership is pure column algebra over the broadcast 1-row bitset,
+    // UNROLLED per position (k is a compile-time constant): higher-order
+    // functions like forall run interpreted, and this predicate sits on
+    // the train side's hot path — unrolling keeps the probe inside
+    // whole-stage codegen
+    val probe = bloomPositionSql(bits).map(p => expr(
+      s"((bits[CAST(($p) DIV 64 AS INT)] >> CAST(($p) % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
     val candidates = trainSh
-      .withColumn("ps", bloomPositions(bits))
       .crossJoin(broadcast(bloom))
-      .filter(expr(
-        "forall(ps, p -> ((bits[CAST(p DIV 64 AS INT)] >> CAST(p % 64 AS INT)) & 1) = 1)"))
+      .filter(probe)
       .select(col("doc_id"), col("shingle"))
     val candDocs = candidates.select(col("doc_id")).distinct()
       .withColumn("is_cand", lit(true))

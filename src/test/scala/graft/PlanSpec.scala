@@ -101,8 +101,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("q88_bloom_decontaminate"))
     assert(p.toLowerCase.contains("bitsetoragg"),
       "bitset must build via the typed aggregator (partial, fixed-size buffers)")
-    assert(p.contains("forall"),
-      "membership must be a plain Filter over the broadcast bitset, not a join")
+    // the probe itself must be unrolled bit tests (codegen), not an
+    // interpreted forall lambda (shingling's transform lambdas are
+    // per-doc, off the per-shingle hot path)
+    assert(!p.contains("forall"),
+      "the probe must be unrolled bit tests, not an interpreted lambda")
+    assert(p.contains(">> cast") || p.contains("shiftright"),
+      "membership must be a plain bit-test predicate over the broadcast bitset")
     assert(p.contains("LeftSemi"), "exact verification stays a semi join")
     assert(!p.contains("CartesianProduct"))
   }
