@@ -109,6 +109,7 @@ object SparkEntry {
     "q90_shard_manifest"   -> ((s, d) => ops.Curation.shardManifest(s, d)),
     "q91_incremental_dedup" -> ((s, d) => ops.Dedup.incrementalDedup(s, d)),
     "q92_stream_dedup"     -> (streaming.StreamingEvents.streamDistinctKeys _),
+    "q93_sequence_packing" -> ((s, d) => ops.Curation.sequencePacking(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -170,6 +170,41 @@ object Curation {
       .withColumn("shard_id",
         expr(s"CAST(conv(substring(ord, 1, 15), 16, 10) AS BIGINT) % $nShards"))
 
+  /** Token budget per packed training sequence (q93). A power of two, so
+    * fill_ratio = n_tokens / capacity is exact in binary floating point —
+    * no cross-engine rounding risk in the oracle compare. */
+  private val PackCapacity = 2048L
+
+  /** q93: sequence packing — the step between sharding (q90) and the
+    * trainer: concatenate documents in deterministic shard order into
+    * fixed `capacity`-token packs (sample packing; the loader truncates
+    * or pads at pack boundaries). Pack assignment is the running token
+    * count BEFORE each doc, integer-divided by capacity — a per-shard
+    * prefix-sum window, so a doc's pack is a pure function of (shard,
+    * order) and the packing reproduces bit-for-bit on any cluster.
+    *
+    * Scale shape: ONE window, partitioned by shard_id and ordered by
+    * the same key the q90 writer sorts by — on the written layout this
+    * is a map-side running sum per already-sorted shard file; there is
+    * no global sort and no unbounded partition (shards are ~equal-sized
+    * by construction). Output is the per-pack manifest the loader
+    * consumes. */
+  def sequencePacking(spark: SparkSession, dir: String,
+                      nShards: Int = NumShards,
+                      capacity: Long = PackCapacity): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("ord"))
+    shardKeys(spark, dir, nShards)
+      .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", floor(col("before") / capacity))
+      .groupBy(col("shard_id"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min_by(col("doc_id"), col("ord")).as("first_doc_id"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / capacity)
+  }
+
   private val shinglesSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(0, greatest(len(t)-2, 0)),
@@ -201,6 +236,23 @@ object Curation {
          |  LEFT JOIN cont ON cont.doc_id = d.doc_id
          |WHERE md5(CAST(d.doc_id AS VARCHAR)) < 'e6'
          |GROUP BY 1""".stripMargin,
+    "q93_sequence_packing" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok,
+         |    md5(CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tok, ord,
+         |    CAST('0x' || substring(ord, 1, 15) AS BIGINT) % $NumShards AS shard_id
+         |  FROM k),
+         |p AS (SELECT shard_id, doc_id, n_tok, ord,
+         |    CAST(floor((sum(n_tok) OVER (PARTITION BY shard_id ORDER BY ord
+         |      ROWS UNBOUNDED PRECEDING) - n_tok) / $PackCapacity) AS BIGINT) AS pack_id
+         |  FROM s)
+         |SELECT shard_id, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  arg_min(doc_id, ord) AS first_doc_id,
+         |  CAST(sum(n_tok) AS DOUBLE) / $PackCapacity AS fill_ratio
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "q90_shard_manifest" ->
       s"""WITH k AS (SELECT doc_id,
          |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok,

@@ -81,6 +81,25 @@ class CurationSpec extends SparkSpec {
     assertSameRows(manifest, Curation.shardManifest(spark, sf, nShards = 8))
   }
 
+  test("sequence packing: conserves docs, contiguous packs, exact fill") {
+    val p = Curation.sequencePacking(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(p.agg(sum("n_docs")).head.getLong(0) == docs, "every doc lands in a pack")
+    // pack ids are contiguous 0..max within each shard (the prefix sum
+    // sweeps every integer bucket up to the shard total)
+    val gaps = p.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), (max("pack_id") + 1).as("expect"))
+      .filter(col("n") =!= col("expect")).count()
+    assert(gaps == 0, "no shard has a pack-id gap")
+    p.collect().foreach { r =>
+      assert(r.getAs[Double]("fill_ratio") ==
+        r.getAs[Long]("n_tokens").toDouble / 2048, "fill ratio is exact")
+    }
+    // determinism: re-evaluation is bit-identical
+    assertSameRows(p, Curation.sequencePacking(spark, sf))
+    p.unpersist()
+  }
+
   test("chunk dedup: first doc is untouched; totals conserve") {
     val out = Curation.chunkDedup(spark, sf).cache()
     val first = out.orderBy("doc_id").limit(1).head()
