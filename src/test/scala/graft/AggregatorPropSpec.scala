@@ -47,6 +47,33 @@ class AggregatorPropSpec extends AnyFunSuite {
     }
   }
 
+  test("BitsetOrAgg equals the set-bit union regardless of partitioning") {
+    val words = 4 // 256-bit filter for the property
+    val posList: Gen[Seq[Long]] =
+      Gen.listOfN(3, Gen.chooseNum(0L, words * 64L - 1)).map(_.toSeq)
+    val data = Gen.listOfN(30, Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, posList)))
+      .pureApply(Gen.Parameters.default, Seed(23L))
+    val rnd = new Random(29)
+    data.foreach { rows =>
+      val agg = new graft.functions.BitsetOrAgg(words)
+      val expected = {
+        val bits = new Array[Long](words)
+        rows.flatten.foreach(p => bits((p >>> 6).toInt) |= (1L << (p & 63)))
+        bits.toSeq
+      }
+      for (_ <- 1 to 3) {
+        val nChunks = 1 + rnd.nextInt(4)
+        val shuffled = rnd.shuffle(rows)
+        val partials = rnd.shuffle((0 until nChunks).map(i =>
+          shuffled.zipWithIndex.collect { case (x, j) if j % nChunks == i => x }
+            .foldLeft(agg.zero)(agg.reduce)))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged).toSeq == expected,
+          s"merge order changed the bitset for $rows")
+      }
+    }
+  }
+
   test("TopKAgg result is invariant to partitioning and merge order") {
     val rnd = new Random(13)
     for (k <- Seq(1, 3, 5); data <- datasets) {
