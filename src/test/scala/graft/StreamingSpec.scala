@@ -141,6 +141,19 @@ class StreamingSpec extends SparkSpec {
       s"recovered sessions wrong: $got")
   }
 
+  test("sessionization under the RocksDB state store equals the batch result") {
+    // §8.4's large-keyspace deployment claim, demonstrated: the same
+    // stateful query runs unchanged on the RocksDB provider (conf scoped
+    // to a cloned session) and the result still equals the batch
+    // sessionization
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    assertSameRows(
+      graft.streaming.StatefulSessions.sessionizeStream(ss, sf),
+      graft.streaming.StatefulSessions.sessionizeBatch(spark, sf))
+  }
+
   test("stream-stream interval join emits matches and evicts expired state") {
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val purchases = MemoryStream[(Long, java.sql.Timestamp)](spark)
