@@ -110,6 +110,9 @@ object SparkEntry {
     "q91_incremental_dedup" -> ((s, d) => ops.Dedup.incrementalDedup(s, d)),
     "q92_stream_dedup"     -> (streaming.StreamingEvents.streamDistinctKeys _),
     "q93_sequence_packing" -> ((s, d) => ops.Curation.sequencePacking(s, d)),
+    "q94_bm25"             -> (ops.Scoring.bm25TopK _),
+    "q95_lm_xent"          -> (ops.Scoring.lmCrossEntropy _),
+    "q96_dsir_weights"     -> (ops.Scoring.dsirWeights _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,6 +124,7 @@ object SparkEntry {
       sources.Sinks.oracle ++ sources.FetchSource.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
+      ops.Scoring.oracle ++
       ops.Clusters.oracle ++ ops.Curation.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++

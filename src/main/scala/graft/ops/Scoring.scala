@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relevance / quality / mixture scoring for training-data curation — the
+  * model-free scoring passes a corpus pipeline runs between dedup and
+  * packing:
+  *
+  *  - q94 BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
+  *    Relevance Framework: BM25 and Beyond", 2009; the idf form is the
+  *    non-negative ln(1 + ·) variant Lucene ships) — the standard "find
+  *    the docs most relevant to these terms" primitive for corpus audit.
+  *  - q95 bigram language-model cross-entropy (the CCNet quality signal,
+  *    Wenzek et al., LREC 2020, with an in-corpus model instead of
+  *    KenLM): documents whose token transitions are improbable under the
+  *    corpus-wide bigram distribution score high = likely noise.
+  *  - q96 DSIR-style hashed-n-gram importance weights (Xie et al.,
+  *    "Data Selection for Language Models via Importance Resampling",
+  *    NeurIPS 2023): per-document log p_target/p_raw under bag-of-hashed-
+  *    bigram unigram models — the weight that resamples a raw crawl
+  *    toward a target domain.
+  *
+  * Scale design: every model here is an AGGREGATE of the corpus (term df,
+  * bigram counts, hashed-feature counts), so each query is two shuffles —
+  * one to build the model, one to join it back — and the joined-back side
+  * is always the smaller one (query-term stats, 256-bucket count tables,
+  * bigram vocab ≪ corpus bigram instances). Scalar corpus statistics
+  * (N, avgdl, vocab size, feature totals) travel as 1-row broadcast
+  * cross-joins, never driver-side collects. All hashes are md5 → the
+  * DuckDB oracles recompute bit-identical features (SURVEY §5's
+  * engine-portability rule); ln() is the one non-correctly-rounded step,
+  * so every score is reported (and ranked) 6-dp-rounded, the q49
+  * pattern.
+  */
+object Scoring {
+
+  private def toksOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Per-doc bigram instances (with multiplicity — LM statistics count
+    * occurrences, unlike the distinct shingle sets the dedup family
+    * uses). Map-side: the transform/explode never shuffles. */
+  private def bigramsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks)-2),
+          |         i -> concat(toks[i], ' ', toks[i+1]))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+
+  private val QueryTerms = Seq("spark", "hash", "window")
+  private val K1 = "1.2"
+  private val B  = "0.75"
+
+  /** q94: top-20 documents by BM25 against a fixed query-term set.
+    *
+    * Model build is two aggregates over the token stream — per-doc term
+    * frequencies (shuffle on (doc, term)) and per-doc lengths (map-side
+    * partial → tiny) — then df is computed ONLY for the |Q| query terms
+    * (the filter lands before the df shuffle, so scoring cost scales
+    * with documents containing a query term, not with the corpus
+    * vocabulary). N and avgdl ride one broadcast 1-row frame. The final
+    * top-20 is orderBy+limit → TakeOrderedAndProject: per-partition
+    * heaps, k rows to the driver, never a global sort. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val toks = toksOf(spark, dir)
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfq = tf.filter(col("tok").isin(QueryTerms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.filter(col("tok").isin(QueryTerms: _*))
+      .join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      // literal structure matches the oracle token-for-token so both
+      // engines evaluate the same float expression tree (ln is the only
+      // 1-ulp wobble, absorbed by the 6-dp round)
+      .withColumn("term_score", expr(
+        s"""ln(1 + (n_docs - df + 0.5)/(df + 0.5))
+           | * tf*($K1+1)/(tf + $K1*(1 - $B + $B*dl/avgdl))""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** q95: per-document cross-entropy under an add-one-smoothed corpus
+    * bigram model — xent(d) = −mean_{(u,v)∈d} ln (c(u,v)+1)/(c(u·)+V).
+    *
+    * The model is two aggregates of the bigram stream (pair counts,
+    * context counts); scoring joins each bigram instance to its two
+    * counts. Both joins shuffle on the bigram/context key — the model
+    * side is vocabulary-sized, the instance side corpus-sized, so this
+    * is the canonical large-fact ⋈ small-dim shape and AQE broadcasts
+    * the model when it fits. Vocab size V is a 1-row broadcast. */
+  def lmCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val big = bigramsOf(spark, dir).select(col("doc_id"), col("bg"),
+      split(col("bg"), " ").getItem(0).as("u"))
+    val cnt = big.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val uc = big.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val vocab = toksOf(spark, dir).agg(count_distinct(col("tok")).as("v"))
+    big.join(cnt, "bg")
+      .join(uc, "u")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c") + lit(1.0)) / (col("cu") + col("v")))), 6).as("xent"))
+  }
+
+  private val DsirBuckets = 256
+
+  /** q96: DSIR importance weights. Features are hashed bigrams
+    * (md5 → 24 bits → mod `DsirBuckets`); the target distribution is the
+    * lang='en' slice, raw is the whole corpus. Each document's log
+    * weight is Σ over its feature instances of
+    * ln p̂_target(f)/p̂_raw(f) with add-one smoothing.
+    *
+    * The two count tables are `DsirBuckets` rows regardless of corpus
+    * size — they and the 1-row totals broadcast, so scoring is one
+    * map-side join pass plus the per-doc sum: the whole query is ONE
+    * real shuffle (the final groupBy doc_id). This is what makes
+    * hashed-feature importance weighting the 100 TB-practical member of
+    * the data-selection family: the model is O(buckets), not O(vocab²). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val feat = bigramsOf(spark, dir)
+      .select(col("doc_id"), col("lang"), expr(
+        s"CAST(CAST(conv(substring(md5(bg), 1, 6), 16, 10) AS BIGINT) % $DsirBuckets AS INT)")
+        .as("f"))
+    val tcnt = feat.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val rcnt = feat.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tot = feat.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    feat.join(broadcast(tcnt), Seq("f"), "left")
+      .join(broadcast(rcnt), Seq("f"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(log(
+        ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(DsirBuckets))) /
+          ((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets))))), 6).as("log_weight"))
+  }
+
+  private val bigramSql =
+    """SELECT doc_id, lang, unnest(list_transform(range(0, greatest(len(toks)-1, 0)),
+      |         i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+      |FROM (SELECT doc_id, lang,
+      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |      FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q94_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> '' GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf
+         |        WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1)
+         |SELECT doc_id,
+         |  round(sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5))
+         |    * tf*($K1+1)/(tf + $K1*(1 - $B + $B*dl/avgdl))), 6) AS bm25
+         |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q95_lm_xent" ->
+      s"""WITH big AS ($bigramSql),
+         |toks AS (
+         |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks WHERE tok <> ''),
+         |cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY 1),
+         |uc AS (SELECT split_part(bg, ' ', 1) AS u, count(*) AS cu FROM big GROUP BY 1)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln((c + 1.0)/(cu + v))), 6) AS xent
+         |FROM big b JOIN cnt ON cnt.bg = b.bg
+         |JOIN uc ON uc.u = split_part(b.bg, ' ', 1)
+         |CROSS JOIN vocab
+         |GROUP BY b.doc_id""".stripMargin,
+    "q96_dsir_weights" ->
+      s"""WITH big AS ($bigramSql),
+         |feat AS (SELECT doc_id, lang,
+         |    CAST(CAST('0x' || substring(md5(bg), 1, 6) AS BIGINT) % $DsirBuckets AS INT) AS f
+         |  FROM big),
+         |tcnt AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY 1),
+         |rcnt AS (SELECT f, count(*) AS cr FROM feat GROUP BY 1),
+         |tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+         |               count(*) AS nr FROM feat)
+         |SELECT doc_id, lang,
+         |  round(sum(ln(((coalesce(ct, 0) + 1.0)/(nt + $DsirBuckets))
+         |            / ((cr + 1.0)/(nr + $DsirBuckets)))), 6) AS log_weight
+         |FROM feat LEFT JOIN tcnt USING (f) JOIN rcnt USING (f) CROSS JOIN tot
+         |GROUP BY doc_id, lang""".stripMargin,
+  )
+}
