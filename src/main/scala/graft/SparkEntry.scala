@@ -113,6 +113,7 @@ object SparkEntry {
     "q94_bm25"             -> (ops.Scoring.bm25TopK _),
     "q95_lm_xent"          -> (ops.Scoring.lmCrossEntropy _),
     "q96_dsir_weights"     -> (ops.Scoring.dsirWeights _),
+    "q97_pagerank"         -> ((s, d) => ops.Graph.pageRank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,7 +125,7 @@ object SparkEntry {
       sources.Sinks.oracle ++ sources.FetchSource.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
-      ops.Scoring.oracle ++
+      ops.Scoring.oracle ++ ops.Graph.oracle ++
       ops.Clusters.oracle ++ ops.Curation.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** q97 PageRank. */
+class GraphSpec extends SparkSpec {
+
+  private def undirected(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val e = pairs.toDF("src", "dst")
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("pagerank: mass conserved and bounded below by the teleport floor") {
+    val r = Graph.rankTable(undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))),
+      iters = 10, damping = 0.85).collect()
+    val total = r.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"rank mass $total != 1")
+    val n = r.head.getAs[Long]("n")
+    r.foreach(row => assert(row.getAs[Double]("rank") >= 0.15 / n - 1e-12))
+  }
+
+  test("pagerank: uniform-degree cycle gives exactly uniform ranks") {
+    // on a regular graph the uniform vector is the stationary distribution
+    // at EVERY iteration — any deviation exposes a mass-leak bug
+    val cycle = undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    val r = Graph.rankTable(cycle, iters = 5, damping = 0.85).collect()
+    r.foreach(row =>
+      assert(math.abs(row.getAs[Double]("rank") - 0.25) < 1e-12, row.toString))
+  }
+
+  test("pagerank: higher-degree node outranks leaves on a star") {
+    val star = undirected(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
+    val r = Graph.rankTable(star, iters = 10, damping = 0.85)
+      .collect().map(row => row.getAs[Long]("node") -> row.getAs[Double]("rank")).toMap
+    assert(r(10L) > r(1L) * 2, s"hub not dominant: $r")
+    // leaves are symmetric — identical ranks
+    assert(Seq(r(1L), r(2L), r(3L), r(4L)).distinct.size == 1)
+  }
+
+  test("q97: top-50 ordered, positive, kinds well-formed") {
+    val out = Graph.pageRank(spark, sf).collect()
+    assert(out.length == 50)
+    val prs = out.map(_.getAs[Double]("pr"))
+    assert(prs.sameElements(prs.sortBy(-(_: Double))), "not rank-ordered")
+    assert(prs.forall(_ > 0))
+    assert(out.map(_.getAs[String]("kind")).toSet.subsetOf(Set("order", "customer")))
+  }
+}
