@@ -114,6 +114,8 @@ object SparkEntry {
     "q95_lm_xent"          -> (ops.Scoring.lmCrossEntropy _),
     "q96_dsir_weights"     -> (ops.Scoring.dsirWeights _),
     "q97_pagerank"         -> ((s, d) => ops.Graph.pageRank(s, d)),
+    "q98_domain_reservoir" -> ((s, d) => ops.Curation.domainReservoir(s, d)),
+    "q99_vocab_encode"     -> (ops.Curation.vocabEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

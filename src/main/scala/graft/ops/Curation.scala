@@ -205,6 +205,72 @@ object Curation {
       .withColumn("fill_ratio", col("n_tokens").cast("double") / capacity)
   }
 
+  /** Per-domain reservoir size for q98. */
+  private val ReservoirK = 15
+
+  /** q98: deterministic per-domain reservoir sample — keep `k` documents
+    * per source, chosen by smallest salted content-independent hash
+    * (md5 of source:doc_id). The selection is a pure function of ids:
+    * stable across re-runs and cluster shapes, and adding documents to
+    * one domain never changes another domain's sample (the property
+    * random sampleBy lacks). This is the domain-balancing step of a
+    * crawl pipeline — uniform within domain, capped across domains.
+    *
+    * Scale shape: TopKAgg accumulates the per-source reservoir with
+    * MAP-SIDE partial aggregation — each partition reduces to ≤k rows
+    * per source before the exchange, so a skewed mega-domain costs k
+    * rows per input partition, not a window partition holding all its
+    * documents. The 48-bit hash prefix is exact in a double (< 2^53),
+    * so the negated-score trick (TopKAgg keeps highest-score-first)
+    * loses no precision; ties (48-bit collisions) break on doc_id in
+    * both engines. */
+  def domainReservoir(spark: SparkSession, dir: String,
+                      k: Int = ReservoirK): DataFrame = {
+    require(k > 0, "reservoir size must be positive")
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), expr(
+        "CAST(conv(substring(md5(concat(source, ':', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
+      .groupBy(col("source"))
+      .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), explode(expr("transform(top, x -> x._2)")).as("doc_id"))
+  }
+
+  /** q99: tokenizer vocabulary construction + corpus encoding — the
+    * final text→ids step before a trainer: rank the corpus vocabulary
+    * by frequency (id 1 = most frequent; ties alphabetical), then
+    * encode every document as its id sequence in token order.
+    *
+    * Scale shape: the vocabulary is a corpus AGGREGATE (one groupBy tok)
+    * and id assignment is a rank over the aggregated vocab — vocab ≪
+    * token instances in any natural corpus, so the single-partition
+    * rank window is over the one table that stays small (at web scale,
+    * ~10⁷ rows where the corpus has 10¹²; swap for repartitionByRange +
+    * per-range offsets if the vocab itself outgrows one task). Encoding
+    * joins instances to the vocab on the token key (AQE broadcasts
+    * while it fits) and reassembles per doc via sort_array over
+    * (pos, id) structs — order restored without a per-doc sort window.
+    * Ids are string-joined in the output (the q71 pattern) so the
+    * compare is list-dtype-agnostic. */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(Dedup.normText(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("tok")))
+        .cast("long"))
+      .select(col("tok"), col("id"))
+    toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sort_array(collect_list(struct(col("pos"), col("id")))).as("pid"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("concat_ws(',', transform(pid, x -> CAST(x.id AS STRING)))").as("ids"))
+  }
+
   private val shinglesSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(0, greatest(len(t)-2, 0)),
@@ -214,6 +280,25 @@ object Curation {
       |      FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q98_domain_reservoir" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY CAST('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT),
+         |      doc_id) AS rn
+         |  FROM documents) WHERE rn <= $ReservoirK""".stripMargin,
+    "q99_vocab_encode" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |inst AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        |  FROM t),
+        |inst2 AS (SELECT * FROM inst WHERE tok <> ''),
+        |vocab AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS id
+        |  FROM inst2 GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  string_agg(id, ',' ORDER BY pos) AS ids
+        |FROM inst2 JOIN vocab USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     // recomputes the SAME bitset (md5 positions are engine-portable), so
     // the bloom candidate column is checked bit-for-bit, not just the
     // exact final counts

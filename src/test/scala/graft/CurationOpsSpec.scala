@@ -90,4 +90,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(grams(1L) > 0.2, "all-spam doc must exceed the repetition gate")
     assert(grams(2L) == 0.0, "all-distinct doc must score zero")
   }
+
+  test("domain reservoir: per-source cap respected and equals the window form") {
+    val k = 4
+    val out = graft.ops.Curation.domainReservoir(spark, sf, k)
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = Tables.documents(spark, sf).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (s, n) =>
+      assert(perSource.getOrElse(s, 0L) == math.min(k.toLong, n),
+        s"source $s: got ${perSource.get(s)}, want min($k, $n)")
+    }
+    // the TopKAgg reservoir must equal the naive window top-k — the
+    // map-side-partial plan is an optimization, not a semantics change
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val windowed = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), expr(
+        "CAST(conv(substring(md5(concat(source, ':', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("source", "doc_id")
+    assertSameRows(out, windowed)
+  }
+
+  test("vocab encode: decode round-trips to the normalized text; id 1 is the modal token") {
+    val out = graft.ops.Curation.vocabEncode(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ops.Dedup.normText(col("text")).as("norm"))
+    // rebuild the vocab exactly as the operator defines it
+    val vocab = docs.select(explode(split(col("norm"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byRank = vocab.sortBy { case (t, c) => (-c, t) }.map(_._1)
+    val idToTok = byRank.zipWithIndex.map { case (t, i) => (i + 1).toString -> t }.toMap
+    val joined = out.join(docs, "doc_id").collect()
+    joined.foreach { r =>
+      val decoded = r.getAs[String]("ids").split(",").map(idToTok).mkString(" ")
+      assert(decoded == r.getAs[String]("norm"), s"decode mismatch for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[String]("ids").split(",").length == r.getAs[Long]("n_tok"))
+    }
+  }
 }
