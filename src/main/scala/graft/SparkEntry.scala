@@ -116,6 +116,7 @@ object SparkEntry {
     "q97_pagerank"         -> ((s, d) => ops.Graph.pageRank(s, d)),
     "q98_domain_reservoir" -> ((s, d) => ops.Curation.domainReservoir(s, d)),
     "q99_vocab_encode"     -> (ops.Curation.vocabEncode _),
+    "q100_asof_exec"       -> (ops.TemporalJoins.asofJoinExec _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

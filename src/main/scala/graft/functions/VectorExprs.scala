@@ -97,5 +97,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    // whole-operator extension: the as-of join planner strategy
+    // (graft.plans.AsOfJoin → AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -84,6 +84,24 @@ object TemporalJoins {
         col("err_id_t").as("err_id"), col("err_ts_t").as("err_ts"))
   }
 
+  /** q100: the SAME as-of semantics as q19, through the custom
+    * whole-operator path (`graft.plans.AsOfJoin` logical node →
+    * `AsOfJoinExec` single-pass merge) instead of the union+window
+    * composition — the two implementations check against one oracle, so
+    * the custom exec's equivalence is driver-verified on every run. */
+  def asofJoinExec(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    graft.plans.AsOf.join(purchases, errors,
+        "user_id", "e_user", "ts", "err_ts", rightTie = Seq("err_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("err_id"), col("err_ts"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q58_asof_tolerance" ->
       """SELECT event_id, user_id, ts,
@@ -97,6 +115,15 @@ object TemporalJoins {
         |    SELECT user_id AS e_user, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
         |    FROM events WHERE event_type = 'error') e
         |  ON p.user_id = e.e_user AND CAST(p.ts AS TIMESTAMP) >= e.err_ts)""".stripMargin,
+    // q100 = q19's semantics through the custom exec; same oracle
+    "q100_asof_exec" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  e.err_id, e.err_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id AS e_user, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
+        |  FROM events WHERE event_type = 'error') e
+        |ON p.user_id = e.e_user AND CAST(p.ts AS TIMESTAMP) >= e.err_ts""".stripMargin,
     "q19_asof_join" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
         |  e.err_id, e.err_ts
