@@ -49,9 +49,17 @@ object Graph {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("d")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      // eager per-round lineage truncation (the Clusters.scala pattern):
+      // keeps each round an independent shallow-plan job instead of one
+      // monolithic iters-deep tree whose analysis cost grows superlinearly
+      // with the iteration knob (at the default 10 the two forms measure
+      // the same; the checkpoint is insurance for larger knobs). Retained
+      // blocks are node-count-sized rank vectors, ~MBs even at web scale;
+      // on a fault-tolerant cluster swap for reliable checkpoint().
       ranks = contrib.crossJoin(broadcast(nn))
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("m")).as("rank"))
+        .localCheckpoint(true)
     }
     val out = ranks.crossJoin(broadcast(nn))
       .select(col("node"), col("rank"), col("n"))
