@@ -117,6 +117,8 @@ object SparkEntry {
     "q98_domain_reservoir" -> ((s, d) => ops.Curation.domainReservoir(s, d)),
     "q99_vocab_encode"     -> (ops.Curation.vocabEncode _),
     "q100_asof_exec"       -> (ops.TemporalJoins.asofJoinExec _),
+    "q101_hll_registers"   -> (ops.Sketches.hllRegisters _),
+    "q102_stream_static"   -> (streaming.StreamingEvents.streamStaticEnrich _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,7 +130,7 @@ object SparkEntry {
       sources.Sinks.oracle ++ sources.FetchSource.oracle ++
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
-      ops.Scoring.oracle ++ ops.Graph.oracle ++
+      ops.Scoring.oracle ++ ops.Graph.oracle ++ ops.Sketches.oracle ++
       ops.Clusters.oracle ++ ops.Curation.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++

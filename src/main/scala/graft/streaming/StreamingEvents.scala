@@ -150,8 +150,44 @@ object StreamingEvents {
     freeze(spark, name)
   }
 
+  /** q102: stream-STATIC enrichment join — the remaining Structured
+    * Streaming join class (q86 covers stream-stream): each micro-batch
+    * of events joins the static customer dimension on user_id, then
+    * aggregates per (market segment, event type). The static side is a
+    * bounded dimension, so the join is STATELESS — no watermark, no
+    * join state store; Catalyst plans it as a per-batch broadcast hash
+    * join, which is exactly the 100 TB shape (dim broadcast once,
+    * stream never shuffles for the join). Under AvailableNow the result
+    * provably equals the batch join+aggregate, which is the oracle. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    val name = s"stream_static_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freeze(spark, name)
+  }
+
   /** Oracle: identical to the batch queries — the point. */
   val oracle: Map[String, String] = Map(
+    "q102_stream_static" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q92_stream_dedup" ->
       "SELECT user_id, event_type FROM events GROUP BY 1, 2",
     "q34_stream_tumbling" ->

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** q101 HLL registers: merge law and estimate accuracy. */
+class SketchSpec extends SparkSpec {
+
+  private def regs(df: org.apache.spark.sql.DataFrame): Map[String, Map[Int, Int]] =
+    df.collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+      .view.mapValues(_.map(r => r.getAs[Long]("bucket").toInt -> r.getAs[Int]("r")).toMap)
+      .toMap
+
+  test("hll estimate lands within the m=256 error band of the exact count") {
+    val est = regs(Sketches.hllRegisters(spark, sf))
+      .view.mapValues(Sketches.estimate).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(count_distinct(col("l_orderkey")).as("d"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("d")).toMap
+    exact.foreach { case (flag, d) =>
+      val e = est(flag)
+      // stderr ≈ 1.04/√256 ≈ 6.5%; 4σ keeps the test deterministic-safe
+      assert(math.abs(e - d) / d < 0.26, s"$flag: estimate $e vs exact $d")
+    }
+  }
+
+  test("sketches merge by element-wise max: sketch(A ∪ B) == merge parts") {
+    // split lineitem by parity of l_linenumber, sketch each half through
+    // the same pipeline, merge, compare to the whole-input sketch
+    val li = Tables.lineitem(spark, sf)
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Map[String, Map[Int, Int]] = {
+      // mirror hllRegisters over an arbitrary input slice
+      val d = df.select(col("l_returnflag"), expr(
+        "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .select(col("l_returnflag"), (col("h") % 256).as("bucket"), expr(
+          """CASE WHEN (h div 256) = 0 THEN 53
+            |  ELSE bit_count(((h div 256) & -(h div 256)) - 1) + 1 END""".stripMargin).as("rho"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).cast("int").as("r"))
+      regs(d)
+    }
+    val a = sketchOf(li.filter(col("l_linenumber") % 2 === 0))
+    val b = sketchOf(li.filter(col("l_linenumber") % 2 === 1))
+    val whole = regs(Sketches.hllRegisters(spark, sf))
+    val merged = (a.keySet ++ b.keySet).map { flag =>
+      val ra = a.getOrElse(flag, Map.empty)
+      val rb = b.getOrElse(flag, Map.empty)
+      flag -> (ra.keySet ++ rb.keySet).map(k =>
+        k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))).toMap
+    }.toMap
+    assert(merged == whole, "element-wise max merge must equal the union sketch")
+  }
+
+  test("registers are a pure function of the value set (duplicates free)") {
+    val once = regs(Sketches.hllRegisters(spark, sf))
+    // double the input: union with itself — registers must not move
+    val li = Tables.lineitem(spark, sf)
+    val doubled = li.union(li)
+      .select(col("l_returnflag"), expr(
+        "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("l_returnflag"), (col("h") % 256).as("bucket"), expr(
+        """CASE WHEN (h div 256) = 0 THEN 53
+          |  ELSE bit_count(((h div 256) & -(h div 256)) - 1) + 1 END""".stripMargin).as("rho"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).cast("int").as("r"))
+    assert(regs(doubled) == once)
+  }
+}

@@ -222,5 +222,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join+aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingEvents.streamStaticEnrich(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+    assertSameRows(streamed, batch)
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
