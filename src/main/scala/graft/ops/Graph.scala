@@ -46,9 +46,6 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("dst").as("node"), (col("rank") / col("d")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("m"))
       // eager per-round lineage truncation (the Clusters.scala pattern):
       // keeps each round an independent shallow-plan job instead of one
       // monolithic iters-deep tree whose analysis cost grows superlinearly
@@ -56,10 +53,7 @@ object Graph {
       // the same; the checkpoint is insurance for larger knobs). Retained
       // blocks are node-count-sized rank vectors, ~MBs even at web scale;
       // on a fault-tolerant cluster swap for reliable checkpoint().
-      ranks = contrib.crossJoin(broadcast(nn))
-        .select(col("node"),
-          ((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("m")).as("rank"))
-        .localCheckpoint(true)
+      ranks = iterate(ed, ranks, nn, damping).localCheckpoint(true)
     }
     val out = ranks.crossJoin(broadcast(nn))
       .select(col("node"), col("rank"), col("n"))
@@ -67,6 +61,19 @@ object Graph {
     ed.unpersist(false)
     out
   }
+
+  /** One power iteration: shuffle the contribution stream on dst, partial
+    * sums map-side; the node count joins as a 1-row broadcast. Exposed so
+    * PlanSpec can pin the per-round plan shape (the eager checkpointing
+    * in `rankTable` hides iteration internals from the final plan). */
+  private[graft] def iterate(ed: DataFrame, ranks: DataFrame,
+                             nn: DataFrame, damping: Double): DataFrame =
+    ed.join(ranks, ed("src") === ranks("node"))
+      .select(col("dst").as("node"), (col("rank") / col("d")).as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      .crossJoin(broadcast(nn))
+      .select(col("node"),
+        ((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("m")).as("rank"))
 
   /** q97: damped PageRank, top-50 nodes. */
   def pageRank(spark: SparkSession, dir: String,

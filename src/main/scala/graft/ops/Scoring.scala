@@ -71,12 +71,16 @@ object Scoring {
     * heaps, k rows to the driver, never a global sort. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val toks = toksOf(spark, dir)
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // the query-term filter lands BEFORE the tf shuffle: only instances of
+    // the |Q| query terms ever reach the (doc, term) exchange — a
+    // full-vocabulary tf aggregate would shuffle the whole token stream
+    // for terms the score never reads (PlanSpec pins the filter side)
+    val tfq = toks.filter(col("tok").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfq = tf.filter(col("tok").isin(QueryTerms: _*))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.filter(col("tok").isin(QueryTerms: _*))
+    val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tfq
       .join(broadcast(dfq), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

@@ -122,6 +122,60 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q94 BM25: query-term filter precedes the tf shuffle; top-k is bounded") {
+    val p = plan(q("q94_bm25"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must be per-partition heaps, not a global sort")
+    // the isin filter must sit below the first exchange — a plan where the
+    // full-vocabulary (doc, term) stream shuffles and THEN filters wastes
+    // the whole exchange on terms the score never reads
+    val firstExchange = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(doc_id"))
+    val filterLine = p.linesIterator.indexWhere(l => l.contains("Filter") && l.contains("tok") && l.contains(" IN "))
+    assert(filterLine > firstExchange,
+      s"query-term filter must be below (deeper than) the tf exchange:\n$p")
+    assert(p.contains("partial_count"), "tf/dl aggregates must combine map-side")
+  }
+
+  test("q96 DSIR: model tables broadcast; the token stream joins map-side") {
+    val p = plan(q("q96_dsir_weights"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row count tables must broadcast, never sort-merge the feature stream")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge anywhere — the only real shuffle is the final per-doc groupBy:\n$p")
+  }
+
+  test("q97 PageRank iteration: contributions combine map-side; count rides a broadcast") {
+    // the eager per-round checkpoints hide iteration internals from the
+    // final q97 plan — assert on one iteration's own plan instead
+    import org.apache.spark.sql.functions._
+    val ord = Tables.orders(spark, sf)
+      .select((col("o_orderkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = ord.union(ord.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, "src")
+    val nodes = deg.select(col("src").as("node"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val r0 = nodes.crossJoin(broadcast(nn)).select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    val p = graft.ops.Graph.iterate(ed, r0, nn, 0.85).queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"per-node contribution sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), "the 1-row count must broadcast, not cartesian")
+  }
+
+  test("q98 reservoir: TopKAgg partials, never a per-domain window") {
+    val p = plan(q("q98_domain_reservoir"))
+    assert(p.toLowerCase.contains("topkagg"), "reservoir must accumulate in the bounded aggregator")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial"),
+      "k-row buffers must reduce before the exchange")
+    assert(!p.contains("Window"), "no window materializing a domain's full row set")
+  }
+
+  test("q101 HLL: registers reduce map-side; shuffle carries only (group, bucket) rows") {
+    val p = plan(q("q101_hll_registers"))
+    assert(p.contains("partial_max"), "register max must combine map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf)
