@@ -119,6 +119,8 @@ object SparkEntry {
     "q100_asof_exec"       -> (ops.TemporalJoins.asofJoinExec _),
     "q101_hll_registers"   -> (ops.Sketches.hllRegisters _),
     "q102_stream_static"   -> (streaming.StreamingEvents.streamStaticEnrich _),
+    "q103_rrf_hybrid"      -> (ops.Scoring.rrfHybrid _),
+    "q104_jsonl_roundtrip" -> (sources.Sinks.jsonlRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

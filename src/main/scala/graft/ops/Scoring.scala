@@ -69,7 +69,9 @@ object Scoring {
     * vocabulary). N and avgdl ride one broadcast 1-row frame. The final
     * top-20 is orderBy+limit → TakeOrderedAndProject: per-partition
     * heaps, k rows to the driver, never a global sort. */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** All per-doc BM25 scores (6-dp rounded) — shared by the q94 top-k and
+    * the q103 fusion leg. */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val toks = toksOf(spark, dir)
     // the query-term filter lands BEFORE the tf shuffle: only instances of
     // the |Q| query terms ever reach the (doc, term) exchange — a
@@ -92,9 +94,12 @@ object Scoring {
            | * tf*($K1+1)/(tf + $K1*(1 - $B + $B*dl/avgdl))""".stripMargin))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term_score")), 6).as("bm25"))
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
       .orderBy(desc("bm25"), asc("doc_id"))
       .limit(20)
-  }
 
   /** q95: per-document cross-entropy under an add-one-smoothed corpus
     * bigram model — xent(d) = −mean_{(u,v)∈d} ln (c(u,v)+1)/(c(u·)+V).
@@ -153,6 +158,53 @@ object Scoring {
           ((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets))))), 6).as("log_weight"))
   }
 
+  private val RrfK = 60
+  private val LegDepth = 50
+  private val FusionTopN = 20
+
+  /** q103: hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse a lexical ranking (the q94 BM25 leg)
+    * with a dense ranking (exact integer-scaled cosine against the
+    * vec_id-0 anchor embedding, the q25 arithmetic) as
+    * Σ 1/(k + rank) over the lists a document appears in — the standard
+    * way a retrieval pipeline combines BM25 and embedding search without
+    * score calibration.
+    *
+    * Scale shape: each leg is a bounded top-`LegDepth`
+    * (TakeOrderedAndProject), so the rank windows that follow run over
+    * ≤ LegDepth rows — a constant — never the corpus; the fusion is a
+    * full-outer join of two constant-size lists. Determinism: the BM25
+    * leg ranks on the 6-dp-rounded score; the cosine leg's
+    * integer-scaled dot product makes the cos doubles bit-identical in
+    * both engines (the q25 precedent); rank ties break on id. */
+  def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("bm25"), asc("doc_id"))
+    val bmLeg = bm25Scores(spark, dir)
+      .orderBy(desc("bm25"), asc("doc_id")).limit(LegDepth)
+      // single-partition window over LegDepth rows — a constant, not corpus
+      .withColumn("rb", row_number().over(wAll).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val v = Similarity.scaled(spark, dir)
+    val qv = v.filter(col("vec_id") === 0)
+      .select(col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cos"), asc("vec_id"))
+    val cosLeg = v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr("CAST(dot_long(q_ai, ai) AS DOUBLE)")
+        / (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .orderBy(desc("cos"), asc("vec_id")).limit(LegDepth)
+      .withColumn("rc", row_number().over(wCos).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rc"))
+    bmLeg.join(cosLeg, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("rb") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rc") + RrfK), lit(0.0)), 6))
+      .orderBy(desc("rrf"), asc("doc_id")).limit(FusionTopN)
+      .select(col("doc_id"), col("rb"), col("rc"), col("rrf"))
+  }
+
   private val bigramSql =
     """SELECT doc_id, lang, unnest(list_transform(range(0, greatest(len(toks)-1, 0)),
       |         i -> toks[i+1] || ' ' || toks[i+2])) AS bg
@@ -160,21 +212,52 @@ object Scoring {
       |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
       |      FROM documents)""".stripMargin
 
+  /** The q94 scoring pipeline as oracle CTEs (everything up to a
+    * (doc_id, bm25) relation named `bm`), shared by q94 and q103. */
+  private val bm25ScoresSql =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> '' GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf
+       |        WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+       |bm AS (
+       |  SELECT doc_id,
+       |    round(sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5))
+       |      * tf*($K1+1)/(tf + $K1*(1 - $B + $B*dl/avgdl))), 6) AS bm25
+       |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q94_bm25" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
-         |  FROM documents),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> '' GROUP BY 1),
-         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |dfq AS (SELECT tok, count(*) AS df FROM tf
-         |        WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1)
-         |SELECT doc_id,
-         |  round(sum(ln(1 + (n_docs - df + 0.5)/(df + 0.5))
-         |    * tf*($K1+1)/(tf + $K1*(1 - $B + $B*dl/avgdl))), 6) AS bm25
-         |FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
-         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $bm25ScoresSql
+         |SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q103_rrf_hybrid" ->
+      s"""WITH $bm25ScoresSql,
+         |bmleg AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+         |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT $LegDepth)),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
+         |  FROM embeddings),
+         |vn AS (SELECT vec_id, ai,
+         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2 FROM v),
+         |qv AS (SELECT ai AS q_ai, n2 AS q_n2 FROM vn WHERE vec_id = 0),
+         |cosleg AS (
+         |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rc
+         |  FROM (
+         |    SELECT vec_id,
+         |      CAST(list_sum(list_transform(range(0, 64), i -> q_ai[i+1] * ai[i+1])) AS DOUBLE)
+         |        / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |    FROM vn CROSS JOIN qv WHERE vec_id <> 0
+         |    ORDER BY cos DESC, vec_id LIMIT $LegDepth))
+         |SELECT doc_id, rb, rc,
+         |  round(coalesce(CAST(1 AS DOUBLE)/(rb + $RrfK), 0)
+         |      + coalesce(CAST(1 AS DOUBLE)/(rc + $RrfK), 0), 6) AS rrf
+         |FROM bmleg FULL OUTER JOIN cosleg USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT $FusionTopN""".stripMargin,
     "q95_lm_xent" ->
       s"""WITH big AS ($bigramSql),
          |toks AS (

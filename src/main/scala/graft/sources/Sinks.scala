@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** q104: JSONL (newline-delimited JSON) write + schema-pinned
+    * read-back of the documents corpus — THE interchange format of LLM
+    * training corpora (one JSON object per line, splittable, every
+    * loader reads it). Schema is pinned on read: schema inference over
+    * 100 TB would scan the corpus twice and can widen types between
+    * runs. Full-fidelity roundtrip of the text column (escaping,
+    * unicode) is exactly what the oracle compare checks. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    val out = "target/tmp/graft_jsonl/documents"
+    d.write.mode("overwrite").json(out)
+    spark.read.schema(d.schema).json(out)
+  }
+
   /** S8: CSV write + schema-preserving read-back of the nation dimension
     * (the reference image's vestigial csv/ dir, Dockerfile:53). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -83,6 +97,8 @@ object Sinks {
   val oracle: Map[String, String] = Map(
     "q37_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q104_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q75_jdbc_roundtrip" ->
       "SELECT * FROM nation",
     "q83_partitioned_sink" ->

@@ -44,6 +44,23 @@ class ScoringSpec extends SparkSpec {
     assert(xent.filter(col("xent") <= 0).count() == 0)
   }
 
+  test("rrf: scores recompute from the ranks; bounds and ordering hold") {
+    val out = Scoring.rrfHybrid(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val rb = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rc = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rb.nonEmpty || rc.nonEmpty, "fused doc must appear in some leg")
+      (rb ++ rc).foreach(x => assert(x >= 1 && x <= 50, s"leg rank out of range: $r"))
+      val expect = BigDecimal(rb.map(x => 1.0 / (x + 60)).getOrElse(0.0)
+        + rc.map(x => 1.0 / (x + 60)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9, s"rrf must equal its definition: $r")
+    }
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))), "not rank-ordered")
+  }
+
   test("dsir: weights discriminate target from raw; all docs scored") {
     val w = Scoring.dsirWeights(spark, sf)
     assert(w.count() == Tables.documents(spark, sf).count())

@@ -91,4 +91,14 @@ class SinkSpec extends SparkSpec {
     // overwrite mode = idempotent re-run (the reference's weekly-cron property)
     assert(Sinks.jdbcRoundtrip(spark, sf).count() == n.count())
   }
+
+  test("JSONL write + schema-pinned read-back roundtrips the corpus exactly") {
+    val d = Tables.documents(spark, sf)
+    val back = Sinks.jsonlRoundtrip(spark, sf)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      d.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drifted through JSONL: ${back.schema} vs ${d.schema}")
+    // text fidelity (escaping, unicode) is the point of the roundtrip
+    assertSameRows(back, d)
+  }
 }
