@@ -121,6 +121,7 @@ object SparkEntry {
     "q102_stream_static"   -> (streaming.StreamingEvents.streamStaticEnrich _),
     "q103_rrf_hybrid"      -> (ops.Scoring.rrfHybrid _),
     "q104_jsonl_roundtrip" -> (sources.Sinks.jsonlRoundtrip _),
+    "q105_random_projection" -> (ops.Similarity.randomProjection _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -389,6 +389,41 @@ object Similarity {
           .as("sum_norm2"))
   }
 
+  /** Output dimensionality of the q105 random projection. */
+  private val ProjDims = 16
+  private val InDims = 64
+
+  /** Deterministic ±1 sign for projection cell (i, j): bit 16 of an LCG
+    * over the flattened index — engine-portable because the signs embed
+    * as LITERALS in both the Spark expressions and the oracle SQL (the
+    * cwConstants pattern). Bit 16 rather than bit 0: an LCG's low bit
+    * alternates. */
+  private[graft] def projSign(i: Int, j: Int): Int = {
+    val h = (1103515245L * (i * InDims + j) + 12345L) & 0x7fffffffL
+    if (((h >> 16) & 1L) == 1L) 1 else -1
+  }
+
+  /** q105: Johnson–Lindenstrauss random projection of the integer-scaled
+    * embeddings, 64 → 16 dims, with a ±1 sign matrix (Achlioptas, JCSS
+    * 2003: database-friendly random projections — ±1 entries preserve
+    * the JL guarantee without gaussian sampling). E‖Pw‖² = k·‖w‖², so
+    * distances survive up to the JL distortion (SimilaritySpec checks
+    * the empirical band) at a quarter of the ANN probe cost.
+    *
+    * Scale shape: pure map-side — each output dim is a literal-sign
+    * integer sum over the input array, whole-stage codegen'd, no
+    * shuffle at all; the arithmetic stays exact (BIGINT), which is what
+    * lets the oracle compare bit-for-bit instead of within a float
+    * tolerance. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val cols = (0 until ProjDims).map { j =>
+      expr((0 until InDims)
+        .map(i => s"${projSign(i, j)}L * element_at(ai, ${i + 1})")
+        .mkString(" + ")).as(s"p$j")
+    }
+    scaled(spark, dir).select(col("vec_id") +: col("label") +: cols: _*)
+  }
+
   private val scaledSql =
     """SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
@@ -415,6 +450,13 @@ object Similarity {
        |  WHERE rn <= $nAssign)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q105_random_projection" -> {
+      val cols = (0 until ProjDims).map { j =>
+        (0 until InDims).map(i => s"${projSign(i, j)} * ai[${i + 1}]")
+          .mkString(" + ") + s" AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id, label,\n  $cols\nFROM ($scaledSql)"""
+    },
     "q72_label_centroids" ->
       s"""WITH v AS ($scaledSql),
          |sums AS (

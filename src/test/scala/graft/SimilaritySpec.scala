@@ -125,6 +125,43 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.centroids(tripled, Similarity.NearDupK).count() == Similarity.NearDupK)
   }
 
+  test("random projection preserves pairwise distances within the JL band") {
+    val p = Similarity.randomProjection(spark, sf).collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(j => r.getLong(2 + j)).toArray).toMap
+    val v = Similarity.scaled(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => val w = (x - y).toDouble; w * w }.sum
+    // E||P(u-v)||^2 = k * ||u-v||^2 for the ±1 matrix; check the ratio
+    // concentrates over a deterministic sample of pairs
+    val ids = v.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      u = ids(i); w = ids(j)
+    } yield d2(p(u), p(w)) / (16.0 * d2(v(u), v(w)))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL ratio mean off: $mean")
+    // k=16 concentration is loose per pair, and a FIXED sign matrix makes
+    // pair deviations correlated (they share the matrix's singular
+    // directions) — so bound the bulk, not a fictional iid tail
+    assert(ratios.count(r => r > 0.2 && r < 2.5).toDouble / ratios.size > 0.85,
+      "too many pairs outside the generous JL band")
+  }
+
+  test("random projection is exactly linear (integer arithmetic, no rounding)") {
+    val rows = Similarity.randomProjection(spark, sf).collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(j => r.getLong(2 + j)).toArray).toMap
+    val v = Similarity.scaled(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toArray).toMap
+    val ids = v.keys.toSeq.sorted.take(5)
+    // recompute P from the published sign matrix — bit-exact agreement
+    ids.foreach { id =>
+      val expect = (0 until 16).map(j =>
+        (0 until 64).map(i => Similarity.projSign(i, j) * v(id)(i)).sum)
+      assert(expect == rows(id).toSeq, s"projection mismatch for vec $id")
+    }
+  }
+
   test("cluster-scoped near-dup has perfect precision vs all-pairs") {
     val v = Similarity.scaled(spark, sf)
     val a = v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"), col("n2").as("a_n2"))
