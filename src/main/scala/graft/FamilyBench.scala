@@ -16,7 +16,12 @@ object FamilyBench {
     "q21_dedup_exact", "q22_jaccard_neardup", "q23_minhash_lsh",
     "q24_simhash_neardup", "q25_cosine_topk", "q26_ann_ivf",
     "q27_embedding_neardup", "q54_dedup_clusters", "q76_ann_lsh",
-    "q88_bloom_decontaminate", "q89_chunk_dedup", "q90_shard_manifest")
+    "q88_bloom_decontaminate", "q89_chunk_dedup", "q90_shard_manifest",
+    // round-7 text/vector additions whose cost is corpus-structural
+    // (q94/q103 are excluded: ScaleGen's replica token prefixes make the
+    // literal BM25 query terms vanish at synthetic scale)
+    "q95_lm_xent", "q96_dsir_weights", "q99_vocab_encode",
+    "q105_random_projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
