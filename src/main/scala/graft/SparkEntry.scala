@@ -122,6 +122,7 @@ object SparkEntry {
     "q103_rrf_hybrid"      -> (ops.Scoring.rrfHybrid _),
     "q104_jsonl_roundtrip" -> (sources.Sinks.jsonlRoundtrip _),
     "q105_random_projection" -> (ops.Similarity.randomProjection _),
+    "q106_hard_negatives"  -> ((s, d) => ops.Similarity.hardNegatives(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -112,6 +112,34 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** q106: hard-negative mining for embedding-model training (the
+    * in-batch-negatives upgrade every contrastive recipe uses, e.g. DPR,
+    * Karpukhin et al. EMNLP 2020 §3.2): for each query vector, the top-k
+    * most similar vectors of a DIFFERENT label — near the query in
+    * embedding space but semantically wrong, exactly the negatives that
+    * sharpen a contrastive loss.
+    *
+    * Same bounded shape as cosineTopK — the label predicate lands in the
+    * broadcast-join condition (filter before any aggregation state), and
+    * the per-query top-k accumulates in TopKAgg with map-side partials,
+    * so the shuffle carries ≤ k rows per query × partition. */
+  def hardNegatives(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val v = scaled(spark, dir)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("ai").as("q_ai"), col("n2").as("q_n2"))
+    val topk = udaf(new graft.functions.TopKAgg(topK))
+    broadcast(q).join(v, col("q_label") =!= col("label"))
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("vec_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** IVF (inverted-file) approximate NN — the scale path.
     * Centroids are the bounded deterministic md5-sample (IvfK vectors,
     * corpus-independent); every vector is assigned to its nearest
@@ -450,6 +478,22 @@ object Similarity {
        |  WHERE rn <= $nAssign)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q106_hard_negatives" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, ai,
+         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |  FROM ($scaledSql)),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, ai AS q_ai, n2 AS q_n2
+         |      FROM v WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> q_ai[i+1] * ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM q JOIN v ON q_label <> label)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM pairs)
+         |WHERE rn <= 5""".stripMargin,
     "q105_random_projection" -> {
       val cols = (0 until ProjDims).map { j =>
         (0 until InDims).map(i => s"${projSign(i, j)} * ai[${i + 1}]")

@@ -125,6 +125,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.centroids(tripled, Similarity.NearDupK).count() == Similarity.NearDupK)
   }
 
+  test("hard negatives: every mined negative has a different label than its query") {
+    val labels = Similarity.scaled(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(1))
+      assert(labels(q) != labels(v), s"same-label pair mined as negative: $r")
+    }
+    // negatives are the hardest available: for each query, no excluded
+    // different-label vector scores above the mined floor
+    val perQ = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).min).toMap
+    val v = Similarity.scaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray)).toSeq
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val na = math.sqrt(a.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      val nb = math.sqrt(b.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      dot.toDouble / (na * nb)
+    }
+    val mined = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((qid, qlab, qai) <- v if qid % 50 == 0; (vid, vlab, vai) <- v
+         if vlab != qlab && !mined((qid, vid))) {
+      assert(cos(qai, vai) <= perQ(qid) + 1e-9,
+        s"vector $vid beats query $qid's mined floor but was not mined")
+    }
+  }
+
   test("random projection preserves pairwise distances within the JL band") {
     val p = Similarity.randomProjection(spark, sf).collect()
       .map(r => r.getLong(0) -> (0 until 16).map(j => r.getLong(2 + j)).toArray).toMap
