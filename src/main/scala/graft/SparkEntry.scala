@@ -112,7 +112,7 @@ object SparkEntry {
     "q93_sequence_packing" -> ((s, d) => ops.Curation.sequencePacking(s, d)),
     "q94_bm25"             -> (ops.Scoring.bm25TopK _),
     "q95_lm_xent"          -> (ops.Scoring.lmCrossEntropy _),
-    "q96_dsir_weights"     -> (ops.Scoring.dsirWeights _),
+    "q96_dsir_weights"     -> ((s, d) => ops.Scoring.dsirWeights(s, d)),
     "q97_pagerank"         -> ((s, d) => ops.Graph.pageRank(s, d)),
     "q98_domain_reservoir" -> ((s, d) => ops.Curation.domainReservoir(s, d)),
     "q99_vocab_encode"     -> (ops.Curation.vocabEncode _),
@@ -123,6 +123,7 @@ object SparkEntry {
     "q104_jsonl_roundtrip" -> (sources.Sinks.jsonlRoundtrip _),
     "q105_random_projection" -> (ops.Similarity.randomProjection _),
     "q106_hard_negatives"  -> ((s, d) => ops.Similarity.hardNegatives(s, d)),
+    "q107_dsir_resample"   -> ((s, d) => ops.Scoring.dsirResample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

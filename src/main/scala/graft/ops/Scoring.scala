@@ -138,10 +138,12 @@ object Scoring {
     * real shuffle (the final groupBy doc_id). This is what makes
     * hashed-feature importance weighting the 100 TB-practical member of
     * the data-selection family: the model is O(buckets), not O(vocab²). */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(spark: SparkSession, dir: String,
+                  buckets: Int = DsirBuckets): DataFrame = {
+    require(buckets > 0, "bucket count must be positive")
     val feat = bigramsOf(spark, dir)
       .select(col("doc_id"), col("lang"), expr(
-        s"CAST(CAST(conv(substring(md5(bg), 1, 6), 16, 10) AS BIGINT) % $DsirBuckets AS INT)")
+        s"CAST(CAST(conv(substring(md5(bg), 1, 6), 16, 10) AS BIGINT) % $buckets AS INT)")
         .as("f"))
     val tcnt = feat.filter(col("lang") === "en")
       .groupBy(col("f")).agg(count(lit(1)).as("ct"))
@@ -154,8 +156,37 @@ object Scoring {
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("lang"))
       .agg(round(sum(log(
-        ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(DsirBuckets))) /
-          ((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets))))), 6).as("log_weight"))
+        ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets))) /
+          ((col("cr") + lit(1.0)) / (col("nr") + lit(buckets))))), 6).as("log_weight"))
+  }
+
+  /** q107: the RESAMPLING step that makes q96's weights a corpus (Xie et
+    * al. 2023 §3, "sample without replacement ∝ importance weight",
+    * realized deterministically): doc kept iff u(doc) < w(doc)/w_max,
+    * where u is the content-independent md5-uniform in [0, 1) (the q50
+    * split family) and w_max rides a 1-row broadcast. Acceptance is
+    * reproducible across engines/re-runs/cluster shapes — no RNG state —
+    * and per-doc: adding documents changes only w_max-normalized
+    * thresholds, never which hash a doc draws. Output is the kept-corpus
+    * summary per language (kept counts + mean weight), the shape a
+    * mixture audit consumes. */
+  def dsirResample(spark: SparkSession, dir: String,
+                   buckets: Int = DsirBuckets): DataFrame = {
+    val w = dsirWeights(spark, dir, buckets)
+    val wmax = w.agg(max(col("log_weight")).as("lw_max"))
+    w.crossJoin(broadcast(wmax))
+      // acceptance threshold t = w/w_max computed as round(exp(Δlogw), 6):
+      // exp() is libm (1-ulp across engines), so the comparison runs on
+      // the ROUNDED threshold — both engines then compare identical
+      // doubles against the exact 32-bit md5-uniform u
+      .withColumn("t", round(exp(col("log_weight") - col("lw_max")), 6))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .withColumn("kept", col("u") < col("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        round(avg(col("log_weight")), 6).as("mean_log_weight"))
   }
 
   private val RrfK = 60
@@ -211,6 +242,25 @@ object Scoring {
       |FROM (SELECT doc_id, lang,
       |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
       |      FROM documents)""".stripMargin
+
+  /** The q96 weights pipeline as oracle CTEs ending in a
+    * (doc_id, lang, log_weight) relation named `dw` — shared by q96 and
+    * the q107 resampling step. */
+  private val dsirWeightsSql =
+    s"""big AS ($bigramSql),
+       |feat AS (SELECT doc_id, lang,
+       |    CAST(CAST('0x' || substring(md5(bg), 1, 6) AS BIGINT) % $DsirBuckets AS INT) AS f
+       |  FROM big),
+       |tcnt AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY 1),
+       |rcnt AS (SELECT f, count(*) AS cr FROM feat GROUP BY 1),
+       |tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+       |               count(*) AS nr FROM feat),
+       |dw AS (
+       |  SELECT doc_id, lang,
+       |    round(sum(ln(((coalesce(ct, 0) + 1.0)/(nt + $DsirBuckets))
+       |              / ((cr + 1.0)/(nr + $DsirBuckets)))), 6) AS log_weight
+       |  FROM feat LEFT JOIN tcnt USING (f) JOIN rcnt USING (f) CROSS JOIN tot
+       |  GROUP BY doc_id, lang)""".stripMargin
 
   /** The q94 scoring pipeline as oracle CTEs (everything up to a
     * (doc_id, bm25) relation named `bm`), shared by q94 and q103. */
@@ -273,18 +323,18 @@ object Scoring {
          |CROSS JOIN vocab
          |GROUP BY b.doc_id""".stripMargin,
     "q96_dsir_weights" ->
-      s"""WITH big AS ($bigramSql),
-         |feat AS (SELECT doc_id, lang,
-         |    CAST(CAST('0x' || substring(md5(bg), 1, 6) AS BIGINT) % $DsirBuckets AS INT) AS f
-         |  FROM big),
-         |tcnt AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY 1),
-         |rcnt AS (SELECT f, count(*) AS cr FROM feat GROUP BY 1),
-         |tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
-         |               count(*) AS nr FROM feat)
-         |SELECT doc_id, lang,
-         |  round(sum(ln(((coalesce(ct, 0) + 1.0)/(nt + $DsirBuckets))
-         |            / ((cr + 1.0)/(nr + $DsirBuckets)))), 6) AS log_weight
-         |FROM feat LEFT JOIN tcnt USING (f) JOIN rcnt USING (f) CROSS JOIN tot
-         |GROUP BY doc_id, lang""".stripMargin,
+      s"""WITH $dsirWeightsSql
+         |SELECT doc_id, lang, log_weight FROM dw""".stripMargin,
+    "q107_dsir_resample" ->
+      s"""WITH $dsirWeightsSql,
+         |wm AS (SELECT max(log_weight) AS lw_max FROM dw)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN
+         |      CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0
+         |      < round(exp(log_weight - lw_max), 6)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(avg(log_weight), 6) AS mean_log_weight
+         |FROM dw CROSS JOIN wm
+         |GROUP BY lang""".stripMargin,
   )
 }

@@ -61,6 +61,28 @@ class ScoringSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Double))), "not rank-ordered")
   }
 
+  test("dsir resample: target keep-rate dominates; counts consistent") {
+    val rows = Scoring.dsirResample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.values.foreach { case (n, kept) =>
+      assert(kept >= 0 && kept <= n, "kept must be a sub-count")
+    }
+    assert(rows.values.map(_._2).sum >= 1, "the max-weight doc always passes u < 1")
+    val (nEn, keptEn) = rows("en")
+    val (nOther, keptOther) = rows.view.filterKeys(_ != "en").values
+      .foldLeft((0L, 0L)) { case ((a, b), (n, k)) => (a + n, b + k) }
+    // importance resampling must shift the mixture toward the target slice
+    assert(keptEn.toDouble / nEn > keptOther.toDouble / nOther,
+      s"en keep-rate ${keptEn}/$nEn not above others ${keptOther}/$nOther")
+  }
+
+  test("dsir knob: a non-default bucket count still discriminates target from raw") {
+    val w = Scoring.dsirWeights(spark, sf, buckets = 64)
+    val m = w.groupBy((col("lang") === "en").as("t")).agg(avg(col("log_weight")).as("m"))
+      .collect().map(r => r.getAs[Boolean]("t") -> r.getAs[Double]("m")).toMap
+    assert(m(true) > m(false), s"64-bucket model lost discrimination: $m")
+  }
+
   test("dsir: weights discriminate target from raw; all docs scored") {
     val w = Scoring.dsirWeights(spark, sf)
     assert(w.count() == Tables.documents(spark, sf).count())
