@@ -124,6 +124,7 @@ object SparkEntry {
     "q105_random_projection" -> (ops.Similarity.randomProjection _),
     "q106_hard_negatives"  -> ((s, d) => ops.Similarity.hardNegatives(s, d)),
     "q107_dsir_resample"   -> ((s, d) => ops.Scoring.dsirResample(s, d)),
+    "q108_bucketed_join"   -> (sources.Sinks.bucketedJoinAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

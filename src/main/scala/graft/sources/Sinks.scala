@@ -30,6 +30,34 @@ object Sinks {
     spark.read.schema(d.schema).json(out)
   }
 
+  /** q108: bucketed-table write + co-located join — the storage-side
+    * shuffle elimination a recurring 100 TB join relies on: both sides
+    * written `bucketBy` the join key, so every subsequent join on that
+    * key skips BOTH exchanges (the plan property is pinned in
+    * BucketingSpec; this query makes the path driver-verified for
+    * results too). The aggregate runs decimal-exact with DOUBLE at the
+    * output boundary (the Tables.dec rule). */
+  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_q108_orders")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_q108_customer")
+    val out = spark.table("graft_q108_orders")
+      .join(spark.table("graft_q108_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .localCheckpoint(true) // materialize before the tables drop
+    spark.sql("DROP TABLE graft_q108_orders")
+    spark.sql("DROP TABLE graft_q108_customer")
+    out
+  }
+
   /** S8: CSV write + schema-preserving read-back of the nation dimension
     * (the reference image's vestigial csv/ dir, Dockerfile:53). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -99,6 +127,11 @@ object Sinks {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q104_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q108_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q75_jdbc_roundtrip" ->
       "SELECT * FROM nation",
     "q83_partitioned_sink" ->
