@@ -125,6 +125,7 @@ object SparkEntry {
     "q106_hard_negatives"  -> ((s, d) => ops.Similarity.hardNegatives(s, d)),
     "q107_dsir_resample"   -> ((s, d) => ops.Scoring.dsirResample(s, d)),
     "q108_bucketed_join"   -> (sources.Sinks.bucketedJoinAgg _),
+    "q109_orc_roundtrip"   -> (sources.Sinks.orcRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -58,6 +58,18 @@ object Sinks {
     out
   }
 
+  /** q109: ORC write + read-back of the events table — the second
+    * columnar format (predicate pushdown, column pruning, and
+    * TIMESTAMP_NTZ all flow through Spark's ORC path exactly as through
+    * parquet). Roundtripping EVENTS specifically exercises the
+    * nanos→NTZ timestamp normalization through a format boundary. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+    val out = "target/tmp/graft_orc/events"
+    e.write.mode("overwrite").orc(out)
+    spark.read.schema(e.schema).orc(out)
+  }
+
   /** S8: CSV write + schema-preserving read-back of the nation dimension
     * (the reference image's vestigial csv/ dir, Dockerfile:53). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -127,6 +139,9 @@ object Sinks {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q104_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q109_orc_roundtrip" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |  value, props FROM events""".stripMargin,
     "q108_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price

@@ -48,6 +48,32 @@ class AsOfExecSpec extends SparkSpec {
     assert(out == Map(1L -> 12L, 2L -> 13L, 3L -> -1L, 4L -> -1L), out.toString)
   }
 
+  test("degenerate inputs: empty right pads all-null; empty left yields empty") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5L), (2L, 20L, 7L)).toDF("event_id", "user_id", "ts")
+    val right0 = Seq.empty[(Long, Long, Long)].toDF("e_user", "err_id", "err_ts")
+    val allNull = graft.plans.AsOf.join(left, right0,
+      "user_id", "e_user", "ts", "err_ts", rightTie = Seq("err_id")).collect()
+    assert(allNull.length == 2 && allNull.forall(_.isNullAt(4)),
+      s"empty right must null-pad every left row: ${allNull.mkString}")
+    val left0 = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, 1L)).toDF("e_user", "err_id", "err_ts")
+    assert(graft.plans.AsOf.join(left0, right,
+      "user_id", "e_user", "ts", "err_ts").count() == 0)
+  }
+
+  test("duplicate left timestamps: each left row independently matches the same state") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, 10L), (2L, 7L, 10L), (3L, 7L, 10L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, 91L, 9L), (7L, 92L, 10L)).toDF("e_user", "err_id", "err_ts")
+    val out = graft.plans.AsOf.join(left, right,
+        "user_id", "e_user", "ts", "err_ts", rightTie = Seq("err_id"))
+      .select("event_id", "err_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 92L, 2L -> 92L, 3L -> 92L), out.toString)
+  }
+
   test("output preserves left partitioning contract (1:1 with left rows)") {
     val n = TemporalJoins.asofJoinExec(spark, sf).count()
     val nLeft = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
