@@ -98,7 +98,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
     // whole-operator extension: the as-of join planner strategy
-    // (graft.plans.AsOfJoin → AsOfJoinExec)
+    // (graft.plans.AsOfJoin → AsOfJoinExec) plus its filter-pushdown
+    // optimizer rule (Catalyst can't push through an unknown node)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

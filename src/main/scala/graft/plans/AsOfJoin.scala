@@ -136,6 +136,32 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push left-side filter conjuncts below the AsOfJoin.
+  * Catalyst's own PushDownPredicates cannot see through an unknown
+  * logical node, so without this a `result.filter(left-col predicate)`
+  * scans and merges the FULL left side before filtering — at 100 TB
+  * that is the difference between a partition-pruned scan and a
+  * full-table pass. Pushing LEFT-column predicates is semantics-
+  * preserving because the as-of left join is 1:1 per left row and
+  * match selection never reads another left row's columns; predicates
+  * touching right-side (match) columns stay above. */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner strategy: one case, registered either per-session through
   * `AsOf.join` (experimental.extraStrategies, idempotent) or
   * deployment-wide via `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -158,6 +184,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

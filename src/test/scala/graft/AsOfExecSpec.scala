@@ -74,6 +74,24 @@ class AsOfExecSpec extends SparkSpec {
     assert(out == Map(1L -> 92L, 2L -> 92L, 3L -> 92L), out.toString)
   }
 
+  test("left-column filters push below the as-of join to the scan") {
+    val df = TemporalJoins.asofJoinExec(spark, sf).filter(col("user_id") < 10)
+    val p = df.queryExecution.executedPlan.toString
+    // the pushed predicate must reach the LEFT parquet scan's pushed
+    // filters — without the custom rule it sits above the merge and the
+    // full left side scans
+    assert(p.contains("LessThan(user_id,10)"),
+      s"user_id predicate must reach PushedFilters on the scan:\n$p")
+    // semantics unchanged vs filtering the composed form
+    assertSameRows(df, TemporalJoins.asofJoin(spark, sf).filter(col("user_id") < 10))
+  }
+
+  test("right/match-column filters stay above the join (not incorrectly pushed)") {
+    val df = TemporalJoins.asofJoinExec(spark, sf).filter(col("err_id").isNotNull)
+    assertSameRows(df,
+      TemporalJoins.asofJoin(spark, sf).filter(col("err_id").isNotNull))
+  }
+
   test("output preserves left partitioning contract (1:1 with left rows)") {
     val n = TemporalJoins.asofJoinExec(spark, sf).count()
     val nLeft = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
