@@ -126,6 +126,7 @@ object SparkEntry {
     "q107_dsir_resample"   -> ((s, d) => ops.Scoring.dsirResample(s, d)),
     "q108_bucketed_join"   -> (sources.Sinks.bucketedJoinAgg _),
     "q109_orc_roundtrip"   -> (sources.Sinks.orcRoundtrip _),
+    "q110_compaction"      -> ((s, d) => sources.Sinks.compactSmallFiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -70,6 +70,35 @@ object Sinks {
     spark.read.schema(e.schema).orc(out)
   }
 
+  /** q110: small-files compaction — the table-maintenance job every
+    * long-lived ingest pipeline runs: a fragmented layout (here: the
+    * corpus deliberately written as 64 shards) is rewritten into
+    * size-targeted files, file count = ceil(total bytes / target).
+    * Sizing reads ONLY filesystem metadata (a listStatus, the same
+    * driver-side metadata pass every compaction service does — no data
+    * moves until the single repartition write). Content is
+    * byte-identical through the rewrite, which is exactly what the
+    * identity oracle checks; CompactionSpec asserts the file-count
+    * arithmetic. */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+                        targetBytes: Long = 1L << 20): DataFrame = {
+    require(targetBytes > 0, "target file size must be positive")
+    val src = graft.Tables.documents(spark, dir)
+    val fragmented = "target/tmp/graft_compact/fragmented"
+    src.repartition(64).write.mode("overwrite").parquet(fragmented)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(fragmented)
+    val fs = p.getFileSystem(conf)
+    val dataFiles = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val compacted = "target/tmp/graft_compact/compacted"
+    spark.read.schema(src.schema).parquet(fragmented)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(compacted)
+    spark.read.schema(src.schema).parquet(compacted)
+  }
+
   /** S8: CSV write + schema-preserving read-back of the nation dimension
     * (the reference image's vestigial csv/ dir, Dockerfile:53). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -138,6 +167,8 @@ object Sinks {
     "q37_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q104_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q110_compaction" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q109_orc_roundtrip" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,

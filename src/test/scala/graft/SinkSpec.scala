@@ -92,6 +92,25 @@ class SinkSpec extends SparkSpec {
     assert(Sinks.jdbcRoundtrip(spark, sf).count() == n.count())
   }
 
+  test("compaction: file count follows the size target; content identical") {
+    val d = Tables.documents(spark, sf)
+    val back = Sinks.compactSmallFiles(spark, sf)
+    assertSameRows(back, d)
+    def countFiles(path: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val nFrag = countFiles("target/tmp/graft_compact/fragmented")
+    val nComp = countFiles("target/tmp/graft_compact/compacted")
+    assert(nFrag == 64, s"fixture must fragment to 64 files, got $nFrag")
+    assert(nComp < nFrag, s"compaction must reduce file count: $nComp vs $nFrag")
+    // a tighter target must yield at least as many files
+    Sinks.compactSmallFiles(spark, sf, targetBytes = 16L << 10).count()
+    val nTight = countFiles("target/tmp/graft_compact/compacted")
+    assert(nTight >= nComp, s"smaller target cannot produce fewer files: $nTight vs $nComp")
+  }
+
   test("JSONL write + schema-pinned read-back roundtrips the corpus exactly") {
     val d = Tables.documents(spark, sf)
     val back = Sinks.jsonlRoundtrip(spark, sf)
