@@ -43,8 +43,10 @@ object Graph {
     val ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
     val nn = nodes.agg(count(lit(1)).as("n"))
+    // n enters ONCE as an initial-rank column and stays group-constant
+    // through every iteration — no per-round broadcast join
     var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"), col("n"))
     for (_ <- 1 to iters) {
       // eager per-round lineage truncation (the Clusters.scala pattern):
       // keeps each round an independent shallow-plan job instead of one
@@ -53,27 +55,29 @@ object Graph {
       // the same; the checkpoint is insurance for larger knobs). Retained
       // blocks are node-count-sized rank vectors, ~MBs even at web scale;
       // on a fault-tolerant cluster swap for reliable checkpoint().
-      ranks = iterate(ed, ranks, nn, damping).localCheckpoint(true)
+      ranks = iterate(ed, ranks, damping).localCheckpoint(true)
     }
-    val out = ranks.crossJoin(broadcast(nn))
-      .select(col("node"), col("rank"), col("n"))
-      .localCheckpoint(true)
+    val out = ranks.localCheckpoint(true)
     ed.unpersist(false)
     out
   }
 
   /** One power iteration: shuffle the contribution stream on dst, partial
-    * sums map-side; the node count joins as a 1-row broadcast. Exposed so
-    * PlanSpec can pin the per-round plan shape (the eager checkpointing
-    * in `rankTable` hides iteration internals from the final plan). */
+    * sums map-side. The node count rides along as a constant COLUMN of
+    * the rank frame (`first(n)` per group — 8 bytes/row) rather than a
+    * per-round 1-row broadcast join: joining nn each round added a
+    * BroadcastExchange + join stage to every iteration for a value that
+    * never changes. Exposed so PlanSpec can pin the per-round plan shape
+    * (the eager checkpointing in `rankTable` hides iteration internals
+    * from the final plan). */
   private[graft] def iterate(ed: DataFrame, ranks: DataFrame,
-                             nn: DataFrame, damping: Double): DataFrame =
+                             damping: Double): DataFrame =
     ed.join(ranks, ed("src") === ranks("node"))
-      .select(col("dst").as("node"), (col("rank") / col("d")).as("c"))
-      .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      .crossJoin(broadcast(nn))
+      .select(col("dst").as("node"), (col("rank") / col("d")).as("c"), col("n"))
+      .groupBy(col("node")).agg(sum(col("c")).as("m"), first(col("n")).as("n"))
       .select(col("node"),
-        ((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("m")).as("rank"))
+        ((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("m")).as("rank"),
+        col("n"))
 
   /** q97: damped PageRank, top-50 nodes. */
   def pageRank(spark: SparkSession, dir: String,

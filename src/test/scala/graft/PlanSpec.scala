@@ -156,10 +156,18 @@ class PlanSpec extends SparkSpec {
     val ed = edges.join(deg, "src")
     val nodes = deg.select(col("src").as("node"))
     val nn = nodes.agg(count(lit(1)).as("n"))
-    val r0 = nodes.crossJoin(broadcast(nn)).select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    val p = graft.ops.Graph.iterate(ed, r0, nn, 0.85).queryExecution.executedPlan.toString
+    val r0 = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"), col("n"))
+      // checkpoint the seed like rankTable's loop does, so the plan under
+      // test is a STEADY-STATE round, not the seed's own broadcast
+      .localCheckpoint(true)
+    val p = graft.ops.Graph.iterate(ed, r0, 0.85).queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), s"per-node contribution sums must combine map-side:\n$p")
-    assert(!p.contains("CartesianProduct"), "the 1-row count must broadcast, not cartesian")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in a round")
+    // the whole point of carrying n as a column: a round has NO broadcast
+    // join stage, just the one contribution shuffle
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"per-round 1-row broadcast join must be gone:\n$p")
   }
 
   test("q98 reservoir: TopKAgg partials, never a per-domain window") {
