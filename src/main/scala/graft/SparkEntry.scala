@@ -127,6 +127,10 @@ object SparkEntry {
     "q108_bucketed_join"   -> (sources.Sinks.bucketedJoinAgg _),
     "q109_orc_roundtrip"   -> (sources.Sinks.orcRoundtrip _),
     "q110_compaction"      -> ((s, d) => sources.Sinks.compactSmallFiles(s, d)),
+    "q111_kmeans"          -> ((s, d) => ops.KMeans.kmeans(s, d)),
+    "q112_snapshot_diff"   -> (ops.Maintenance.snapshotDiff _),
+    "q113_zorder_prune"    -> ((s, d) => ops.Maintenance.zorderPrunedScan(s, d)),
+    "q114_hll_merge"       -> (ops.Sketches.hllMergedEstimate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,6 +143,7 @@ object SparkEntry {
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
       ops.Scoring.oracle ++ ops.Graph.oracle ++ ops.Sketches.oracle ++
+      ops.KMeans.oracle ++ ops.Maintenance.oracle ++
       ops.Clusters.oracle ++ ops.Curation.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++

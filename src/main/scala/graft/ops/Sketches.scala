@@ -54,7 +54,62 @@ object Sketches {
     alpha * M * M / s
   }
 
+  /** q114: the MERGE half of the sketch workflow — the reason a portable
+    * sketch exists at all. q101's per-group register tables stand in for
+    * per-shard sketch files; merging is element-wise max over buckets
+    * (one tiny groupBy — ≤ 256 rows in), and the merged estimate is then
+    * read off WITHOUT rescanning the inputs: the 100 TB pattern is "each
+    * ingest shard writes its 256-row sketch; a global distinct count is
+    * a metadata-sized merge", and this query is that pattern end-to-end,
+    * oracle-checked.
+    *
+    * Determinism: the harmonic sum Σ 2^−rho is kept EXACT by scaling to
+    * the integer S = Σ 2^(53−rho) (rho ∈ [1,53]; each absent bucket adds
+    * 2^53; S ≤ 256·2^53 = 2^61 fits BIGINT), so the only float ops are
+    * one int64→double conversion and one division — both correctly
+    * rounded identically in any IEEE-754 engine — followed by the alpha
+    * constant written as the SAME literal arithmetic in both engines.
+    * No pow(), no order-dependent float summation, no tolerance band. */
+  def hllMergedEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val perGroup = hllRegisters(spark, dir) // (l_returnflag, bucket, r)
+    val merged = perGroup.groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .select(lit("merged").as("scope"), col("bucket"), col("r"))
+    val all = perGroup
+      .select(concat(lit("flag:"), col("l_returnflag")).as("scope"), col("bucket"), col("r"))
+      .unionAll(merged)
+    all.groupBy(col("scope"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("CAST(1 AS BIGINT) << (53 - r)")).as("s_present"))
+      .select(col("scope"), round(
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(9007199254740992.0) /
+          (col("s_present") + (lit(M.toLong) - col("present")) * lit(1L << 53))
+            .cast("double"),
+        3).as("est"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q114_hll_merge" ->
+      s"""WITH regs AS (
+         |  SELECT l_returnflag, bucket, CAST(max(rho) AS INT) AS r FROM (
+         |    SELECT l_returnflag, h % $M AS bucket,
+         |      CASE WHEN (h // $M) = 0 THEN 53
+         |           ELSE bit_count(((h // $M) & -(h // $M)) - 1) + 1 END AS rho
+         |    FROM (SELECT l_returnflag,
+         |            CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |          FROM lineitem))
+         |  GROUP BY 1, 2),
+         |scoped AS (
+         |  SELECT 'flag:' || l_returnflag AS scope, bucket, r FROM regs
+         |  UNION ALL
+         |  SELECT 'merged' AS scope, bucket, max(r) AS r FROM regs GROUP BY 1, 2)
+         |SELECT scope, round(
+         |    0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0 * 9007199254740992.0e0
+         |      / CAST(sum(CAST(1 AS BIGINT) << (53 - r))
+         |             + ($M - count(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE),
+         |  3) AS est
+         |FROM scoped GROUP BY 1""".stripMargin,
     "q101_hll_registers" ->
       s"""SELECT l_returnflag, bucket, CAST(max(rho) AS INT) AS r FROM (
          |  SELECT l_returnflag, h % $M AS bucket,

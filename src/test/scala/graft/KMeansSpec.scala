@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{KMeans, Similarity}
+
+/** q111 k-means: the distributed Lloyd pipeline must agree EXACTLY with
+  * an independent driver-side Lloyd implementation (same integer-scaled
+  * arithmetic), including at non-default knobs. */
+class KMeansSpec extends SparkSpec {
+
+  /** Driver-side reference Lloyd, written against the spec's own math
+    * (plain Scala Long/Double), not the DataFrame code under test. */
+  private def referenceLloyd(vs: Array[(Long, Array[Long])], k: Int,
+                             iters: Int): Map[Long, (Int, Long)] = {
+    def dist2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // round-half-away-from-zero — the semantics both engines share
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val sorted = vs.sortBy(_._1)
+    var cents: Vector[(Int, Array[Long])] =
+      sorted.take(k).zipWithIndex.map { case ((_, ai), i) => (i, ai) }.toVector
+    def assignAll(): Array[(Long, Array[Long], Int, Long)] =
+      sorted.map { case (id, ai) =>
+        val (d, cid) = cents.map { case (cid, c) => (dist2(ai, c), cid) }.min
+        (id, ai, cid, d)
+      }
+    for (_ <- 1 to iters) {
+      val byC = assignAll().groupBy(_._3)
+      cents = byC.toVector.sortBy(_._1).map { case (cid, rows) =>
+        val n = rows.length.toDouble
+        val c = Array.tabulate(64) { i =>
+          rnd(rows.map(_._2(i)).sum.toDouble / n)
+        }
+        (cid, c)
+      }
+    }
+    assignAll().map { case (id, _, cid, d) => id -> (cid, d) }.toMap
+  }
+
+  private def vectors: Array[(Long, Array[Long])] =
+    Similarity.scaled(spark, sf).select(col("vec_id"), col("ai")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  test("q111 equals the independent reference Lloyd at default knobs") {
+    val got = KMeans.kmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val want = referenceLloyd(vectors, k = 8, iters = 3)
+    assert(got == want)
+  }
+
+  test("q111 equals the reference at non-default knobs (k=4, iters=2)") {
+    val got = KMeans.kmeans(spark, sf, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val want = referenceLloyd(vectors, k = 4, iters = 2)
+    assert(got == want)
+  }
+
+  test("every vector is assigned and clusters are non-trivial") {
+    val rows = KMeans.kmeans(spark, sf).collect()
+    assert(rows.length == vectors.length)
+    val sizes = rows.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf((0 until 8).toSet))
+    assert(sizes.size > 1, "degenerate single-cluster result")
+  }
+}

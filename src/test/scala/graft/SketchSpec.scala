@@ -66,4 +66,25 @@ class SketchSpec extends SparkSpec {
       .agg(max(col("rho")).cast("int").as("r"))
     assert(regs(doubled) == once)
   }
+
+  test("q114 merged estimate = estimate(merged registers), and tracks exact") {
+    val est = Sketches.hllMergedEstimate(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the exact-integer SQL estimate must agree with the driver-side
+    // register functional (same math, different summation representation)
+    val perFlag = Sketches.hllRegisters(spark, sf).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getLong(1).toInt -> r.getInt(2)).toMap).toMap
+    val mergedRegs = perFlag.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(math.abs(est("merged") - Sketches.estimate(mergedRegs)) < 1e-3)
+    perFlag.foreach { case (flag, r) =>
+      assert(math.abs(est(s"flag:$flag") - Sketches.estimate(r)) < 1e-3)
+    }
+    // and the merged estimate lands in the m=256 error band of the truth
+    val exact = Tables.lineitem(spark, sf)
+      .agg(count_distinct(col("l_orderkey"))).collect().head.getLong(0)
+    assert(math.abs(est("merged") - exact) / exact < 0.26,
+      s"merged ${est("merged")} vs exact $exact")
+  }
 }
