@@ -131,6 +131,8 @@ object SparkEntry {
     "q112_snapshot_diff"   -> (ops.Maintenance.snapshotDiff _),
     "q113_zorder_prune"    -> ((s, d) => ops.Maintenance.zorderPrunedScan(s, d)),
     "q114_hll_merge"       -> (ops.Sketches.hllMergedEstimate _),
+    "q115_priority_sample" -> ((s, d) => ops.Curation.prioritySample(s, d)),
+    "q116_grid_quantiles"  -> ((s, d) => ops.Sketches.gridQuantiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

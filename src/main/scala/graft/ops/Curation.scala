@@ -279,7 +279,61 @@ object Curation {
       |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
       |      FROM documents)""".stripMargin
 
+  /** q115: priority sampling (Duffield, Lund, Thorup, "Priority sampling
+    * for estimation of arbitrary subset sums", JACM 2007) — WEIGHTED
+    * sampling without replacement, with per-item estimators: item i gets
+    * priority p_i = w_i / u_i (u_i uniform (0,1]); the sample is the k
+    * highest priorities, and with τ = the (k+1)-th priority the
+    * estimator ŵ_i = max(w_i, τ) makes Σ_sample ŵ unbiased for ANY
+    * subset sum — the data-mixing primitive when domains should be
+    * drawn ∝ quality/length weights but downstream stats must stay
+    * estimable. Chosen over Efraimidis-Spirakis keys u^(1/w) because
+    * priority sampling needs NO transcendental: u_i = h_i / 2^31 with
+    * md5-derived integer h_i gives p_i = w_i · 2^31 / h_i — one exact
+    * integer product (w ≤ 577 here, so < 2^53) and one correctly-rounded
+    * IEEE division, so both engines derive every priority and the
+    * threshold bit-identically; no rounding, no tolerance, and no RNG
+    * state (re-runs and engine swaps never flip a draw — the q50/q107
+    * rule).
+    *
+    * Scale shape: priorities are map-side; the sample is ONE bounded
+    * TakeOrderedAndProject of k+1 rows (never a corpus-wide sort or
+    * window — the post-limit rank runs over k+1 rows); τ rides a 1-row
+    * broadcast, with a left join so a corpus of ≤ k docs degrades to
+    * "keep everything, ŵ = w". */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("w"), expr(
+        "CAST(conv(substring(md5(concat('ps:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2147483648 + 1")
+        .as("h"))
+      .select(col("doc_id"), col("w"),
+        ((col("w") * lit(2147483648L)).cast("double") / col("h").cast("double")).as("p"))
+    val top = base.orderBy(desc("p"), asc("doc_id")).limit(k + 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("p"), asc("doc_id"))))
+    val tau = top.filter(col("rn") === k + 1).select(col("p").as("tau"))
+    top.filter(col("rn") <= k)
+      .join(broadcast(tau), lit(true), "left")
+      .select(col("doc_id"), col("w"), col("p"),
+        greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0))).as("w_hat"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q115_priority_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars AS w,
+        |    CAST('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 2147483648 + 1 AS h
+        |  FROM documents),
+        |pri AS (SELECT doc_id, w,
+        |          CAST(w * 2147483648 AS DOUBLE) / CAST(h AS DOUBLE) AS p
+        |        FROM base),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY p DESC, doc_id) AS rn FROM pri),
+        |tau AS (SELECT p AS tau FROM ranked WHERE rn = 101)
+        |SELECT doc_id, w, p,
+        |  greatest(CAST(w AS DOUBLE), coalesce((SELECT tau FROM tau), 0.0e0)) AS w_hat
+        |FROM ranked WHERE rn <= 100""".stripMargin,
     "q98_domain_reservoir" ->
       s"""SELECT source, doc_id FROM (
          |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

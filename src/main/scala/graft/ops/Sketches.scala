@@ -89,7 +89,68 @@ object Sketches {
         3).as("est"))
   }
 
+  /** q116: mergeable fixed-grid quantile sketch over l_extendedprice —
+    * the portable answer to "approximate quantiles over 100 TB, refreshed
+    * per shard": a histogram on a FIXED equi-width grid is a sketch
+    * (per-shard count vectors add; SketchSpec proves the merge law), and
+    * a φ-quantile reads off as the first bucket whose cumulative count
+    * reaches ⌈φ·n⌉, reported as that bucket's upper edge — error ≤ one
+    * grid step (hi−lo)/buckets by construction, with NO per-value state
+    * (contrast t-digest/KLL: tighter, but engine-private layouts).
+    * The grid (lo, hi, buckets) is the sketch's schema: shards must
+    * share it, exactly like q101's register count. Here the bounds come
+    * from one min/max pass (itself mergeable); a production pipeline
+    * pins them per epoch.
+    *
+    * Determinism: bucket = floor((x−lo)/(hi−lo)·buckets) is three
+    * correctly-rounded IEEE ops both engines perform identically; the
+    * shuffle carries ≤ `buckets` count rows, and the cumulative window
+    * runs over the ≤ `buckets`-row SKETCH, never the data. */
+  def gridQuantiles(spark: SparkSession, dir: String, buckets: Int = 4096,
+                    phis: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(buckets >= 2 && phis.nonEmpty && phis.forall(p => p > 0 && p <= 1))
+    val x = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val bounds = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("n"))
+    val counts = x.crossJoin(broadcast(bounds))
+      .select(least(
+        when(col("hi") === col("lo"), lit(0.0))
+          .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * buckets)),
+        lit((buckets - 1).toDouble)).cast("int").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("b"))))
+    val targets = bounds.select(
+      explode(array(phis.map(lit(_)): _*)).as("phi"),
+      col("lo"), col("hi"), col("n"))
+      .withColumn("target", ceil(col("phi") * col("n")).cast("long"))
+    targets.join(cum, col("cum") >= col("target"))
+      .groupBy(col("phi"), col("lo"), col("hi"), col("target"))
+      .agg(min(col("b")).as("b"))
+      .select(col("phi"), col("target"),
+        (col("lo") + (col("hi") - col("lo")) / lit(buckets.toDouble) *
+          (col("b") + lit(1)).cast("double")).as("est"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q116_grid_quantiles" ->
+      """WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+        |bounds AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM x),
+        |counts AS (
+        |  SELECT CAST(least(CASE WHEN hi = lo THEN 0.0e0
+        |                         ELSE floor((x - lo) / (hi - lo) * 4096) END,
+        |                    4095.0e0) AS INT) AS b, count(*) AS cnt
+        |  FROM x, bounds GROUP BY 1),
+        |cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM counts),
+        |targets AS (
+        |  SELECT phi, lo, hi, CAST(ceil(phi * n) AS BIGINT) AS target
+        |  FROM bounds, (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS phi))
+        |SELECT phi, target,
+        |  lo + (hi - lo) / 4096.0e0 * CAST(min_b + 1 AS DOUBLE) AS est
+        |FROM (
+        |  SELECT phi, lo, hi, target, min(b) AS min_b
+        |  FROM targets JOIN cum ON cum >= target
+        |  GROUP BY 1, 2, 3, 4)""".stripMargin,
     "q114_hll_merge" ->
       s"""WITH regs AS (
          |  SELECT l_returnflag, bucket, CAST(max(rho) AS INT) AS r FROM (

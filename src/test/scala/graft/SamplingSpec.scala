@@ -36,4 +36,36 @@ class SamplingSpec extends SparkSpec {
         s"$lang kept $frac, wanted ~$want of $total docs")
     }
   }
+
+  test("q115 priority sample: invariants of the Duffield-Lund-Thorup scheme") {
+    val k = 20
+    val sample = graft.ops.Curation.prioritySample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // independent priority computation for EVERY doc (same published
+    // formula, spec-local code path)
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ps:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        val h = java.lang.Long.parseLong(hex, 16) % 2147483648L + 1
+        (id, w, w * 2147483648L.toDouble / h.toDouble)
+      }
+    assert(sample.length == math.min(k, all.length))
+    // the sample IS the top-k by (p desc, id asc)
+    val wantIds = all.sortBy { case (id, _, p) => (-p, id) }.take(k).map(_._1).toSet
+    assert(sample.map(_._1).toSet == wantIds)
+    // tau = (k+1)-th priority; estimator w_hat = max(w, tau)
+    val tau = all.sortBy { case (id, _, p) => (-p, id) }.apply(k)._3
+    sample.foreach { case (_, w, p, wHat) =>
+      assert(p >= tau, "sampled priority below threshold")
+      assert(wHat == math.max(w.toDouble, tau))
+    }
+    // every unsampled item sits at or below the threshold
+    all.filterNot(t => wantIds(t._1)).foreach { case (_, _, p) => assert(p <= tau) }
+    // p >= w always (u <= 1), so any item with w >= tau is in the sample
+    all.filter(_._2 >= tau).foreach { case (id, _, _) => assert(wantIds(id)) }
+  }
 }

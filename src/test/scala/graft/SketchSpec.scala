@@ -87,4 +87,41 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est("merged") - exact) / exact < 0.26,
       s"merged ${est("merged")} vs exact $exact")
   }
+
+  test("q116 grid-quantile estimates bracket the exact quantiles") {
+    val buckets = 4096
+    val ests = Sketches.gridQuantiles(spark, sf, buckets).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    val xs = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val step = (xs.last - xs.head) / buckets
+    ests.foreach { case (phi, target, est) =>
+      val exact = xs(target.toInt - 1) // the ⌈φ·n⌉-th smallest
+      assert(est >= exact - 1e-9, s"phi=$phi est $est below exact $exact")
+      assert(est - exact <= step + 1e-9,
+        s"phi=$phi est $est more than a grid step above exact $exact")
+    }
+  }
+
+  test("q116 histograms merge: shard count vectors add to the whole") {
+    // two disjoint shards bucketed on the SAME global grid must sum to
+    // the whole-corpus histogram — the property that lets each ingest
+    // shard publish its count vector independently
+    val li = Tables.lineitem(spark, sf)
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi")).collect().head
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    def hist(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.select(least(
+        floor((col("l_extendedprice") - lit(lo)) / lit(hi - lo) * 4096),
+        lit(4095L)).cast("int").as("b"))
+        .groupBy("b").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val a = hist(li.filter(col("l_orderkey") % 2 === 0))
+    val b = hist(li.filter(col("l_orderkey") % 2 === 1))
+    val whole = hist(li)
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
 }
