@@ -310,7 +310,67 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("top_keys"))
 
+  /** The partial-aggregate state columns shared by q117's base, delta,
+    * and merge: all ALGEBRAIC (sum/count/min/max merge by
+    * sum/sum/min/max), which is what makes incremental refresh exact. */
+  private def aggState(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("l_quantity"))).as("sum_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+
+  /** q117: incremental aggregate maintenance — the materialized-view
+    * refresh every standing 100 TB metrics table needs: the corpus
+    * aggregate lives as a per-key STATE table; when a delta batch
+    * arrives, the state is refreshed by aggregating ONLY the delta and
+    * merging state-wise (full-outer on the key; sums add, counts add,
+    * min/max take extrema; avg derives from merged sum/count at read
+    * time — never stored, since avg is not algebraic). Refresh cost is
+    * O(delta + |state table|), independent of the base corpus size —
+    * the whole point. The oracle aggregates base ∪ delta from scratch,
+    * so the driver check IS the refresh-equals-recompute theorem for
+    * this key space.
+    *
+    * Base/delta are deterministic mod-slices of lineitem so the oracle
+    * can mirror them; in production they are "yesterday's state" and
+    * "today's load". */
+  def incrementalAgg(spark: SparkSession, dir: String,
+                     deltaMod: Int = 4): DataFrame = {
+    require(deltaMod >= 2, "need a non-trivial base/delta split")
+    val li = Tables.lineitem(spark, dir)
+    val base = aggState(li.filter(col("l_orderkey") % deltaMod =!= 0))
+    val delta = aggState(li.filter(col("l_orderkey") % deltaMod === 0))
+    val b = base.as("b")
+    val d = delta.as("d")
+    b.join(d,
+        col("b.l_returnflag") <=> col("d.l_returnflag") &&
+          col("b.l_linestatus") <=> col("d.l_linestatus"), "full_outer")
+      .select(
+        coalesce(col("b.l_returnflag"), col("d.l_returnflag")).as("l_returnflag"),
+        coalesce(col("b.l_linestatus"), col("d.l_linestatus")).as("l_linestatus"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.sum_qty"), lit(0).cast("decimal(18,6)")) +
+          coalesce(col("d.sum_qty"), lit(0).cast("decimal(18,6)"))).as("sq"),
+        least(col("b.min_ship"), col("d.min_ship")).as("min_ship"),
+        greatest(col("b.max_ship"), col("d.max_ship")).as("max_ship"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        Tables.toDouble(col("sq"), 2).as("sum_qty"),
+        // avg derives at read time in DOUBLE (one division over two
+        // exactly-converted operands): decimal division would round at
+        // an engine-specific result scale
+        (Tables.toDouble(col("sq"), 2) / col("n").cast("double")).as("avg_qty"),
+        col("min_ship"), col("max_ship"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q117_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q71_array_agg" ->
       """SELECT c_nationkey, count(*) AS n,
         |  array_to_string(list_sort(list(c_custkey)), ',') AS top_keys
