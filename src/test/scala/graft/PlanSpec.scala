@@ -184,6 +184,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("q111 k-means: assignment is a 1-row broadcast, update combines map-side") {
+    import org.apache.spark.sql.functions._
+    val v = graft.ops.Similarity.scaled(spark, sf).select(col("vec_id"), col("ai"))
+    val cs = graft.ops.KMeans.initCentroids(v, 8).localCheckpoint(true)
+    val assigned = graft.ops.KMeans.assign(v, cs)
+    val pa = assigned.queryExecution.executedPlan.toString
+    // centroids enter as a broadcast single row — per-row argmin is
+    // map-side; no shuffle, no window, no corpus-side cartesian
+    assert(pa.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$pa")
+    assert(!pa.contains("Exchange hashpartitioning") &&
+      !pa.contains("Exchange rangepartitioning"),
+      s"assignment must not shuffle (broadcast exchange only):\n$pa")
+    assert(!pa.contains("Window"))
+    val pu = graft.ops.KMeans.update(assigned).queryExecution.executedPlan.toString
+    assert(pu.contains("partial_sum"), s"update sums must combine map-side:\n$pu")
+  }
+
+  test("q115 priority sample: bounded top-k, never a corpus sort or window") {
+    val p = plan(q("q115_priority_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k+1 cut must be a bounded top-k:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q116 grid quantiles: counts combine map-side; scan prunes to the value column") {
+    val p = plan(q("q116_grid_quantiles"))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"bucket counts must combine before the exchange:\n$p")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"scan must read only the sketched column:\n$p")
+  }
+
+  test("q117 incremental agg: both slices aggregate partially; scan prunes") {
+    val p = plan(q("q117_incremental_agg"))
+    assert(p.contains("partial_sum"), s"state aggregates must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("l_returnflag") && !p.contains("l_extendedprice"),
+      s"scan must not read unaggregated columns:\n$p")
+  }
+
+  test("q113 pruned read pushes the residual predicate into the surviving files") {
+    val p = plan(q("q113_zorder_prune"))
+    assert(p.contains("PushedFilters") && p.contains("o_custkey"),
+      s"residual custkey bounds must reach the parquet scan:\n$p")
+  }
+
   test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf)
