@@ -21,7 +21,10 @@ object FamilyBench {
     // (q94/q103 are excluded: ScaleGen's replica token prefixes make the
     // literal BM25 query terms vanish at synthetic scale)
     "q95_lm_xent", "q96_dsir_weights", "q99_vocab_encode",
-    "q105_random_projection")
+    "q105_random_projection",
+    // round-7 second-batch additions over the same two tables (q116
+    // is excluded: it sketches lineitem, which ScaleGen doesn't grow)
+    "q111_kmeans", "q115_priority_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -80,9 +80,10 @@ object KMeans {
       .agg(sort_array(collect_list(col("e"))).as("carr"))
   }
 
-  val oracle: Map[String, String] = {
-    val k = 8
-    val iters = 3
+  /** The WITH-body of the unrolled Lloyd chain, ending in CTE `afinal`
+    * (vec_id, ai, cid, d) — shared by q111's oracle and q118's, which
+    * continues the dataflow with within-cluster pair generation. */
+  private[graft] def oracleChain(k: Int, iters: Int): String = {
     val scaledSql =
       """SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
@@ -108,15 +109,17 @@ object KMeans {
     val rounds = (0 until iters).flatMap { r =>
       Seq(assignSql(s"c$r", s"a$r"), updateSql(s"a$r", s"c${r + 1}"))
     }.mkString(",\n")
-    Map(
-      "q111_kmeans" ->
-        s"""WITH v AS ($scaledSql),
-           |c0 AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, ai AS c
-           |  FROM (SELECT vec_id, ai FROM v ORDER BY vec_id LIMIT $k)),
-           |$rounds,
-           |${assignSql(s"c$iters", "afinal")}
-           |SELECT vec_id, cid AS cluster, d AS dist2 FROM afinal""".stripMargin,
-    )
+    s"""v AS ($scaledSql),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, ai AS c
+       |  FROM (SELECT vec_id, ai FROM v ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assignSql(s"c$iters", "afinal")}""".stripMargin
   }
+
+  val oracle: Map[String, String] = Map(
+    "q111_kmeans" ->
+      s"""WITH ${oracleChain(8, 3)}
+         |SELECT vec_id, cid AS cluster, d AS dist2 FROM afinal""".stripMargin,
+  )
 }

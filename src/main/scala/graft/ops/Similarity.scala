@@ -477,6 +477,41 @@ object Similarity {
        |    FROM v, c)
        |  WHERE rn <= $nAssign)""".stripMargin
 
+  /** q118: SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023) — COMPOSED from
+    * the library's own operators: q111's Lloyd clusters scope the
+    * candidate space (pairs enumerate within a cluster only — Σ(n/K)²
+    * work instead of n², and K scales ∝ n per §8.1), then EXACT cosine
+    * over the integer-scaled vectors keeps pairs above τ. Contrast q27,
+    * which buys cluster scoping with one md5-sampled assignment pass and
+    * 2-way cell membership: SemDeDup proper pays the Lloyd iterations
+    * for tighter clusters. Both accept the same recall contract —
+    * a pair split across clusters is missed by design (the paper's
+    * trade); SimilaritySpec pins exactly that: within-cluster recall is
+    * total, every emitted pair is truly ≥ τ, nothing crosses clusters.
+    *
+    * Scale shape: the pair join shuffles on the cluster id (the one key
+    * both sides share); cosines are the codegen'd integer dot product.
+    * The final assignment rides the same broadcast-centroid map-side
+    * path as q111 — no shuffle added beyond the per-cluster self-join. */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8,
+               iters: Int = 3, cosT: Double = 0.4): DataFrame = {
+    val v = scaled(spark, dir).select(col("vec_id"), col("ai"))
+    var cs = KMeans.initCentroids(v, k)
+    for (_ <- 1 to iters)
+      cs = KMeans.update(KMeans.assign(v, cs)).localCheckpoint(true)
+    val asg = KMeans.assign(v, cs)
+    val a = asg.select(col("cluster"), col("vec_id").as("a_id"), col("ai").as("a_ai"))
+    val b = asg.select(col("cluster"), col("vec_id").as("b_id"), col("ai").as("b_ai"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (expr("dot_long(a_ai, b_ai)").cast("double") /
+          (sqrt(expr("dot_long(a_ai, a_ai)").cast("double")) *
+            sqrt(expr("dot_long(b_ai, b_ai)").cast("double")))).as("cos"))
+      .filter(col("cos") >= cosT)
+  }
+
   val oracle: Map[String, String] = Map(
     "q106_hard_negatives" ->
       s"""WITH v AS (
@@ -623,6 +658,15 @@ object Similarity {
          |WHERE rn <= 5""".stripMargin,
     // q27: cluster-scoped near-dup — the oracle mirrors the 2-way cell
     // assignment and within-cell pair enumeration exactly.
+    "q118_semdedup" ->
+      s"""WITH ${KMeans.oracleChain(8, 3)},
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * a.ai[i+1])) AS DOUBLE))
+         |       * sqrt(CAST(list_sum(list_transform(range(0, 64), i -> b.ai[i+1] * b.ai[i+1])) AS DOUBLE))) AS cos
+         |  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     "q27_embedding_neardup" ->
       s"""WITH ${assignSql(2, NearDupK)},
          |cand AS (

@@ -203,4 +203,28 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(scoped.subsetOf(allPairs), "cluster-scoped pairs must all be true near-dups")
   }
+
+  test("q118 SemDeDup: precision total, within-cluster recall total") {
+    val v = Similarity.scaled(spark, sf)
+    val a = v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"), col("n2").as("a_n2"))
+    val b = v.select(col("vec_id").as("b_id"), col("ai"), col("n2").as("b_n2"))
+    val allPairs = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", expr(dot).cast("double") /
+        (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))))
+      .filter(col("cos") >= 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusterOf = graft.ops.KMeans.kmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.semDedup(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: every emitted pair is a true near-dup
+    assert(got.subsetOf(allPairs))
+    // emitted pairs never cross clusters
+    got.foreach { case (x, y) => assert(clusterOf(x) == clusterOf(y)) }
+    // recall contract: every true near-dup pair that lands in one
+    // cluster IS emitted — the only misses are cross-cluster by design
+    val coClustered = allPairs.filter { case (x, y) => clusterOf(x) == clusterOf(y) }
+    assert(got == coClustered,
+      s"missed ${coClustered -- got} / extra ${got -- coClustered}")
+  }
 }
