@@ -36,13 +36,20 @@ object KMeans {
     * from the `k` smallest vec_ids. Returns (vec_id, cluster, dist2). */
   def kmeans(spark: SparkSession, dir: String,
              k: Int = 8, iters: Int = 3): DataFrame = {
-    require(k >= 1 && iters >= 0)
     val v = Similarity.scaled(spark, dir).select(col("vec_id"), col("ai"))
+    finalAssign(v, k, iters).select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** The shared Lloyd loop + final assignment (vec_id, ai, cluster,
+    * dist2) — q111's body, reused by q118's SemDeDup so the clusters
+    * both queries (and their chained oracles) see are one code path. */
+  private[graft] def finalAssign(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0)
     var cs = initCentroids(v, k)
     for (_ <- 1 to iters)
       // K-row frame: eager checkpoint keeps each round's plan shallow
       cs = update(assign(v, cs)).localCheckpoint(true)
-    assign(v, cs).select(col("vec_id"), col("cluster"), col("dist2"))
+    assign(v, cs)
   }
 
   /** One-row frame [carr: array<struct<cid:int, c:array<bigint>>>] from

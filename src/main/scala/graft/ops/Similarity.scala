@@ -497,18 +497,22 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String, k: Int = 8,
                iters: Int = 3, cosT: Double = 0.4): DataFrame = {
     val v = scaled(spark, dir).select(col("vec_id"), col("ai"))
-    var cs = KMeans.initCentroids(v, k)
-    for (_ <- 1 to iters)
-      cs = KMeans.update(KMeans.assign(v, cs)).localCheckpoint(true)
-    val asg = KMeans.assign(v, cs)
-    val a = asg.select(col("cluster"), col("vec_id").as("a_id"), col("ai").as("a_ai"))
-    val b = asg.select(col("cluster"), col("vec_id").as("b_id"), col("ai").as("b_ai"))
+    // one code path with q111 for the clusters (so the chained oracles
+    // stay in lock-step); norms computed once per VECTOR, not per pair,
+    // and the assignment materialized once — it feeds both join sides
+    val asg = KMeans.finalAssign(v, k, iters)
+      .withColumn("n2", expr("dot_long(ai, ai)"))
+      .localCheckpoint(true)
+    val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
+      col("ai").as("a_ai"), col("n2").as("a_n2"))
+    val b = asg.select(col("cluster"), col("vec_id").as("b_id"),
+      col("ai").as("b_ai"), col("n2").as("b_n2"))
     a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (expr("dot_long(a_ai, b_ai)").cast("double") /
-          (sqrt(expr("dot_long(a_ai, a_ai)").cast("double")) *
-            sqrt(expr("dot_long(b_ai, b_ai)").cast("double")))).as("cos"))
+          (sqrt(col("a_n2").cast("double")) *
+            sqrt(col("b_n2").cast("double")))).as("cos"))
       .filter(col("cos") >= cosT)
   }
 
