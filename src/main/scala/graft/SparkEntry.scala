@@ -135,6 +135,7 @@ object SparkEntry {
     "q116_grid_quantiles"  -> ((s, d) => ops.Sketches.gridQuantiles(s, d)),
     "q117_incremental_agg" -> ((s, d) => analytics.Relational.incrementalAgg(s, d)),
     "q118_semdedup"        -> ((s, d) => ops.Similarity.semDedup(s, d)),
+    "q119_containment"     -> ((s, d) => ops.Dedup.containmentJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

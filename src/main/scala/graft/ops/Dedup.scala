@@ -80,8 +80,13 @@ object Dedup {
     * pair. Hash collisions are ~n²/2^60 (and the exact-string DuckDB
     * oracle would catch one). Shared by the exact (q22) and LSH (q23)
     * variants — only candidate *enumeration* differs; scores are exact. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
+  /** Shared verify-stage scaffolding: materialize the candidate pair
+    * set, restrict the shingle index to candidate docs (filter-first),
+    * and collapse each doc to its sorted 60-bit hash array. Returns the
+    * materialized pairs, the persisted array index (caller unpersists),
+    * and the candidate-doc count that sizes the broadcast guards. */
+  private def candidateArrays(cand: DataFrame,
+                              sh: DataFrame): (DataFrame, DataFrame, Long) = {
     graft.functions.VectorExprs.register(sh.sparkSession)
     // materialize the (small) candidate pair set once — it feeds the join
     // AND the filter-first doc restriction below, and for q22 it hangs off
@@ -107,6 +112,12 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("arr"), count(lit(1)).as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (pairs, arrays, nCandDocs)
+  }
+
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val (pairs, arrays, nCandDocs) = candidateArrays(cand, sh)
     // the array index is doc-count-sized; the candidate PAIR set is the
     // big side (it grows with near-dup density, quadratically in cluster
     // sizes). Broadcasting the index keeps the pair set from shuffling
@@ -198,6 +209,83 @@ object Dedup {
     val out = verifyJaccard(cand, sh, t)
     sh.unpersist(false)
     pref.unpersist(false)
+    out
+  }
+
+  /** q119: containment join — DIRECTED near-dup: a is τ-contained in b
+    * iff |Sh(a) ∩ Sh(b)| / |Sh(a)| ≥ τ (Chaudhuri, Ganti, Kaushik, "A
+    * Primitive Operator for Similarity Joins in Data Cleaning",
+    * ICDE'06 — the overlap-constraint SSJoin). This is the asymmetric
+    * case symmetric resemblance (q22) structurally misses: a short doc
+    * quoted whole inside a long one has high containment but low
+    * Jaccard, the quote/boilerplate-absorption case a curation pipeline
+    * must catch separately.
+    *
+    * Candidate generation is one-sided prefix filtering: the required
+    * overlap o = ⌈τ·sz_a⌉ depends only on the PROBE doc a, so a probes
+    * with its first sz_a − o + 1 shingles in global (df, shingle) order
+    * — if the intersection has ≥ o elements, a's prefix must contain
+    * one (pigeonhole) — while the INDEX side carries every shingle, the
+    * same one-sided-exactness argument as q91's delta-vs-corpus cap.
+    * Heavy-hitter shingles rank last and never enter a probe prefix, so
+    * no posting list drives a blowup. A length filter (sz_b ≥ τ·sz_a)
+    * and the PPJoin positional bound (overlap ≤ 1 + min remaining
+    * suffix) prune further, both with conservative epsilons.
+    * Verification is exact over the sorted hash arrays; the oracle is
+    * the uncapped inverted-index SQL, proving the filters lose nothing. */
+  def containmentJoin(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame =
+    containmentOf(shingles(spark, dir), threshold)
+
+  private[graft] def containmentOf(shingleFrame: DataFrame,
+                                   threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val t = threshold
+    val sh = shingleFrame.persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfreq.hint("shuffle_hash"), "shingle")
+      .withColumn("rk", row_number().over(w.orderBy(col("df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(w))
+      // probe prefixes and the full index are both slices of this one
+      // frame — persist so the df-join + rank window runs once
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // probe side: prefix of size sz − ⌈τ·sz⌉ + 1 (conservative epsilon:
+    // a longer prefix can only ADD candidates for the verifier to reject)
+    val probe = ranked.filter(
+      col("rk") <= col("sz") - expr(s"CAST(ceil(sz * $t - 1e-9) AS BIGINT)") + 1)
+    val cand = probe.as("a").join(ranked.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .filter(col("b.sz").cast("double") >= col("a.sz") * t - 1e-9)
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(min(col("a.rk")).as("ra0"), min(col("b.rk")).as("rb0"))
+      .filter((lit(1) + least(col("sz_a") - col("ra0"), col("sz_b") - col("rb0"))).cast("double")
+        >= col("sz_a") * t - 1e-9)
+      .select(col("a_id"), col("b_id"))
+    val out = verifyContainment(cand, sh, t)
+    sh.unpersist(false)
+    ranked.unpersist(false)
+    out
+  }
+
+  /** Exact containment scoring of candidate (a_id, b_id) pairs — the
+    * verifyJaccard pattern with the asymmetric score inter/sz_a. */
+  private def verifyContainment(cand: DataFrame, sh: DataFrame,
+                                threshold: Double): DataFrame = {
+    val (pairs, arrays, nCandDocs) = candidateArrays(cand, sh)
+    val hintA = arrays.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
+      col("sz").as("sz_a"))
+    val hintB = arrays.select(col("doc_id").as("b_id"), col("arr").as("arr_b"))
+    val out = pairs
+      .join(if (nCandDocs <= MaxBroadcastArrayDocs) broadcast(hintA) else hintA, "a_id")
+      .join(if (nCandDocs <= MaxBroadcastArrayDocs) broadcast(hintB) else hintB, "b_id")
+      .withColumn("containment",
+        expr("sorted_intersect_count(arr_a, arr_b)").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .localCheckpoint(true)
+    arrays.unpersist(false)
     out
   }
 
@@ -545,6 +633,19 @@ object Dedup {
     // q22: the uncapped exact inverted index — deliberately NOT the capped
     // enumeration the Spark side runs, so the oracle also proves the df
     // cap loses no pairs on this corpus.
+    // uncapped directed inverted index — proves the one-sided prefix /
+    // length / positional filters of containmentJoin lose no pair
+    "q119_containment" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, containment FROM (
+         |  SELECT a_id, b_id, CAST(inter AS DOUBLE) / sa.sz AS containment
+         |  FROM cand JOIN sz sa ON sa.doc_id = a_id)
+         |WHERE containment >= 0.8""".stripMargin,
     "q22_jaccard_neardup" ->
       s"""WITH sh AS ($shinglesSql),
          |cand AS (

@@ -74,4 +74,52 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("status") === "kept").count() > 0)
     out.unpersist()
   }
+
+  /** Brute-force directed containment over the corpus shingles. */
+  private def bruteContainment(t: Double): Set[(Long, Long)] = {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+          |  ELSE array() END""".stripMargin).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      if sa.intersect(sb).size.toDouble / sa.size >= t
+    } yield (a, b)).toSet
+  }
+
+  test("containment join equals brute force at default AND non-default thresholds") {
+    for (t <- Seq(0.8, 0.6)) {
+      val got = Dedup.containmentJoin(spark, sf, t)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == bruteContainment(t), s"mismatch at t=$t")
+    }
+  }
+
+  test("containment catches the quote-absorption case symmetric jaccard misses") {
+    import spark.implicits._
+    // doc 2 = doc 1's text embedded in a much longer document: high
+    // containment(1 → 2), low jaccard
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$filler $quote $filler"))
+      .toDF("doc_id", "text")
+    val contained = Dedup.containmentOf(
+      graft.ops.Dedup.shinglesOf(docs), 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contained.contains((1L, 2L)), "short doc must be contained in long")
+    assert(!contained.contains((2L, 1L)), "containment is directed")
+    // the same pair is invisible to symmetric resemblance at j >= 0.5
+    val sets = docs.select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val j = sets(1L).intersect(sets(2L)).size.toDouble / sets(1L).union(sets(2L)).size
+    assert(j < 0.5, s"crafted pair must be low-jaccard, got $j")
+  }
 }
