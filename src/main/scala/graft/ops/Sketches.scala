@@ -107,9 +107,18 @@ object Sketches {
     * shuffle carries ≤ `buckets` count rows, and the cumulative window
     * runs over the ≤ `buckets`-row SKETCH, never the data. */
   def gridQuantiles(spark: SparkSession, dir: String, buckets: Int = 4096,
-                    phis: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+                    phis: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame =
+    gridQuantilesOf(
+      Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x")),
+      buckets, phis)
+
+  /** Same sketch over an arbitrary single-column frame `x` (spec entry
+    * for degenerate inputs — e.g. a constant column, where every value
+    * lands in bucket 0 and each estimate degrades to lo). */
+  private[graft] def gridQuantilesOf(x0: DataFrame, buckets: Int,
+                                     phis: Seq[Double]): DataFrame = {
     require(buckets >= 2 && phis.nonEmpty && phis.forall(p => p > 0 && p <= 1))
-    val x = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val x = x0
     val bounds = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
       count(lit(1)).as("n"))
     val counts = x.crossJoin(broadcast(bounds))

@@ -59,6 +59,22 @@ class KMeansSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("degenerate knobs: k larger than the corpus, and zero iterations") {
+    import org.apache.spark.sql.functions._
+    val tiny = Similarity.scaled(spark, sf)
+      .select(col("vec_id"), col("ai")).orderBy(col("vec_id")).limit(5)
+      .localCheckpoint(true)
+    // k > n: every vector seeds its own centroid and is its own nearest
+    val own = KMeans.finalAssign(tiny, k = 8, iters = 1).collect()
+    assert(own.length == 5)
+    own.foreach(r => assert(r.getLong(3) == 0L,
+      s"vec ${r.getLong(0)} should sit on its own centroid"))
+    // iters = 0: assignment against the raw seeds, no update round
+    val seeds = KMeans.finalAssign(tiny, k = 2, iters = 0).collect()
+    assert(seeds.length == 5)
+    assert(seeds.map(_.getInt(2)).toSet.subsetOf(Set(0, 1)))
+  }
+
   test("every vector is assigned and clusters are non-trivial") {
     val rows = KMeans.kmeans(spark, sf).collect()
     assert(rows.length == vectors.length)

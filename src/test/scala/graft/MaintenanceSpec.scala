@@ -49,6 +49,14 @@ class MaintenanceSpec extends SparkSpec {
     assertSameRows(pruned, full)
   }
 
+  test("q113 a box entirely outside the data prunes every file and returns empty") {
+    val pruned = Maintenance.zorderPrunedScan(spark, sf,
+      custLo = 60000, custHi = 60100, dayLo = "2020-01-01", dayHi = "2020-12-31")
+    assert(pruned.count() == 0)
+    val (read, total) = Maintenance.pruneStats.get()
+    assert(read == 0 && total > 0, s"expected total pruning, read $read of $total")
+  }
+
   test("q112 classifications match the snapshot generators exactly") {
     val diff = Maintenance.snapshotDiff(spark, sf).collect()
     val keys = Tables.orders(spark, sf).select(col("o_orderkey"))

@@ -68,4 +68,13 @@ class SamplingSpec extends SparkSpec {
     // p >= w always (u <= 1), so any item with w >= tau is in the sample
     all.filter(_._2 >= tau).foreach { case (id, _, _) => assert(wantIds(id)) }
   }
+
+  test("q115 degrades to keep-everything when k covers the corpus") {
+    val n = Tables.documents(spark, sf).count()
+    val sample = graft.ops.Curation.prioritySample(spark, sf, k = 100000)
+      .collect()
+    assert(sample.length == n)
+    // no (k+1)-th priority exists → tau = 0 → estimator is the weight
+    sample.foreach(r => assert(r.getDouble(3) == r.getLong(1).toDouble))
+  }
 }

@@ -103,6 +103,15 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q116 degenerate input: a constant column still answers every phi") {
+    import spark.implicits._
+    val const = Seq.fill(10)(42.0).toDF("x")
+    val rows = Sketches.gridQuantilesOf(const, 4096, Seq(0.5, 0.99)).collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getDouble(2) == 42.0,
+      s"phi=${r.getDouble(0)} est ${r.getDouble(2)}"))
+  }
+
   test("q116 histograms merge: shard count vectors add to the whole") {
     // two disjoint shards bucketed on the SAME global grid must sum to
     // the whole-corpus histogram — the property that lets each ingest
