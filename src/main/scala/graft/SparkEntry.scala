@@ -136,6 +136,7 @@ object SparkEntry {
     "q117_incremental_agg" -> ((s, d) => analytics.Relational.incrementalAgg(s, d)),
     "q118_semdedup"        -> ((s, d) => ops.Similarity.semDedup(s, d)),
     "q119_containment"     -> ((s, d) => ops.Dedup.containmentJoin(s, d)),
+    "q120_pii_scrub"       -> (ops.TextAnalysis.piiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -361,7 +361,65 @@ object TextAnalysis {
   private val toksSql =
     "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 
+  /** PII-redaction regex classes, ordered so classes can't shadow each
+    * other (emails carry short digit runs; IPs carry dots that break
+    * the long-digit-run class): email → IPv4 → ≥9-digit runs. Written
+    * in the Java/RE2 COMMON subset so Spark and DuckDB compile the
+    * identical automaton. */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiNum = "\\d{9,}"
+
+  /** q120: PII redaction with removal accounting — the scrub step every
+    * public-corpus pipeline runs before training: emails, IPv4s, and
+    * long digit runs (card/SSN-shaped) replaced by class tokens, with a
+    * per-document count per class for the curation report. All
+    * codegen'd regexp ops, map-side, no shuffle.
+    *
+    * The synthetic corpus carries no PII, so the query first PLANTS
+    * deterministic markers on mod-keyed docs and then removes them —
+    * the oracle mirrors both halves, and CurationOpsSpec asserts the
+    * scrubbed output is marker-free, so the patterns are exercised
+    * rather than vacuously green (contrast q60, whose URL/email classes
+    * simply never fire on this corpus). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, lit(" reach me at user7@example.com"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" logged from 192.168.1.77"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" card 4111111111111111"))
+        .otherwise(lit(""))).as("t0"))
+    planted.select(col("doc_id"),
+      regexp_count(col("t0"), lit(PiiEmail)).cast("long").as("n_email"),
+      regexp_count(col("t0"), lit(PiiIp)).cast("long").as("n_ip"),
+      // count digit runs AFTER the ip class is gone, like the replace
+      regexp_count(regexp_replace(col("t0"), PiiIp, "<IP>"), lit(PiiNum))
+        .cast("long").as("n_num"),
+      regexp_replace(regexp_replace(regexp_replace(col("t0"),
+        PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiNum, "<NUM>").as("scrubbed"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q120_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user7@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' logged from 192.168.1.77' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' card 4111111111111111' ELSE '' END AS t0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t0, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(t0, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{9,}')) AS BIGINT) AS n_num,
+        |  regexp_replace(regexp_replace(regexp_replace(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{9,}', '<NUM>', 'g') AS scrubbed
+        |FROM planted""".stripMargin,
     "q28_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
          |h AS (SELECT doc_id, lang,

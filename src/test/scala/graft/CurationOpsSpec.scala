@@ -133,4 +133,28 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[String]("ids").split(",").length == r.getAs[Long]("n_tok"))
     }
   }
+
+  test("q120 scrubbed output is marker-free and counts match the planting") {
+    val rows = graft.ops.TextAnalysis.piiScrub(spark, sf).collect()
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    val num = "\\d{9,}".r
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val scrubbed = r.getString(4)
+      // nothing PII-shaped survives the scrub
+      assert(email.findFirstIn(scrubbed).isEmpty, s"email left in doc $id")
+      assert(ip.findFirstIn(scrubbed).isEmpty, s"ip left in doc $id")
+      assert(num.findFirstIn(scrubbed).isEmpty, s"digit run left in doc $id")
+      // counts reflect the deterministic planting (the raw corpus itself
+      // carries none of these classes)
+      assert(r.getLong(1) == (if (id % 7 == 0) 1 else 0), s"n_email doc $id")
+      assert(r.getLong(2) == (if (id % 11 == 0) 1 else 0), s"n_ip doc $id")
+      assert(r.getLong(3) == (if (id % 13 == 0) 1 else 0), s"n_num doc $id")
+      // and the planted markers became their class tokens
+      if (id % 7 == 0) assert(scrubbed.contains("<EMAIL>"))
+      if (id % 11 == 0) assert(scrubbed.contains("<IP>"))
+      if (id % 13 == 0) assert(scrubbed.contains("<NUM>"))
+    }
+  }
 }
