@@ -137,6 +137,7 @@ object SparkEntry {
     "q118_semdedup"        -> ((s, d) => ops.Similarity.semDedup(s, d)),
     "q119_containment"     -> ((s, d) => ops.Dedup.containmentJoin(s, d)),
     "q120_pii_scrub"       -> (ops.TextAnalysis.piiScrub _),
+    "q121_hll_intersect"   -> (ops.Sketches.hllIntersections _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -89,6 +89,54 @@ object Sketches {
         3).as("est"))
   }
 
+  /** q121: set-operation estimates over stored sketches — the question a
+    * sketch store actually answers: "how many order keys do returnflag
+    * segments share?" |A∩B| = est(A) + est(B) − est(A∪B) by
+    * inclusion–exclusion, where est(A∪B) is the element-wise-max merge
+    * (q114) — three estimates read off TWO stored 256-row register
+    * tables, no rescan of the data. Same exact-integer harmonic-sum
+    * determinism as q114; the intersection estimate inherits ~3× the
+    * union's relative error (the known HLL inclusion–exclusion caveat,
+    * documented rather than hidden — SketchSpec bounds it against the
+    * exact intersection). Pairs are ordered a < b lexicographically. */
+  def hllIntersections(spark: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegisters(spark, dir) // (l_returnflag, bucket, r)
+    // per-pair union sketch = element-wise max over the two register
+    // sets (the q114 merge shape; a bucket absent in one sketch keeps
+    // the other's rho, which a shared-bucket inner join would drop)
+    val flags = regs.select(col("l_returnflag")).distinct()
+    val pairs = flags.as("x").join(flags.as("y"),
+      col("x.l_returnflag") < col("y.l_returnflag"))
+      .select(col("x.l_returnflag").as("fa"), col("y.l_returnflag").as("fb"))
+    val merged = pairs.join(regs,
+        col("l_returnflag") === col("fa") || col("l_returnflag") === col("fb"))
+      .groupBy(col("fa"), col("fb"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    def estCol(sPresent: org.apache.spark.sql.Column,
+               present: org.apache.spark.sql.Column) =
+      lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+        lit(9007199254740992.0) /
+        (sPresent + (lit(M.toLong) - present) * lit(1L << 53)).cast("double")
+    val unionEst = merged.groupBy(col("fa"), col("fb"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("CAST(1 AS BIGINT) << (53 - r)")).as("s_present"))
+      .select(col("fa"), col("fb"),
+        estCol(col("s_present"), col("present")).as("est_union"))
+    val single = regs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("CAST(1 AS BIGINT) << (53 - r)")).as("s_present"))
+      .select(col("l_returnflag"),
+        estCol(col("s_present"), col("present")).as("est"))
+    unionEst
+      .join(single.select(col("l_returnflag").as("fa"), col("est").as("est_a")), "fa")
+      .join(single.select(col("l_returnflag").as("fb"), col("est").as("est_b")), "fb")
+      .select(col("fa"), col("fb"),
+        round(col("est_a"), 3).as("est_a"),
+        round(col("est_b"), 3).as("est_b"),
+        round(col("est_union"), 3).as("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 3).as("est_inter"))
+  }
+
   /** q116: mergeable fixed-grid quantile sketch over l_extendedprice —
     * the portable answer to "approximate quantiles over 100 TB, refreshed
     * per shard": a histogram on a FIXED equi-width grid is a sketch
@@ -142,6 +190,40 @@ object Sketches {
   }
 
   val oracle: Map[String, String] = Map(
+    "q121_hll_intersect" ->
+      s"""WITH regs AS (
+         |  SELECT l_returnflag, bucket, CAST(max(rho) AS INT) AS r FROM (
+         |    SELECT l_returnflag, h % $M AS bucket,
+         |      CASE WHEN (h // $M) = 0 THEN 53
+         |           ELSE bit_count(((h // $M) & -(h // $M)) - 1) + 1 END AS rho
+         |    FROM (SELECT l_returnflag,
+         |            CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |          FROM lineitem))
+         |  GROUP BY 1, 2),
+         |flags AS (SELECT DISTINCT l_returnflag FROM regs),
+         |pairs AS (SELECT x.l_returnflag AS fa, y.l_returnflag AS fb
+         |          FROM flags x JOIN flags y ON x.l_returnflag < y.l_returnflag),
+         |single AS (
+         |  SELECT l_returnflag,
+         |    0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0 * 9007199254740992.0e0
+         |      / CAST(sum(CAST(1 AS BIGINT) << (53 - r))
+         |             + ($M - count(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS est
+         |  FROM regs GROUP BY 1),
+         |pu AS (
+         |  SELECT fa, fb, bucket, max(r) AS r
+         |  FROM pairs JOIN regs ON l_returnflag = fa OR l_returnflag = fb
+         |  GROUP BY 1, 2, 3),
+         |uest AS (
+         |  SELECT fa, fb,
+         |    0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0 * 9007199254740992.0e0
+         |      / CAST(sum(CAST(1 AS BIGINT) << (53 - r))
+         |             + ($M - count(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS est_union
+         |  FROM pu GROUP BY 1, 2)
+         |SELECT fa, fb, round(a.est, 3) AS est_a, round(b.est, 3) AS est_b,
+         |  round(est_union, 3) AS est_union,
+         |  round(a.est + b.est - est_union, 3) AS est_inter
+         |FROM uest JOIN single a ON a.l_returnflag = fa
+         |          JOIN single b ON b.l_returnflag = fb""".stripMargin,
     "q116_grid_quantiles" ->
       """WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
         |bounds AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM x),

@@ -103,6 +103,23 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q121 inclusion-exclusion intersection estimates track the exact overlaps") {
+    val li = Tables.lineitem(spark, sf)
+    val sets = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ests = Sketches.hllIntersections(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(ests.size == sets.size * (sets.size - 1) / 2)
+    ests.foreach { case ((fa, fb), est) =>
+      val exact = sets(fa).intersect(sets(fb)).size
+      // inclusion-exclusion compounds ~3 sketches' stderr (6.5% each);
+      // a 0.35 relative band keeps the test deterministic-safe
+      assert(math.abs(est - exact) / exact < 0.35,
+        s"($fa,$fb): est $est vs exact $exact")
+    }
+  }
+
   test("q116 degenerate input: a constant column still answers every phi") {
     import spark.implicits._
     val const = Seq.fill(10)(42.0).toDF("x")
