@@ -138,6 +138,8 @@ object SparkEntry {
     "q119_containment"     -> ((s, d) => ops.Dedup.containmentJoin(s, d)),
     "q120_pii_scrub"       -> (ops.TextAnalysis.piiScrub _),
     "q121_hll_intersect"   -> (ops.Sketches.hllIntersections _),
+    "q122_schema_evolution" -> (sources.Sinks.schemaEvolutionRead _),
+    "q123_transitions"     -> ((s, d) => ops.Events.clickTransitions(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

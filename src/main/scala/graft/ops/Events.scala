@@ -141,7 +141,41 @@ object Events {
       .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** q123: click-path transition mining — the free-form complement to
+    * q70's fixed funnel: the top event-type transition edges across all
+    * users, i.e. the empirical first-order Markov structure of the
+    * product (what sequence-mining over behavioral logs starts from).
+    *
+    * Scale shape: `lead` windows PER USER (a user's event count bounds
+    * the partition — never a global sort), counts combine map-side, and
+    * the top-k cut is a bounded TakeOrderedAndProject. Tie-break on
+    * (src, dst) makes the cut total and oracle-stable. */
+  def clickTransitions(spark: SparkSession, dir: String,
+                       topK: Int = 20): DataFrame = {
+    require(topK >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("src"), asc("dst"))
+      .limit(topK)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q123_transitions" ->
+      """SELECT event_type AS src, next_type AS dst, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, src, dst
+        |LIMIT 20""".stripMargin,
     "q70_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)

@@ -99,6 +99,29 @@ object Sinks {
     spark.read.schema(src.schema).parquet(compacted)
   }
 
+  /** q122: schema-evolution read — the lakehouse reality that a table's
+    * files span writer versions: batch 1 wrote three columns, batch 2
+    * added `o_orderstatus`, and a `mergeSchema` read serves the UNION
+    * schema with nulls where old files lack the column. Schema merging
+    * is a FOOTER-level operation (driver metadata, not a data scan), and
+    * the per-file `ReadSchema` still prunes to what each file has — the
+    * evolution costs nothing at scan time. Production pins the merged
+    * schema in a catalog instead of re-inferring per read; the
+    * mergeSchema read here is the bootstrap that derives it. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir)
+    val v1 = "target/tmp/graft_evolve/v1"
+    val v2 = "target/tmp/graft_evolve/v2"
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(v1)
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(v2)
+    spark.read.option("mergeSchema", "true").parquet(v1, v2)
+  }
+
   /** S8: CSV write + schema-preserving read-back of the nation dimension
     * (the reference image's vestigial csv/ dir, Dockerfile:53). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -164,6 +187,12 @@ object Sinks {
   }
 
   val oracle: Map[String, String] = Map(
+    "q122_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
     "q37_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q104_jsonl_roundtrip" ->

@@ -120,4 +120,32 @@ class SinkSpec extends SparkSpec {
     // text fidelity (escaping, unicode) is the point of the roundtrip
     assertSameRows(back, d)
   }
+
+  test("q122 mergeSchema read serves the union schema with nulls for old files") {
+    import org.apache.spark.sql.functions._
+    val merged = sources.Sinks.schemaEvolutionRead(spark, sf)
+    assert(merged.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+    val total = Tables.orders(spark, sf).count()
+    assert(merged.count() == total)
+    // v1 (even keys) predates the column; v2 (odd keys) carries it
+    assert(merged.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_orderstatus").isNotNull).count() == 0)
+    assert(merged.filter(col("o_orderkey") % 2 =!= 0 &&
+      col("o_orderstatus").isNull).count() == 0)
+  }
+
+  test("q123 transitions: edges count real consecutive pairs, top-k cut total") {
+    import org.apache.spark.sql.functions._
+    val top = graft.ops.Events.clickTransitions(spark, sf, topK = 10).collect()
+    assert(top.length == 10)
+    // counts are non-increasing down the cut
+    val ns = top.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // total transition mass = events - one terminal event per user
+    val all = graft.ops.Events.clickTransitions(spark, sf, topK = 1000000)
+    val events = Tables.events(spark, sf)
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(all.agg(sum(col("n"))).collect().head.getLong(0) == expected)
+  }
 }
