@@ -140,6 +140,8 @@ object SparkEntry {
     "q121_hll_intersect"   -> (ops.Sketches.hllIntersections _),
     "q122_schema_evolution" -> (sources.Sinks.schemaEvolutionRead _),
     "q123_transitions"     -> ((s, d) => ops.Events.clickTransitions(s, d)),
+    "q124_basket_pairs"    -> ((s, d) => analytics.Relational.basketPairs(s, d)),
+    "q125_rfm_segments"    -> ((s, d) => analytics.Relational.rfmSegments(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -363,7 +363,83 @@ object Relational {
         col("min_ship"), col("max_ship"))
   }
 
+  /** q124: market-basket co-occurrence — the a-priori first step over
+    * order baskets: top part-category pairs bought together. Pair
+    * enumeration is PER ORDER (self-join co-located on the order key,
+    * ≤ (items/order)² pairs each — basket size bounds the blowup, never
+    * corpus size), counts combine map-side, and the cut is a bounded
+    * TakeOrderedAndProject with a total (n desc, ca, cb) order. */
+  def basketPairs(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1)
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (col("l_partkey") % 100).as("cat"))
+      .distinct()
+    items.as("a").join(items.as("b"), Seq("l_orderkey"))
+      .filter(col("a.cat") < col("b.cat"))
+      .groupBy(col("a.cat").as("ca"), col("b.cat").as("cb"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("ca"), asc("cb"))
+      .limit(topK)
+  }
+
+  /** q125: RFM segmentation — classic customer scoring without the
+    * classic global-ntile window: per-customer recency/frequency/
+    * monetary aggregate in ONE shuffle, the two split boundaries
+    * (median frequency, median monetary) come back as a 1-row broadcast
+    * (the q78 broadcast-back shape), and the segment label is a
+    * map-side comparison. Exact interpolated medians (the q43
+    * percentile ≡ quantile_cont identity) keep both engines'
+    * boundaries bit-identical; monetary goes through the decimal-exact
+    * path with DOUBLE at the boundary. Recency splits on a fixed date
+    * (config, not data) as a real scoring model would. */
+  def rfmSegments(spark: SparkSession, dir: String,
+                  recentSince: String = "1999-01-01"): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("r_date"),
+        count(lit(1)).as("f"),
+        Tables.toDouble(sum(Tables.dec(col("o_totalprice"))), 2).as("m"))
+    val bounds = per.agg(
+      expr("percentile(f, 0.5)").as("f_med"),
+      expr("percentile(m, 0.5)").as("m_med"))
+    per.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("m"),
+        concat(
+          when(col("r_date") >= lit(recentSince).cast("timestamp"), "R").otherwise("r"),
+          when(col("f") >= col("f_med"), "F").otherwise("f"),
+          when(col("m") >= col("m_med"), "M").otherwise("m")).as("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        Tables.toDouble(sum(Tables.dec(col("m"))), 2).as("sum_m"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q124_basket_pairs" ->
+      """SELECT ca, cb, n FROM (
+        |  SELECT a.cat AS ca, b.cat AS cb, count(*) AS n FROM
+        |    (SELECT DISTINCT l_orderkey, l_partkey % 100 AS cat FROM lineitem) a
+        |    JOIN
+        |    (SELECT DISTINCT l_orderkey, l_partkey % 100 AS cat FROM lineitem) b
+        |    USING (l_orderkey)
+        |  WHERE a.cat < b.cat
+        |  GROUP BY 1, 2)
+        |ORDER BY n DESC, ca, cb LIMIT 20""".stripMargin,
+    "q125_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS r_date, count(*) AS f,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS m
+        |  FROM orders GROUP BY 1),
+        |bounds AS (
+        |  SELECT quantile_cont(f, 0.5) AS f_med, quantile_cont(m, 0.5) AS m_med FROM per)
+        |SELECT segment, count(*) AS n_customers,
+        |  CAST(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_m
+        |FROM (
+        |  SELECT o_custkey, m,
+        |    (CASE WHEN r_date >= TIMESTAMP '1999-01-01 00:00:00' THEN 'R' ELSE 'r' END)
+        |    || (CASE WHEN f >= f_med THEN 'F' ELSE 'f' END)
+        |    || (CASE WHEN m >= m_med THEN 'M' ELSE 'm' END) AS segment
+        |  FROM per, bounds)
+        |GROUP BY 1""".stripMargin,
     "q117_incremental_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,

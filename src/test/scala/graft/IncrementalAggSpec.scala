@@ -24,6 +24,28 @@ class IncrementalAggSpec extends SparkSpec {
     assertSameRows(Relational.incrementalAgg(spark, sf, deltaMod = 3), recompute)
   }
 
+  test("q124 basket pairs: total pair mass equals sum of per-basket C(k,2)") {
+    val li = Tables.lineitem(spark, sf)
+    val expected = li.select(col("l_orderkey"), (col("l_partkey") % 100).as("cat"))
+      .distinct().groupBy("l_orderkey").count()
+      .select((col("count") * (col("count") - 1) / 2).cast("long").as("pairs"))
+      .agg(sum("pairs")).collect().head.getLong(0)
+    val all = Relational.basketPairs(spark, sf, topK = 1000000)
+    assert(all.agg(sum(col("n"))).collect().head.getLong(0) == expected)
+    val top = Relational.basketPairs(spark, sf, topK = 10).collect()
+    val ns = top.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q125 RFM: segments partition the customer base") {
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    val rows = Relational.rfmSegments(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == nCust, "every customer lands in one segment")
+    val labels = rows.map(_.getString(0)).toSet
+    assert(labels.forall(_.matches("[Rr][Ff][Mm]")))
+    assert(labels.size >= 2, "median splits must be non-trivial")
+  }
+
   test("a key present only in the delta still lands in the refreshed state") {
     // mod 2 puts every even orderkey in the delta; verify both sides of
     // the full-outer merge contribute (counts from each slice sum to n)
