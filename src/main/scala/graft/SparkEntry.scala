@@ -142,6 +142,7 @@ object SparkEntry {
     "q123_transitions"     -> ((s, d) => ops.Events.clickTransitions(s, d)),
     "q124_basket_pairs"    -> ((s, d) => analytics.Relational.basketPairs(s, d)),
     "q125_rfm_segments"    -> ((s, d) => analytics.Relational.rfmSegments(s, d)),
+    "q126_assoc_rules"     -> ((s, d) => analytics.Relational.assocRules(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -382,6 +382,42 @@ object Relational {
       .limit(topK)
   }
 
+  /** q126: association rules — the a-priori second step over q124's
+    * pair counts: directed rules ca → cb with support (basket count),
+    * confidence n_ab/n_a, and lift n_ab·N/(n_a·n_b), minimum-support
+    * pruned, top-k by lift. All three metrics are single divisions /
+    * multiplications over exact integer counts, so both engines derive
+    * them bit-identically. Scale shape: the pair table is the q124
+    * co-located join; the per-category counts are a tiny aggregate that
+    * BROADCASTS onto it; N rides a 1-row broadcast; the cut is bounded.
+    * Tie-break on (ca, cb) is total. */
+  def assocRules(spark: SparkSession, dir: String, minSupport: Long = 20,
+                 topK: Int = 20): DataFrame = {
+    require(minSupport >= 1 && topK >= 1)
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (col("l_partkey") % 100).as("cat"))
+      .distinct()
+    val n = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val catCounts = items.groupBy(col("cat")).agg(count(lit(1)).as("n_cat"))
+    // directed pairs: both (a,b) and (b,a) are rules
+    val pairs = items.as("a").join(items.as("b"), Seq("l_orderkey"))
+      .filter(col("a.cat") =!= col("b.cat"))
+      .groupBy(col("a.cat").as("ca"), col("b.cat").as("cb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(catCounts.select(col("cat").as("ca"), col("n_cat").as("n_a"))), "ca")
+      .join(broadcast(catCounts.select(col("cat").as("cb"), col("n_cat").as("n_b"))), "cb")
+      .crossJoin(broadcast(n))
+      .select(col("ca"), col("cb"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), asc("ca"), asc("cb"))
+      .limit(topK)
+  }
+
   /** q125: RFM segmentation — classic customer scoring without the
     * classic global-ntile window: per-customer recency/frequency/
     * monetary aggregate in ONE shuffle, the two split boundaries
@@ -414,6 +450,21 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q126_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey % 100 AS cat FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |cc AS (SELECT cat, count(*) AS n_cat FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.cat AS ca, b.cat AS cb, count(*) AS n_ab
+        |  FROM items a JOIN items b USING (l_orderkey)
+        |  WHERE a.cat <> b.cat GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT ca, cb, n_ab, confidence, lift FROM (
+        |  SELECT ca, cb, n_ab,
+        |    CAST(n_ab AS DOUBLE) / CAST(x.n_cat AS DOUBLE) AS confidence,
+        |    CAST(n_ab * n_orders AS DOUBLE) / CAST(x.n_cat * y.n_cat AS DOUBLE) AS lift
+        |  FROM pairs JOIN cc x ON x.cat = ca JOIN cc y ON y.cat = cb
+        |  CROSS JOIN n)
+        |ORDER BY lift DESC, ca, cb LIMIT 20""".stripMargin,
     "q124_basket_pairs" ->
       """SELECT ca, cb, n FROM (
         |  SELECT a.cat AS ca, b.cat AS cb, count(*) AS n FROM

@@ -37,6 +37,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q126 association rules: metrics are the definitions, support pruned") {
+    val minSup = 5L
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), (col("l_partkey") % 100).as("cat")).distinct()
+    val nOrders = items.select("l_orderkey").distinct().count()
+    val catCounts = items.groupBy("cat").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rules = Relational.assocRules(spark, sf, minSupport = minSup, topK = 1000000)
+      .collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      val (ca, cb, nab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nab >= minSup)
+      assert(r.getDouble(3) == nab.toDouble / catCounts(ca))
+      assert(r.getDouble(4) == (nab * nOrders).toDouble / (catCounts(ca) * catCounts(cb)))
+    }
+    // lift is symmetric: a→b and b→a carry the same lift (confidence differs)
+    val byPair = rules.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    byPair.foreach { case ((a, b), l) =>
+      byPair.get((b, a)).foreach(l2 => assert(l2 == l)) }
+  }
+
   test("q125 RFM: segments partition the customer base") {
     val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
     val rows = Relational.rfmSegments(spark, sf).collect()
