@@ -165,7 +165,43 @@ object Events {
       .limit(topK)
   }
 
+  /** q127: robust outlier profile per event type — the data-quality
+    * monitor that survives skew: median + MAD (median absolute
+    * deviation) instead of mean/stddev, which one hot row can drag
+    * arbitrarily. Two aggregate passes, each a single shuffle whose
+    * per-type result comes BACK as a broadcast (the q125 shape — no
+    * global sort, no window); flagging |x − med| > 3·MAD is map-side.
+    * Exact interpolated medians (percentile ≡ quantile_cont) keep both
+    * engines' thresholds bit-identical, so the outlier COUNTS — integer
+    * sums of exact-double comparisons — match exactly, no tolerance. */
+  def robustOutliers(spark: SparkSession, dir: String,
+                     k: Double = 3.0): DataFrame = {
+    require(k > 0)
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(d, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q127_robust_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+        |dev AS (SELECT e.event_type, value, med, abs(value - med) AS d
+        |        FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, count(*) AS n, min(med) AS med, min(mad) AS mad,
+        |  CAST(sum(CASE WHEN d > 3.0e0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q123_transitions" ->
       """SELECT event_type AS src, next_type AS dst, count(*) AS n FROM (
         |  SELECT event_type,
