@@ -144,6 +144,7 @@ object SparkEntry {
     "q125_rfm_segments"    -> ((s, d) => analytics.Relational.rfmSegments(s, d)),
     "q126_assoc_rules"     -> ((s, d) => analytics.Relational.assocRules(s, d)),
     "q127_robust_outliers" -> ((s, d) => ops.Events.robustOutliers(s, d)),
+    "q128_triangles"       -> ((s, d) => ops.Graph.triangles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

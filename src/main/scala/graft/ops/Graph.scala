@@ -104,6 +104,59 @@ object Graph {
       .select(col("kind"), col("key"), col("pr"))
   }
 
+  /** q128: triangle counting by degree-ordered edge orientation (Suri &
+    * Vassilvitskii, "Counting triangles and the curse of the last
+    * reducer", WWW'11) over the category co-purchase graph (edges =
+    * part-category pairs bought together in ≥ `minSupport` orders —
+    * the q124 pair space). Each undirected edge orients low→high in the
+    * total (degree, node) order, so every wedge is enumerated at its
+    * LOWEST-degree vertex — out-degrees are bounded by √(2m), which is
+    * what kills the "last reducer" hot key on power-law graphs — and a
+    * triangle counts exactly once as wedge + closing edge (one
+    * self-join plus one semi-join-shaped equi-join, all map-side-
+    * combinable). Output carries edge/wedge/triangle counts so the
+    * driver hash checks the intermediate cardinalities too. */
+  def triangles(spark: SparkSession, dir: String,
+                minSupport: Long = 20): DataFrame = {
+    require(minSupport >= 1)
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (col("l_partkey") % 100).as("cat"))
+      .distinct()
+    val und = items.as("a").join(items.as("b"), Seq("l_orderkey"))
+      .filter(col("a.cat") < col("b.cat"))
+      .groupBy(col("a.cat").as("u"), col("b.cat").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true) // feeds degrees, orientation, and the edge count
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient low→high in the (degree, node) total order
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val oe = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true) // feeds the wedge self-join AND the closer
+    val degOf = deg // (node, d) — for ordering wedge endpoints
+    val wedges = oe.as("x").join(oe.as("y"), Seq("src"))
+      .join(degOf.select(col("node").as("xd_node"), col("d").as("xd")),
+        col("x.dst") === col("xd_node"))
+      .join(degOf.select(col("node").as("yd_node"), col("d").as("yd")),
+        col("y.dst") === col("yd_node"))
+      .filter(col("xd") < col("yd") ||
+        (col("xd") === col("yd") && col("x.dst") < col("y.dst")))
+      .select(col("x.dst").as("wu"), col("y.dst").as("wv"))
+    val tri = wedges.join(oe,
+      col("wu") === col("src") && col("wv") === col("dst"), "left_semi")
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val oracle: Map[String, String] = {
     val iters = 10
     val chain = (1 to iters).map { k =>
@@ -113,6 +166,26 @@ object Graph {
          |  GROUP BY 1) CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
     Map(
+      "q128_triangles" ->
+        """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey % 100 AS cat FROM lineitem),
+          |und AS (
+          |  SELECT a.cat AS u, b.cat AS v FROM items a JOIN items b USING (l_orderkey)
+          |  WHERE a.cat < b.cat GROUP BY 1, 2 HAVING count(*) >= 20),
+          |deg AS (SELECT node, count(*) AS d FROM
+          |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+          |oe AS (
+          |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+          |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+          |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+          |wedges AS (
+          |  SELECT x.dst AS wu, y.dst AS wv
+          |  FROM oe x JOIN oe y ON x.src = y.src
+          |  JOIN deg dx ON dx.node = x.dst JOIN deg dy ON dy.node = y.dst
+          |  WHERE (dx.d < dy.d) OR (dx.d = dy.d AND x.dst < y.dst))
+          |SELECT (SELECT count(*) FROM und) AS n_edges,
+          |  (SELECT count(*) FROM wedges) AS n_wedges,
+          |  (SELECT count(*) FROM wedges w
+          |   WHERE EXISTS (SELECT 1 FROM oe WHERE src = w.wu AND dst = w.wv)) AS n_triangles""".stripMargin,
       "q97_pagerank" ->
         s"""WITH e0 AS (SELECT DISTINCT o_orderkey*2 AS src, o_custkey*2+1 AS dst FROM orders),
            |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),

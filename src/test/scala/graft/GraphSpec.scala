@@ -47,4 +47,28 @@ class GraphSpec extends SparkSpec {
     assert(prs.forall(_ > 0))
     assert(out.map(_.getAs[String]("kind")).toSet.subsetOf(Set("order", "customer")))
   }
+
+  test("q128 triangle count equals a brute-force enumeration of the same graph") {
+    import org.apache.spark.sql.functions._
+    val minSup = 5L
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), (col("l_partkey") % 100).as("cat")).distinct()
+    val edges = items.as("a").join(items.as("b"), Seq("l_orderkey"))
+      .filter(col("a.cat") < col("b.cat"))
+      .groupBy(col("a.cat").as("u"), col("b.cat").as("v"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minSup)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+    def has(a: Long, b: Long) = edges((math.min(a, b), math.max(a, b)))
+    val brute = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length if has(nodes(i), nodes(j))
+      k <- (j + 1) until nodes.length
+      if has(nodes(i), nodes(k)) && has(nodes(j), nodes(k))
+    } yield 1).size.toLong
+    val row = Graph.triangles(spark, sf, minSupport = minSup).collect().head
+    assert(row.getLong(0) == edges.size, "edge count")
+    assert(row.getLong(2) == brute, s"triangles ${row.getLong(2)} vs brute $brute")
+    assert(row.getLong(2) <= row.getLong(1), "each triangle closes one wedge")
+  }
 }
