@@ -145,6 +145,7 @@ object SparkEntry {
     "q126_assoc_rules"     -> ((s, d) => analytics.Relational.assocRules(s, d)),
     "q127_robust_outliers" -> ((s, d) => ops.Events.robustOutliers(s, d)),
     "q128_triangles"       -> ((s, d) => ops.Graph.triangles(s, d)),
+    "q129_dedup_apply"     -> (ops.Clusters.dedupApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

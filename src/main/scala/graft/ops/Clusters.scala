@@ -119,32 +119,79 @@ object Clusters {
     connectedComponents(Dedup.jaccardNearDup(spark, dir).select("a_id", "b_id"))
       .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
 
+  /** q129: APPLY the dedup decision — the end step q54 stops short of:
+    * within each near-dup cluster keep the HIGHEST-QUALITY member (q29's
+    * quality functional; ties to the lowest doc_id), drop the rest. This
+    * is the curation policy real pipelines run — "keep the best copy",
+    * not "keep the first" — and it composes three library operators
+    * (jaccard near-dup → connected components → quality scoring) whose
+    * chained DuckDB oracle proves the composition end-to-end.
+    *
+    * Scale shape: clusters join quality on doc_id (cluster members are
+    * the near-dup sliver of the corpus, so the join is small-side), the
+    * per-cluster argmax is one min(struct(-quality, doc_id)) aggregate —
+    * map-side partials, no window — and the keep flag is a map-side
+    * compare after a re-join on the canonical id. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir) // (doc_id, canonical_id)
+    val quality = graft.ops.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val member = clusters.join(quality, "doc_id")
+    val best = member.groupBy(col("canonical_id"))
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("id"))).as("b"))
+      .select(col("canonical_id"), col("b.id").as("keep_id"))
+    member.join(best, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("quality"),
+        when(col("doc_id") === col("keep_id"), "keep").otherwise("drop").as("action"))
+  }
+
+  /** The q54 CTE chain (shingles → jaccard pairs → recursive-CTE
+    * reachability), ending in `walk(node, lbl)` — shared by the q54 and
+    * q129 oracles. */
+  private val componentChainSql =
+    """sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(t)-2, 0)),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+      |  FROM (SELECT doc_id,
+      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM inter
+      |  JOIN sizes sa ON sa.doc_id = a_id
+      |  JOIN sizes sb ON sb.doc_id = b_id
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+      |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |        UNION ALL SELECT b_id, a_id FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT src, src FROM und
+      |  UNION
+      |  SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q129_dedup_apply" ->
+      // the q54 component chain, continued with the q29 quality argmax
+      s"""WITH RECURSIVE $componentChainSql,
+         |comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM walk GROUP BY node),
+         |q AS (${graft.ops.TextAnalysis.qualitySql}),
+         |member AS (SELECT c.doc_id, canonical_id, quality
+         |           FROM comp c JOIN q ON q.doc_id = c.doc_id),
+         |best AS (
+         |  SELECT canonical_id, doc_id AS keep_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY quality DESC, doc_id) AS rn FROM member)
+         |  WHERE rn = 1)
+         |SELECT m.doc_id, m.canonical_id, m.quality,
+         |  CASE WHEN m.doc_id = b.keep_id THEN 'keep' ELSE 'drop' END AS action
+         |FROM member m JOIN best b ON b.canonical_id = m.canonical_id""".stripMargin,
     // reachability via recursive CTE: every label a node can reach;
     // component id = the minimum — identical semantics to the propagation
     "q54_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(0, greatest(len(t)-2, 0)),
-         |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
-         |  FROM (SELECT doc_id,
-         |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
-         |        FROM documents)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT a_id, b_id FROM inter
-         |  JOIN sizes sa ON sa.doc_id = a_id
-         |  JOIN sizes sb ON sb.doc_id = b_id
-         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
-         |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |        UNION ALL SELECT b_id, a_id FROM pairs),
-         |walk(node, lbl) AS (
-         |  SELECT src, src FROM und
-         |  UNION
-         |  SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.node)
+      s"""WITH RECURSIVE $componentChainSql
          |SELECT node AS doc_id, min(lbl) AS canonical_id
          |FROM walk GROUP BY node""".stripMargin,
   )

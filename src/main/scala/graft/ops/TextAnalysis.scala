@@ -361,6 +361,16 @@ object TextAnalysis {
   private val toksSql =
     "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 
+  /** The q29 quality functional as a standalone (doc_id, quality)
+    * subquery — shared with q129's dedup-apply oracle so "quality" means
+    * one thing across the library. */
+  private[graft] def qualitySql: String =
+    s"""SELECT doc_id,
+       |  0.5 * (CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+       |    + 0.3 * (CAST(${hitsSql(stopEn)} AS DOUBLE) / len(toks))
+       |    + 0.2 * least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS quality
+       |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)""".stripMargin
+
   /** PII-redaction regex classes, ordered so classes can't shadow each
     * other (emails carry short digit runs; IPs carry dots that break
     * the long-digit-run class): email → IPv4 → ≥9-digit runs. Written

@@ -49,4 +49,25 @@ class ClustersSpec extends SparkSpec {
       assert(members.keys.min == c, s"component $c not labeled by its min member")
     }
   }
+
+  test("q129 dedup apply keeps exactly the best-quality member per cluster") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Clusters.dedupApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // membership matches q54's clusters exactly
+    val clusters = graft.ops.Clusters.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == clusters)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val keeps = members.filter(_._4 == "keep")
+      assert(keeps.length == 1, s"cluster $c keeps ${keeps.length}")
+      val keep = keeps.head
+      // the keep dominates: strictly better quality, or equal with lower id
+      members.filter(_._4 == "drop").foreach { d =>
+        assert(d._3 < keep._3 || (d._3 == keep._3 && d._1 > keep._1),
+          s"cluster $c: drop $d beats keep $keep")
+      }
+    }
+  }
 }
