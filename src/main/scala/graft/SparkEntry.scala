@@ -146,6 +146,7 @@ object SparkEntry {
     "q127_robust_outliers" -> ((s, d) => ops.Events.robustOutliers(s, d)),
     "q128_triangles"       -> ((s, d) => ops.Graph.triangles(s, d)),
     "q129_dedup_apply"     -> (ops.Clusters.dedupApply _),
+    "q130_integrity_manifest" -> (ops.Maintenance.integrityManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -130,7 +130,46 @@ object Maintenance {
     * thread — lets the spec assert real skipping without re-listing. */
   private[graft] val pruneStats = new ThreadLocal[(Int, Int)]
 
+  /** q130: table integrity manifest — the replication/migration
+    * verification primitive: per partition (source), the row count, two
+    * ORDER-INSENSITIVE content fingerprints (bit_xor and exact-decimal
+    * sum of a 60-bit md5 row hash — xor alone is blind to duplicated
+    * pairs, the sum catches them, together they pin multiset identity
+    * for any realistic drift), and the key range. Two tables replicate
+    * correctly iff their manifests match — compared as two tiny tables,
+    * never by rereading either side. Everything combines map-side; the
+    * shuffle carries one row per (partition × task). */
+  def integrityManifest(spark: SparkSession, dir: String): DataFrame =
+    integrityManifestOf(Tables.documents(spark, dir))
+
+  private[graft] def integrityManifestOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("doc_id"),
+        // 60-bit hash for the xor fingerprint; a 48-bit slice for the
+        // sum fingerprint so Σ over ≤ 2^13 rows stays under 2^61 — an
+        // exact BIGINT in both engines (a wider sum would force
+        // HUGEINT/DECIMAL(38) whose client types diverge)
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"),
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 12), 16, 10) AS BIGINT)")
+          .as("h48"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xor_fp"),
+        sum(col("h48")).as("sum_fp"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
   val oracle: Map[String, String] = Map(
+    "q130_integrity_manifest" ->
+      """SELECT source, count(*) AS n_docs,
+        |  bit_xor(h) AS xor_fp,
+        |  CAST(sum(h48) AS BIGINT) AS sum_fp,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT source, doc_id,
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT) AS h,
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12) AS BIGINT) AS h48
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
     "q112_snapshot_diff" ->
       """WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |nxt AS (

@@ -57,6 +57,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(read == 0 && total > 0, s"expected total pruning, read $read of $total")
   }
 
+  test("q130 integrity manifest detects mutation and duplication") {
+    import spark.implicits._
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Maintenance.integrityManifestOf(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val base = Seq((1L, "alpha", "s"), (2L, "beta", "s"), (3L, "gamma", "s"))
+      .toDF("doc_id", "text", "source")
+    val clean = manifest(base)
+    // replicas with identical content agree
+    assert(manifest(base.orderBy(org.apache.spark.sql.functions.desc("doc_id"))) == clean)
+    // a one-character mutation moves both fingerprints' tuple
+    val mutated = Seq((1L, "alphA", "s"), (2L, "beta", "s"), (3L, "gamma", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(manifest(mutated)("s") != clean("s"))
+    // a row duplicated an EVEN number of extra times cancels out of the
+    // xor (h ^ h = 0) but not out of count/sum — why the manifest
+    // carries all three fingerprints
+    val dup = base.filter($"doc_id" === 2L)
+    val doubled = base.unionAll(dup).unionAll(dup)
+    val d = manifest(doubled)("s")
+    assert(d._2 == clean("s")._2, "xor alone is blind to an even duplication")
+    assert(d._1 != clean("s")._1 && d._3 != clean("s")._3,
+      "count and sum must catch the duplication")
+  }
+
   test("q112 classifications match the snapshot generators exactly") {
     val diff = Maintenance.snapshotDiff(spark, sf).collect()
     val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
