@@ -33,13 +33,7 @@ object Relational {
     * coalesce is unambiguous and avoids engine-specific grouping-id
     * encodings). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val n = Tables.nation(spark, dir)
-    val r = Tables.region(spark, dir)
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    enriched(spark, dir)
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
         Tables.toDouble(sum(Tables.dec(col("o_totalprice"))), 2).as("sum_price"))
@@ -290,12 +284,17 @@ object Relational {
       max(col("l_extendedprice")).as("vmax"),
       Tables.toDouble(sum(Tables.dec(col("l_extendedprice"))), 2).as("vsum"))
       .withColumn("mean", round(col("vsum") / col("n_rows"), 6))
-    val hist = li.crossJoin(broadcast(stats.select("vmin", "vmax")))
+    // ONE broadcast of the full stats row: the global columns ride the
+    // histogram aggregate as constant group keys (no extra shuffle rows),
+    // so the countDistinct scan behind `stats` runs once, not once per
+    // non-identical broadcast projection
+    li.crossJoin(broadcast(stats))
       .withColumn("bucket",
         least(floor((col("l_extendedprice") - col("vmin")) * 10.0 /
           (col("vmax") - col("vmin"))), lit(9L)).cast("int"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_in_bucket"))
-    hist.crossJoin(broadcast(stats))
+      .groupBy(col("bucket"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("vmin"), col("vmax"), col("mean"))
+      .agg(count(lit(1)).as("n_in_bucket"))
       .select(col("bucket"), col("n_in_bucket"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("vmin"), col("vmax"), col("mean"))
   }

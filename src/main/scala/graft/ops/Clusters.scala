@@ -91,7 +91,7 @@ object Clusters {
     }
     // the post-loop labeling is only valid AT the fixpoint — failing
     // loudly beats returning silently-wrong components
-    require(converged || rounds < maxRounds,
+    require(converged,
       s"connected components did not converge within $maxRounds star rounds")
     // at the fixpoint the graph is a union of min-rooted stars: a leaf's
     // only neighbor is its root, a root's neighbors are all larger

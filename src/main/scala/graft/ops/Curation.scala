@@ -17,8 +17,9 @@ object Curation {
     * every executor at any cluster size. */
   private val BloomBits = 1 << 20
 
-  /** q50's content-independent train/eval split rule (shared with q79). */
-  private def isEval(c: Column) = md5(c.cast("string")) >= "e6"
+  /** q50's content-independent train/eval split rule — the single
+    * definition lives in TextAnalysis so q50/q79/q84/q88 cannot drift. */
+  private def isEval(c: Column) = TextAnalysis.isEval(c)
 
   /** Two md5-derived bit positions (k = 2) for a shingle — 60-bit uniform
     * ints from disjoint hex ranges, mod the filter width. md5 keeps the

@@ -89,9 +89,11 @@ object Graph {
   def pageRank(spark: SparkSession, dir: String,
                iters: Int = 10, damping: Double = 0.85,
                ckptEvery: Int = 3): DataFrame = {
+    // o_orderkey is the table's unique key, so each row already yields a
+    // distinct (order, customer) pair — no dedup shuffle needed before
+    // the iteration loop (the oracle's DISTINCT is equally a no-op)
     val ord = Tables.orders(spark, dir)
       .select((col("o_orderkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
-      .distinct()
     val edges = ord.union(ord.select(col("dst").as("src"), col("src").as("dst")))
     rankTable(edges, iters, damping, ckptEvery)
       .select(
@@ -150,6 +152,9 @@ object Graph {
       .filter(col("xd") < col("yd") ||
         (col("xd") === col("yd") && col("x.dst") < col("y.dst")))
       .select(col("x.dst").as("wu"), col("y.dst").as("wv"))
+      // the wedge set — the dominant O(Σ deg²) intermediate — feeds its
+      // own count AND the closing semi-join; materialize it once
+      .localCheckpoint(true)
     val tri = wedges.join(oe,
       col("wu") === col("src") && col("wv") === col("dst"), "left_semi")
     und.agg(count(lit(1)).as("n_edges"))

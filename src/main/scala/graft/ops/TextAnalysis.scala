@@ -122,8 +122,7 @@ object TextAnalysis {
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        when(md5(col("doc_id").cast("string")) < "e6", "train")
-          .otherwise("eval").as("split"))
+        when(!isEval(col("doc_id")), "train").otherwise("eval").as("split"))
 
   /** Deterministic stratified sampling for training-data mixing: keep a
     * per-stratum fraction of documents by comparing md5(doc_id) against a
@@ -194,20 +193,26 @@ object TextAnalysis {
     * (at 100 TB the eval side is still the small side, eligible for
     * Spark's runtime bloom-filter injection on the probe side).
     * Output: per-language train/contaminated/clean counts. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    def isEval(c: org.apache.spark.sql.Column) =
-      md5(c.cast("string")) >= "e6" // q50's split rule
-    // filter-first, not a shared diamond: each side shingles only ITS
-    // documents, so every doc is shingled exactly once across the two
-    // branches and nothing needs persisting (a persisted full-corpus
-    // shingle set would be an enormous materialization at 100 TB)
-    val docs = Tables.documents(spark, dir)
-    val evalSh = Dedup.shinglesOf(docs.filter(isEval(col("doc_id"))))
-      .select(col("shingle")).distinct()
-    val contaminated = Dedup.shinglesOf(docs.filter(!isEval(col("doc_id"))))
-      .join(evalSh, Seq("shingle"), "left_semi")
+  /** q50's train/eval split rule — defined ONCE so q79, q84, and the
+    * split/decontamination oracles can never drift apart. */
+  private[graft] def isEval(c: org.apache.spark.sql.Column) =
+    md5(c.cast("string")) >= "e6"
+
+  /** The contaminated-train-doc flag shared by q79 and q84: train docs
+    * sharing any shingle with the eval split, as (doc_id, is_cont=true).
+    * Filter-first, not a shared diamond: each side shingles only ITS
+    * documents, so every doc is shingled exactly once across the two
+    * branches and nothing needs persisting (a persisted full-corpus
+    * shingle set would be an enormous materialization at 100 TB). */
+  private def contaminatedTrainIds(docs: DataFrame): DataFrame =
+    Dedup.shinglesOf(docs.filter(!isEval(col("doc_id"))))
+      .join(Dedup.shinglesOf(docs.filter(isEval(col("doc_id"))))
+        .select(col("shingle")).distinct(), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("is_cont", lit(true))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = contaminatedTrainIds(Tables.documents(spark, dir))
     Tables.documents(spark, dir).filter(!isEval(col("doc_id")))
       .join(contaminated, Seq("doc_id"), "left")
       .groupBy(col("lang"))
@@ -277,14 +282,9 @@ object TextAnalysis {
     * from the POST-GATE token mass (the budget balances what actually
     * survives, not the raw corpus). */
   def corpusBuildFunnel(spark: SparkSession, dir: String): DataFrame = {
-    def isEval(c: org.apache.spark.sql.Column) = md5(c.cast("string")) >= "e6"
     val train = Tables.documents(spark, dir).filter(!isEval(col("doc_id")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val contaminated = Dedup.shinglesOf(train)
-      .join(Dedup.shinglesOf(Tables.documents(spark, dir).filter(isEval(col("doc_id"))))
-        .select(col("shingle")).distinct(), Seq("shingle"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .withColumn("is_cont", lit(true))
+    val contaminated = contaminatedTrainIds(Tables.documents(spark, dir))
     val flagged = train
       .withColumn("fp", md5(Dedup.normText(col("text"))))
       .withColumn("s1", col("doc_id") === min(col("doc_id")).over(w))
@@ -328,7 +328,9 @@ object TextAnalysis {
     * pipeline oracle-checkable; CMS never underestimates
     * (CurationOpsSpec asserts est ≥ exact on every probe). */
   private val CmsDepth = 4
-  private val CmsWidth = 256 // bucket = first 2 md5 hex chars
+  // width is 256 buckets, encoded as the `substring(md5(...), 1, 2)`
+  // two-hex-char literals below (16² = 256) — no separate constant, so
+  // the width can't silently disagree with the bucket expression
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
