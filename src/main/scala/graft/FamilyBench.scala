@@ -24,7 +24,9 @@ object FamilyBench {
     "q105_random_projection",
     // round-7 second-batch additions over the same two tables (q116
     // is excluded: it sketches lineitem, which ScaleGen doesn't grow)
-    "q111_kmeans", "q115_priority_sample")
+    "q111_kmeans", "q115_priority_sample",
+    "q118_semdedup", "q119_containment", "q129_dedup_apply",
+    "q130_integrity_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -147,6 +147,7 @@ object SparkEntry {
     "q128_triangles"       -> ((s, d) => ops.Graph.triangles(s, d)),
     "q129_dedup_apply"     -> (ops.Clusters.dedupApply _),
     "q130_integrity_manifest" -> (ops.Maintenance.integrityManifest _),
+    "q131_lang_drift"      -> ((s, d) => ops.TextAnalysis.langDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -413,7 +413,62 @@ object TextAnalysis {
         PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiNum, "<NUM>").as("scrubbed"))
   }
 
+  /** q131: distribution-drift monitor — flags sources whose language mix
+    * diverges from the corpus baseline by Pearson's chi-square, the
+    * ingest-quality alarm ("this crawl slice suddenly isn't the usual
+    * language blend") every continuously-fed corpus needs. Two tiny
+    * aggregates (corpus mix, per-source mix), baseline broadcast back,
+    * map-side terms.
+    *
+    * Determinism: all counts are exact; each term (o−e)²/e is a fixed
+    * IEEE expression; and the PER-SOURCE SUM runs over a SORTED term
+    * array folded left-to-right, so the float summation order — the one
+    * thing a distributed double-sum does NOT pin — is identical in both
+    * engines and across any partitioning. Rounded at 6 dp for the usual
+    * belt (q49 precedent). df = 3 langs − 1; the 95% cut 7.815 flags
+    * drift. */
+  def langDrift(spark: SparkSession, dir: String,
+                chi2Cut: Double = 7.815): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("lang"))
+    val corpus = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val perSource = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val srcTotals = perSource.groupBy(col("source")).agg(sum(col("o")).as("n_src"))
+    perSource
+      .join(srcTotals, "source")
+      .join(broadcast(corpus), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("e", col("n_src").cast("double") * col("n_lang").cast("double")
+        / col("n_total").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+      .groupBy(col("source"), col("n_src"))
+      .agg(sort_array(collect_list(struct(col("lang"), col("term")))).as("ts"))
+      .select(col("source"), col("n_src").as("n_docs"),
+        round(expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)"), 6)
+          .as("chi2"))
+      .withColumn("drifted", col("chi2") > chi2Cut)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q131_lang_drift" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+        |corpus AS (SELECT lang, count(*) AS n_lang FROM d GROUP BY 1),
+        |total AS (SELECT count(*) AS n_total FROM d),
+        |per AS (SELECT source, lang, count(*) AS o FROM d GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_src FROM per GROUP BY 1),
+        |terms AS (
+        |  SELECT source, n_src, lang,
+        |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS term
+        |  FROM (SELECT per.source, per.lang, o, n_src,
+        |          CAST(n_src AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE) AS e
+        |        FROM per JOIN st USING (source) JOIN corpus USING (lang) CROSS JOIN total))
+        |SELECT source, n_src AS n_docs, chi2, chi2 > 7.815e0 AS drifted FROM (
+        |  SELECT source, n_src,
+        |    round(list_sum(list(term ORDER BY lang)), 6) AS chi2
+        |  FROM terms GROUP BY 1, 2)""".stripMargin,
     "q120_pii_scrub" ->
       """WITH planted AS (
         |  SELECT doc_id, text

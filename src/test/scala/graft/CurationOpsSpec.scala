@@ -134,6 +134,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q131 chi-square drift equals a first-principles recomputation") {
+    val rows = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nTotal = rows.length.toDouble
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val got = graft.ops.TextAnalysis.langDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val nSrc = docs.length
+      // same fold order as the query: terms sorted by lang
+      val chi2 = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (lang, ds) =>
+        val e = nSrc.toDouble * byLang(lang).toDouble / nTotal
+        (ds.length.toDouble - e) * (ds.length.toDouble - e) / e
+      }.foldLeft(0.0)(_ + _)
+      val want = BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val (n, gChi2, drifted) = got(src)
+      assert(n == nSrc, s"$src n")
+      assert(gChi2 == want, s"$src chi2 $gChi2 vs $want")
+      assert(drifted == (gChi2 > 7.815), s"$src flag")
+    }
+  }
+
   test("q120 scrubbed output is marker-free and counts match the planting") {
     val rows = graft.ops.TextAnalysis.piiScrub(spark, sf).collect()
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
