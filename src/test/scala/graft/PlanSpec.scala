@@ -230,6 +230,35 @@ class PlanSpec extends SparkSpec {
       s"residual custkey bounds must reach the parquet scan:\n$p")
   }
 
+  test("q112 snapshot diff: one full-outer sort-merge join, pruned scans") {
+    val p = plan(q("q112_snapshot_diff"))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"diff must be one full-outer SMJ:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"scan must prune to the diffed columns:\n$p")
+  }
+
+  test("q124/q126 basket ops: co-located pair join, partial counts, no cartesian") {
+    for (name <- Seq("q124_basket_pairs", "q126_assoc_rules")) {
+      val p = plan(q(name))
+      assert(p.contains("partial_count") || p.contains("partial"),
+        s"$name pair counts must combine map-side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name must never go all-pairs:\n$p")
+    }
+    // the rule metrics join tiny category counts as broadcasts
+    assert(plan(q("q126_assoc_rules")).contains("BroadcastHashJoin"),
+      "q126 category counts must broadcast")
+  }
+
+  test("q131 drift: baseline comes back as a broadcast, no window") {
+    val p = plan(q("q131_lang_drift"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"corpus baseline must broadcast back:\n$p")
+    assert(!p.contains("Window"), s"no window over the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf)
