@@ -148,6 +148,7 @@ object SparkEntry {
     "q129_dedup_apply"     -> (ops.Clusters.dedupApply _),
     "q130_integrity_manifest" -> (ops.Maintenance.integrityManifest _),
     "q131_lang_drift"      -> ((s, d) => ops.TextAnalysis.langDrift(s, d)),
+    "q132_cohort_retention" -> (ops.Events.cohortRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -191,7 +191,32 @@ object Events {
         sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** q132: cohort retention matrix — the classic product-analytics
+    * rollup: users grouped by their FIRST-activity week (the cohort),
+    * counted in every week they return. Two aggregates (first event per
+    * user; distinct user-weeks) and one join on the user key — no
+    * window, no self-join; the matrix itself is weeks² rows, tiny at
+    * any scale. Week truncation is Monday-start ISO in both engines. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = e.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q132_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |           FROM e GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e)
+        |SELECT cohort_week, week, count(*) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q127_robust_outliers" ->
       """WITH e AS (SELECT event_type, value FROM events),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),

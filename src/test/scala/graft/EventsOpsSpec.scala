@@ -38,6 +38,28 @@ class EventsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q132 cohort retention: diagonal complete, no pre-cohort activity") {
+    val rows = graft.ops.Events.cohortRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // nobody is active before their own cohort week
+    rows.foreach { case (c, w, _) => assert(!w.before(c), s"$w before cohort $c") }
+    // diagonal: every user is active in their first week, so the (c, c)
+    // cell equals the cohort's size
+    val cohortSizes = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("c"))
+      .groupBy(col("c")).count().collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val diag = rows.filter { case (c, w, _) => c == w }
+      .map { case (c, _, n) => c -> n }.toMap
+    assert(diag == cohortSizes, "diagonal must equal cohort sizes")
+    // total cell mass = distinct (user, week) pairs
+    val userWeeks = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts"))).distinct().count()
+    assert(rows.map(_._3).sum == userWeeks)
+  }
+
   test("q127 outlier threshold knob widens monotonically") {
     val strict = graft.ops.Events.robustOutliers(spark, sf, k = 1.0).collect()
       .map(r => r.getString(0) -> r.getLong(4)).toMap
