@@ -115,7 +115,7 @@ object SparkEntry {
     "q96_dsir_weights"     -> ((s, d) => ops.Scoring.dsirWeights(s, d)),
     "q97_pagerank"         -> ((s, d) => ops.Graph.pageRank(s, d)),
     "q98_domain_reservoir" -> ((s, d) => ops.Curation.domainReservoir(s, d)),
-    "q99_vocab_encode"     -> (ops.Curation.vocabEncode _),
+    "q99_vocab_encode"     -> ((s, d) => ops.Curation.vocabEncode(s, d)),
     "q100_asof_exec"       -> (ops.TemporalJoins.asofJoinExec _),
     "q101_hll_registers"   -> (ops.Sketches.hllRegisters _),
     "q102_stream_static"   -> (streaming.StreamingEvents.streamStaticEnrich _),

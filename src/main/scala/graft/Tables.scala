@@ -16,6 +16,13 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped temp root for queries that physically write files as
+    * part of execution (sinks, compaction, z-order): the app-id suffix
+    * keeps concurrent sessions running the same query from overwriting
+    * each other's files mid-read. */
+  private[graft] def tmpPath(spark: SparkSession, name: String): String =
+    s"target/tmp/${spark.sparkContext.applicationId}/$name"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")

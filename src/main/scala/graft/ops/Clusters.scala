@@ -19,9 +19,10 @@ import org.apache.spark.storage.StorageLevel
   * O(log² n) rounds on ANY graph shape (ClustersSpec pins a length-64
   * path converging in ≤ 8 rounds). Per-round lineage is truncated with
   * localCheckpoint — without it every iteration re-plans the full
-  * upstream DAG (the edge input can be an entire near-dup job); on a
-  * fault-tolerant cluster run, swap for reliable checkpoint(), since a
-  * local checkpoint cannot be recomputed after executor loss.
+  * upstream DAG (the edge input can be an entire near-dup job); the
+  * `checkpointer` argument swaps in reliable checkpoint() for
+  * fault-tolerant cluster runs, since a local checkpoint cannot be
+  * recomputed after executor loss.
   */
 object Clusters {
 
@@ -53,8 +54,16 @@ object Clusters {
 
   /** Connected components of an undirected edge list `(a_id, b_id)`:
     * returns ((node, comp) rows, rounds-to-converge) where comp = min
-    * node id in the component. */
-  def connectedComponentsWithRounds(edges: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    * node id in the component.
+    *
+    * `checkpointer` is the per-round lineage-truncation strategy: the
+    * default eager `localCheckpoint` is right for a single-app run
+    * (blocks live on the executors that computed them), but cannot be
+    * recomputed after executor loss — fault-tolerant cluster runs pass
+    * `_.checkpoint(true)` (with `sparkContext.setCheckpointDir` on
+    * reliable storage) and pay one HDFS write per round for it. */
+  def connectedComponentsWithRounds(edges: DataFrame, maxRounds: Int = 64,
+      checkpointer: DataFrame => DataFrame = _.localCheckpoint(true)): (DataFrame, Int) = {
     // fixpoint signature (size + two order-independent checksums) rides
     // the checkpoint materialization as an `observe` metric — the job
     // that truncates lineage also yields the signature, so a round costs
@@ -63,11 +72,11 @@ object Clusters {
     // collision can only cost one extra round, never a wrong answer.
     def checkpointWithSig(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
       val obs = org.apache.spark.sql.Observation()
-      val out = df.observe(obs,
+      val withObs = df.observe(obs,
         count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("huv"),
         coalesce(bit_xor(xxhash64(col("v"), col("u"))), lit(0L)).as("hvu"))
-        .localCheckpoint(true) // eager — fires the observation
+      val out = checkpointer(withObs) // eager — fires the observation
       val m = obs.get
       (out, (m("n").asInstanceOf[Long], m("huv").asInstanceOf[Long],
         m("hvu").asInstanceOf[Long]))
@@ -109,8 +118,9 @@ object Clusters {
   }
 
   /** Interface kept from the min-label round-2 version. */
-  def connectedComponents(edges: DataFrame): DataFrame =
-    connectedComponentsWithRounds(edges)._1
+  def connectedComponents(edges: DataFrame,
+      checkpointer: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
+    connectedComponentsWithRounds(edges, checkpointer = checkpointer)._1
 
   /** q54: cluster the exact-jaccard near-dup pairs and emit one row per
     * member with its canonical representative (min doc_id of the

@@ -238,33 +238,48 @@ object Curation {
       .select(col("source"), explode(expr("transform(top, x -> x._2)")).as("doc_id"))
   }
 
+  /** q99's vocabulary cap — every real tokenizer fixes |V| up front
+    * (GPT-2 50k, Llama 32k); tokens outside the top-V encode as the OOV
+    * id 0. 24 here so the tail path is actually exercised (the synthetic
+    * corpus has 31 distinct tokens at every sf). */
+  private[graft] val VocabSize = 24
+
   /** q99: tokenizer vocabulary construction + corpus encoding — the
-    * final text→ids step before a trainer: rank the corpus vocabulary
-    * by frequency (id 1 = most frequent; ties alphabetical), then
-    * encode every document as its id sequence in token order.
+    * final text→ids step before a trainer: rank the top-V corpus
+    * vocabulary by frequency (id 1 = most frequent; ties alphabetical),
+    * then encode every document as its id sequence in token order, with
+    * tokens outside the vocabulary mapping to the OOV id 0.
     *
-    * Scale shape: the vocabulary is a corpus AGGREGATE (one groupBy tok)
-    * and id assignment is a rank over the aggregated vocab — vocab ≪
-    * token instances in any natural corpus, so the single-partition
-    * rank window is over the one table that stays small (at web scale,
-    * ~10⁷ rows where the corpus has 10¹²; swap for repartitionByRange +
-    * per-range offsets if the vocab itself outgrows one task). Encoding
-    * joins instances to the vocab on the token key (AQE broadcasts
-    * while it fits) and reassembles per doc via sort_array over
-    * (pos, id) structs — order restored without a per-doc sort window.
-    * Ids are string-joined in the output (the q71 pattern) so the
-    * compare is list-dtype-agnostic. */
-  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: the vocabulary is a corpus AGGREGATE (one groupBy tok
+    * with map-side combine) capped at top-V by a bounded
+    * TakeOrderedAndProject — V is a knob (real tokenizers fix it at
+    * 32k–100k), so NOTHING downstream depends on the distinct-token
+    * count of the corpus. Id assignment needs no rank window at all:
+    * the ≤V survivors collapse into ONE sorted array (the 1-row
+    * broadcast-back pattern) and posexplode re-emits them with their
+    * position as the id — at web scale the corpus-sized tables only
+    * ever see a groupBy and a broadcast hash join. Encoding left-joins
+    * instances to the broadcast vocab on the token key (misses become
+    * OOV 0) and reassembles per doc via sort_array over (pos, id)
+    * structs — order restored without a per-doc sort window. Ids are
+    * string-joined in the output (the q71 pattern) so the compare is
+    * list-dtype-agnostic. */
+  def vocabEncode(spark: SparkSession, dir: String,
+                  vocabSize: Int = VocabSize): DataFrame = {
+    require(vocabSize >= 1, "vocabulary size must be positive")
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(split(Dedup.normText(col("text")), " ")))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
       .filter(col("tok") =!= "")
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("tok")))
-        .cast("long"))
-      .select(col("tok"), col("id"))
-    toks.join(vocab, "tok")
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
+    // sort_array over struct(-cnt, tok) = (cnt desc, tok asc); pos+1 = id
+    val vocab = top
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("nc"), col("tok")))).as("vs"))
+      .select(posexplode(col("vs")))
+      .select(col("col.tok").as("tok"), (col("pos") + 1).cast("long").as("id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         sort_array(collect_list(struct(col("pos"), col("id")))).as("pid"))
@@ -342,18 +357,19 @@ object Curation {
          |      doc_id) AS rn
          |  FROM documents) WHERE rn <= $ReservoirK""".stripMargin,
     "q99_vocab_encode" ->
-      """WITH t AS (SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-        |  FROM documents),
-        |inst AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
-        |  FROM t),
-        |inst2 AS (SELECT * FROM inst WHERE tok <> ''),
-        |vocab AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS id
-        |  FROM inst2 GROUP BY tok)
-        |SELECT doc_id, count(*) AS n_tok,
-        |  string_agg(id, ',' ORDER BY pos) AS ids
-        |FROM inst2 JOIN vocab USING (tok)
-        |GROUP BY doc_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents),
+         |inst AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+         |  FROM t),
+         |inst2 AS (SELECT * FROM inst WHERE tok <> ''),
+         |vc AS (SELECT tok, count(*) AS cnt FROM inst2 GROUP BY tok),
+         |vocab AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id
+         |  FROM vc ORDER BY cnt DESC, tok LIMIT $VocabSize)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  string_agg(coalesce(id, 0), ',' ORDER BY pos) AS ids
+         |FROM inst2 LEFT JOIN vocab USING (tok)
+         |GROUP BY doc_id""".stripMargin,
     // recomputes the SAME bitset (md5 positions are engine-portable), so
     // the bloom candidate column is checked bit-for-bit, not just the
     // exact final counts

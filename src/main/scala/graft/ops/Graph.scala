@@ -35,7 +35,8 @@ object Graph {
     * (node, rank, n) with Σ rank = 1. The `n` column carries the node
     * count so callers can normalize without a second pass. */
   private[graft] def rankTable(edges: DataFrame, iters: Int,
-                               damping: Double, ckptEvery: Int = 3): DataFrame = {
+                               damping: Double, ckptEvery: Int = 3,
+                               checkpointer: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1 && ckptEvery >= 1)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // one degree-annotated edge list feeds every iteration — persist it,
@@ -59,11 +60,11 @@ object Graph {
       // per-iteration cost there is the shuffle, not the checkpoint —
       // so the knob is a cluster-latency lever, not a local one.
       // Retained blocks are node-count-sized rank vectors, ~MBs even at
-      // web scale; on a fault-tolerant cluster swap for reliable
-      // checkpoint().
-      if (i % ckptEvery == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+      // web scale; the `checkpointer` argument swaps in reliable
+      // checkpoint() on a fault-tolerant cluster.
+      if (i % ckptEvery == 0 && i < iters) ranks = checkpointer(ranks)
     }
-    val out = ranks.localCheckpoint(true)
+    val out = checkpointer(ranks)
     ed.unpersist(false)
     out
   }
@@ -88,14 +89,15 @@ object Graph {
   /** q97: damped PageRank, top-50 nodes. */
   def pageRank(spark: SparkSession, dir: String,
                iters: Int = 10, damping: Double = 0.85,
-               ckptEvery: Int = 3): DataFrame = {
+               ckptEvery: Int = 3,
+               checkpointer: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     // o_orderkey is the table's unique key, so each row already yields a
     // distinct (order, customer) pair — no dedup shuffle needed before
     // the iteration loop (the oracle's DISTINCT is equally a no-op)
     val ord = Tables.orders(spark, dir)
       .select((col("o_orderkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
     val edges = ord.union(ord.select(col("dst").as("src"), col("src").as("dst")))
-    rankTable(edges, iters, damping, ckptEvery)
+    rankTable(edges, iters, damping, ckptEvery, checkpointer)
       .select(
         when(col("node") % 2 === 0, "order").otherwise("customer").as("kind"),
         expr("node div 2").as("key"),

@@ -57,12 +57,15 @@ object Maintenance {
           .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice")))
 
-  /** Morton/Z-value: bit-interleave the low 16 bits of two non-negative
-    * keys (a in the even positions, b in the odd). Pure shift/mask
-    * arithmetic — codegen'd, no UDF; 32 OR-terms fold into one
-    * whole-stage-codegen expression. */
+  /** Morton/Z-value: bit-interleave the low 31 bits of two non-negative
+    * keys (a in the even positions, b in the odd) — a 62-bit z-value, so
+    * any key < 2^31 keeps full curve locality (TPC-H o_custkey is
+    * 150k·sf: 16 bits would silently truncate past sf ≈ 0.4 and degrade
+    * pruning; 2^31 covers every realistic sf, and epoch-day needs only
+    * 16). Pure shift/mask arithmetic — codegen'd, no UDF; the OR-terms
+    * fold into one whole-stage-codegen expression. */
   private[graft] def zval(a: Column, b: Column): Column =
-    (0 until 16).map { i =>
+    (0 until 31).map { i =>
       shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
           shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
@@ -95,8 +98,8 @@ object Maintenance {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderdate"))
-    val path = "target/tmp/graft_zorder/orders"
-    // epoch-day second dimension; both dims fit 16 bits at every sf
+    val path = graft.Tables.tmpPath(spark, "graft_zorder/orders")
+    // epoch-day second dimension (16 bits ≈ 179 years; custkey gets 31)
     val day = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
     o.withColumn("z", zval(col("o_custkey"), day))
       .repartitionByRange(nFiles, col("z"))
@@ -114,16 +117,22 @@ object Maintenance {
     // the UTC session and wrongly prune a matching file)
     val tsLo = lit(dayLo).cast("timestamp")
     val tsHi = lit(s"$dayHi 23:59:59.999").cast("timestamp")
-    val manifest = stats // one manifest job: (file, keep?) — metadata, not data
-      .select(col("file"),
-        (col("c_lo") <= custHi && col("c_hi") >= custLo &&
-          col("d_lo") <= tsHi && col("d_hi") >= tsLo).as("keep"))
-      .collect()
-    val keep = manifest.filter(_.getBoolean(1)).map(_.getString(0))
-    pruneStats.set((keep.length, manifest.length)) // observability for ZOrderSpec
-    spark.read.schema(o.schema).parquet(keep.toIndexedSeq: _*)
-      .filter(col("o_custkey").between(custLo, custHi) &&
-        col("o_orderdate").between(tsLo, tsHi))
+    // one manifest job, keep-filter pushed BELOW the collect: the driver
+    // receives only surviving file names (at ~10⁶ files the full manifest
+    // would be the memory hazard, the kept subset rarely is); the total
+    // comes from the driver's existing file listing, not a second job
+    val keep = stats
+      .filter(col("c_lo") <= custHi && col("c_hi") >= custLo &&
+        col("d_lo") <= tsHi && col("d_hi") >= tsLo)
+      .select(col("file"))
+      .collect().map(_.getString(0))
+    pruneStats.set((keep.length, back.inputFiles.length)) // observability for the specs
+    if (keep.isEmpty) // a box matching no file reads nothing at all
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], o.schema)
+    else
+      spark.read.schema(o.schema).parquet(keep.toIndexedSeq: _*)
+        .filter(col("o_custkey").between(custLo, custHi) &&
+          col("o_orderdate").between(tsLo, tsHi))
   }
 
   /** (files read, files total) of the last zorderPrunedScan on this
@@ -145,29 +154,31 @@ object Maintenance {
   private[graft] def integrityManifestOf(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), col("doc_id"),
-        // 60-bit hash for the xor fingerprint; a 48-bit slice for the
-        // sum fingerprint so Σ over ≤ 2^13 rows stays under 2^61 — an
-        // exact BIGINT in both engines (a wider sum would force
-        // HUGEINT/DECIMAL(38) whose client types diverge)
+        // 60-bit hash for the xor fingerprint; a 40-bit slice for the
+        // sum fingerprint so Σ over ≤ 2^23 (8.4M) rows per partition
+        // stays under 2^63 — an exact BIGINT in both engines (a wider
+        // sum would force HUGEINT/DECIMAL(38) whose client types
+        // diverge, and non-ANSI Spark would wrap int64 silently where
+        // DuckDB widens — the engines would diverge loudly at scale)
         expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"),
-        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 12), 16, 10) AS BIGINT)")
-          .as("h48"))
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 10), 16, 10) AS BIGINT)")
+          .as("h40"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bit_xor(h)").as("xor_fp"),
-        sum(col("h48")).as("sum_fp"),
+        sum(col("h40")).as("sum_fp"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
 
   val oracle: Map[String, String] = Map(
     "q130_integrity_manifest" ->
       """SELECT source, count(*) AS n_docs,
         |  bit_xor(h) AS xor_fp,
-        |  CAST(sum(h48) AS BIGINT) AS sum_fp,
+        |  CAST(sum(h40) AS BIGINT) AS sum_fp,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM (SELECT source, doc_id,
         |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT) AS h,
-        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12) AS BIGINT) AS h48
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10) AS BIGINT) AS h40
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
     "q112_snapshot_diff" ->

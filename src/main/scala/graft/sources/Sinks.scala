@@ -25,7 +25,7 @@ object Sinks {
     * unicode) is exactly what the oracle compare checks. */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(spark, dir)
-    val out = "target/tmp/graft_jsonl/documents"
+    val out = graft.Tables.tmpPath(spark, "graft_jsonl/documents")
     d.write.mode("overwrite").json(out)
     spark.read.schema(d.schema).json(out)
   }
@@ -65,7 +65,7 @@ object Sinks {
     * nanos→NTZ timestamp normalization through a format boundary. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.events(spark, dir)
-    val out = "target/tmp/graft_orc/events"
+    val out = graft.Tables.tmpPath(spark, "graft_orc/events")
     e.write.mode("overwrite").orc(out)
     spark.read.schema(e.schema).orc(out)
   }
@@ -84,7 +84,7 @@ object Sinks {
                         targetBytes: Long = 1L << 20): DataFrame = {
     require(targetBytes > 0, "target file size must be positive")
     val src = graft.Tables.documents(spark, dir)
-    val fragmented = "target/tmp/graft_compact/fragmented"
+    val fragmented = graft.Tables.tmpPath(spark, "graft_compact/fragmented")
     src.repartition(64).write.mode("overwrite").parquet(fragmented)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(fragmented)
@@ -92,7 +92,7 @@ object Sinks {
     val dataFiles = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val compacted = "target/tmp/graft_compact/compacted"
+    val compacted = graft.Tables.tmpPath(spark, "graft_compact/compacted")
     spark.read.schema(src.schema).parquet(fragmented)
       .repartition(nOut)
       .write.mode("overwrite").parquet(compacted)
@@ -110,8 +110,8 @@ object Sinks {
     * mergeSchema read here is the bootstrap that derives it. */
   def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
     val o = graft.Tables.orders(spark, dir)
-    val v1 = "target/tmp/graft_evolve/v1"
-    val v2 = "target/tmp/graft_evolve/v2"
+    val v1 = graft.Tables.tmpPath(spark, "graft_evolve/v1")
+    val v2 = graft.Tables.tmpPath(spark, "graft_evolve/v2")
     o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .write.mode("overwrite").parquet(v1)
@@ -126,7 +126,7 @@ object Sinks {
     * (the reference image's vestigial csv/ dir, Dockerfile:53). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
-    val out = "target/tmp/graft_csv/nation"
+    val out = graft.Tables.tmpPath(spark, "graft_csv/nation")
     n.write.mode("overwrite").option("header", "true").csv(out)
     spark.read.schema(n.schema).option("header", "true").csv(out)
   }
@@ -143,7 +143,7 @@ object Sinks {
         col("o_totalprice"), col("o_orderdate"))
     val existing = o.filter(col("o_orderkey") % 2 === 0)
     val incoming = o.filter(col("o_orderkey") % 3 === 0)
-    val path = "target/tmp/graft_sink/orders"
+    val path = graft.Tables.tmpPath(spark, "graft_sink/orders")
     existing.write.mode("overwrite").parquet(path)
     Upsert.insertIfAbsent(existing, incoming, Seq("o_orderkey"))
       .write.mode("append").parquet(path)
@@ -181,7 +181,7 @@ object Sinks {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"),
         year(col("o_orderdate")).as("o_year"))
-    val path = "target/tmp/graft_sink/orders_by_year"
+    val path = graft.Tables.tmpPath(spark, "graft_sink/orders_by_year")
     o.write.mode("overwrite").partitionBy("o_year").parquet(path)
     spark.read.parquet(path).filter(col("o_year") === 1995)
   }

@@ -115,23 +115,33 @@ class CurationOpsSpec extends SparkSpec {
     assertSameRows(out, windowed)
   }
 
-  test("vocab encode: decode round-trips to the normalized text; id 1 is the modal token") {
+  test("vocab encode: top-V ids decode to the normalized text; tail tokens are OOV 0") {
+    val V = graft.ops.Curation.VocabSize
     val out = graft.ops.Curation.vocabEncode(spark, sf)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), graft.ops.Dedup.normText(col("text")).as("norm"))
-    // rebuild the vocab exactly as the operator defines it
+    // rebuild the capped vocab exactly as the operator defines it
     val vocab = docs.select(explode(split(col("norm"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val byRank = vocab.sortBy { case (t, c) => (-c, t) }.map(_._1)
-    val idToTok = byRank.zipWithIndex.map { case (t, i) => (i + 1).toString -> t }.toMap
+    assert(byRank.length > V, "fixture must have tail tokens so the OOV path is exercised")
+    val top = byRank.take(V)
+    val idToTok = top.zipWithIndex.map { case (t, i) => (i + 1).toString -> t }.toMap
+    val inVocab = top.toSet
     val joined = out.join(docs, "doc_id").collect()
+    var oovSeen = 0L
     joined.foreach { r =>
-      val decoded = r.getAs[String]("ids").split(",").map(idToTok).mkString(" ")
-      assert(decoded == r.getAs[String]("norm"), s"decode mismatch for doc ${r.getAs[Long]("doc_id")}")
-      assert(r.getAs[String]("ids").split(",").length == r.getAs[Long]("n_tok"))
+      val ids = r.getAs[String]("ids").split(",")
+      val toks = r.getAs[String]("norm").split(" ").filter(_.nonEmpty)
+      assert(ids.length == toks.length && ids.length == r.getAs[Long]("n_tok"))
+      ids.zip(toks).foreach { case (id, tok) =>
+        if (inVocab(tok)) assert(idToTok(id) == tok, s"decode mismatch for doc ${r.getAs[Long]("doc_id")}")
+        else { assert(id == "0", s"tail token '$tok' must encode as OOV 0"); oovSeen += 1 }
+      }
     }
+    assert(oovSeen > 0, "at least one OOV instance must occur")
   }
 
   test("q131 chi-square drift equals a first-principles recomputation") {

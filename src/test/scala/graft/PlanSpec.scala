@@ -259,6 +259,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q99 vocab encode: bounded top-V vocab, broadcast encode join, no window") {
+    val p = plan(q("q99_vocab_encode"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cap must be a bounded top-V, not a global sort:\n$p")
+    assert(!p.contains("Window"),
+      s"no rank window anywhere — id assignment is the 1-row sorted-array pattern:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤V vocab must broadcast to the encode join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf)

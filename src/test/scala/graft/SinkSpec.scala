@@ -101,13 +101,13 @@ class SinkSpec extends SparkSpec {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     }
-    val nFrag = countFiles("target/tmp/graft_compact/fragmented")
-    val nComp = countFiles("target/tmp/graft_compact/compacted")
+    val nFrag = countFiles(Tables.tmpPath(spark, "graft_compact/fragmented"))
+    val nComp = countFiles(Tables.tmpPath(spark, "graft_compact/compacted"))
     assert(nFrag == 64, s"fixture must fragment to 64 files, got $nFrag")
     assert(nComp < nFrag, s"compaction must reduce file count: $nComp vs $nFrag")
     // a tighter target must yield at least as many files
     Sinks.compactSmallFiles(spark, sf, targetBytes = 16L << 10).count()
-    val nTight = countFiles("target/tmp/graft_compact/compacted")
+    val nTight = countFiles(Tables.tmpPath(spark, "graft_compact/compacted"))
     assert(nTight >= nComp, s"smaller target cannot produce fewer files: $nTight vs $nComp")
   }
 
