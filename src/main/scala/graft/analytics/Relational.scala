@@ -276,25 +276,32 @@ object Relational {
     * audit a pipeline runs before committing to a corpus. */
   def numericProfile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // Plan shape pinned by round 8's same-session A/B (AB_r08.json):
+    //  - NOT constant group keys (round 7's form): riding the stats
+    //    through the histogram hash aggregate as 6 extra key columns
+    //    hashes wide keys per input row — measured 3.9× slower;
+    //  - NOT one mixed distinct+plain aggregate: countDistinct beside
+    //    plain aggs plans an Expand (every row duplicated per grouping
+    //    set), and an eager materialization of it serializes that job;
+    //  - INSTEAD the distinct count is its own aggregate (hash-distinct,
+    //    no Expand) and each 1-row table rides its own broadcast — the
+    //    broadcast jobs overlap each other and the histogram scan.
     val stats = li.agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col("l_extendedprice")).as("n_distinct"),
       min(col("l_extendedprice")).as("vmin"),
       max(col("l_extendedprice")).as("vmax"),
       Tables.toDouble(sum(Tables.dec(col("l_extendedprice"))), 2).as("vsum"))
       .withColumn("mean", round(col("vsum") / col("n_rows"), 6))
-    // ONE broadcast of the full stats row: the global columns ride the
-    // histogram aggregate as constant group keys (no extra shuffle rows),
-    // so the countDistinct scan behind `stats` runs once, not once per
-    // non-identical broadcast projection
-    li.crossJoin(broadcast(stats))
+    val nd = li.select(col("l_extendedprice").as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+    val hist = li.crossJoin(broadcast(stats.select(col("vmin"), col("vmax"))))
       .withColumn("bucket",
         least(floor((col("l_extendedprice") - col("vmin")) * 10.0 /
           (col("vmax") - col("vmin"))), lit(9L)).cast("int"))
-      .groupBy(col("bucket"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("vmin"), col("vmax"), col("mean"))
-      .agg(count(lit(1)).as("n_in_bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_in_bucket"))
+    hist.crossJoin(broadcast(stats)).crossJoin(broadcast(nd))
       .select(col("bucket"), col("n_in_bucket"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("vmin"), col("vmax"), col("mean"))
   }
