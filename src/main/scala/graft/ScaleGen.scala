@@ -29,6 +29,9 @@ object ScaleGen {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // source events.parquet is TIMESTAMP(NANOS); read raw as long and
+      // write BIGINT ns — Tables.events handles both encodings
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,8 +62,38 @@ object ScaleGen {
     }.reduce(_.unionByName(_))
     docsN.write.mode("overwrite").parquet(s"$out/documents.parquet")
     embN.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // graph/agg-family tables (round-8 trend extension): replicas offset
+    // every KEY column (order, customer, event, user) so the node/user
+    // spaces grow with volume — a 10× corpus means 10× graph nodes and
+    // 10× cohort users, which is what real growth looks like — while
+    // l_partkey stays put (the q124/q128 category space is fixed at 100;
+    // more data deepens supports, it doesn't invent categories).
+    val ord = Tables.orders(spark, src)
+    val li = Tables.lineitem(spark, src)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val offO = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val offC = ord.agg(max(col("o_custkey"))).head.getLong(0) + 1L
+    val offE = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val offU = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val ordN = (0 until reps).map { r =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * offO))
+        .withColumn("o_custkey", col("o_custkey") + lit(r.toLong * offC))
+    }.reduce(_.unionByName(_))
+    val liN = (0 until reps).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r.toLong * offO))
+    }.reduce(_.unionByName(_))
+    val evN = (0 until reps).map { r =>
+      ev.withColumn("event_id", col("event_id") + lit(r.toLong * offE))
+        .withColumn("user_id", col("user_id") + lit(r.toLong * offU))
+    }.reduce(_.unionByName(_))
+    ordN.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    liN.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    evN.write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"WROTE $out docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
-      s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+      s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
+      s"orders=${spark.read.parquet(s"$out/orders.parquet").count()} " +
+      s"lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()} " +
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()}")
     spark.stop()
   }
 }

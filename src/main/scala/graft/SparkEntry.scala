@@ -149,6 +149,10 @@ object SparkEntry {
     "q130_integrity_manifest" -> (ops.Maintenance.integrityManifest _),
     "q131_lang_drift"      -> ((s, d) => ops.TextAnalysis.langDrift(s, d)),
     "q132_cohort_retention" -> (ops.Events.cohortRetention _),
+    "q133_substring_dedup" -> ((s, d) => ops.Curation.substringDedup(s, d)),
+    "q134_bpe_merges"      -> ((s, d) => ops.Bpe.bpeMerges(s, d)),
+    "q135_heavy_hitters"   -> ((s, d) => ops.Sketches.heavyHitters(s, d)),
+    "q136_chunk_sliding"   -> ((s, d) => ops.Curation.chunkSliding(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,7 +165,7 @@ object SparkEntry {
       analytics.Relational.oracle ++ ops.Events.oracle ++ ops.TemporalJoins.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Skew.oracle ++
       ops.Scoring.oracle ++ ops.Graph.oracle ++ ops.Sketches.oracle ++
-      ops.KMeans.oracle ++ ops.Maintenance.oracle ++
+      ops.KMeans.oracle ++ ops.Maintenance.oracle ++ ops.Bpe.oracle ++
       ops.Clusters.oracle ++ ops.Curation.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ streaming.StreamingEvents.oracle ++

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL
+  * 2016 §3.2) — the subword step that completes q99's word-level
+  * tokenizer story: learn a merge table from corpus statistics, greedy
+  * most-frequent-pair-first, ties broken lexically.
+  *
+  * Representation: a word is its symbol sequence rendered as a single
+  * string with every symbol wrapped — "key" starts as `<k><e><y>` and a
+  * merge of (k, e) rewrites it to `<ke><y>` via one literal `replace`.
+  * The wrapping makes the rewrite exact: a pattern `<l><r>` can only
+  * match at a symbol boundary, the inserted `<lr>` can never complete a
+  * new occurrence (symbols are nonempty, so `<lr` never equals `<l`),
+  * and therefore Spark's and DuckDB's byte-level left-to-right
+  * non-overlapping `replace` produce the SAME greedy segmentation —
+  * including the self-pair case (`aaaa` + merge (a,a) → `aa,aa`). The
+  * corpus alphabet is [a-z] (normText), so `<`/`>` are free delimiters.
+  *
+  * Scale shape: the corpus is touched ONCE — the initial
+  * groupBy(token) count (map-side partial, the q99 vocabulary scale
+  * argument: the working table is the DISTINCT-token aggregate, whose
+  * size real tokenizer trainers already bound by pre-tokenization).
+  * Each merge round over that vocab table is: one map-side
+  * split+posexplode to adjacent pairs, one small groupBy(l, r), an
+  * argmax as a bounded TakeOrderedAndProject limit(1), and a broadcast
+  * 1-row join applying the rewrite map-side. Rounds eager-checkpoint
+  * the (vocab-sized) word table and the 1-row winner — the q111 Lloyd
+  * pattern — so plan depth stays constant and the final merge-table
+  * union replays nothing. No step ever shuffles corpus-sized data, and
+  * no window function appears anywhere.
+  */
+object Bpe {
+
+  /** Merge rounds learned by q134 (a knob; real tokenizers run until
+    * |vocab| reaches 32k–100k). 16 keeps the unrolled oracle CTE chain
+    * readable while merging well past the bigram stage on the synthetic
+    * corpus. */
+  private[graft] val MergeRounds = 16
+
+  /** Initial word table: (rep = `<c><c>…`, cnt) over distinct corpus
+    * tokens. */
+  private def initialWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("tok"), "(.)", "<$1>").as("rep"), col("cnt"))
+
+  /** The trainer loop: returns (merge table, final word table).
+    * `merges` is (step, lhs, rhs, merged, cnt); `words` is (rep, cnt)
+    * after all rounds. */
+  private[graft] def train(spark: SparkSession, dir: String,
+                           rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, "merge rounds must be positive")
+    var words = initialWords(spark, dir).localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .select(col("cnt"), split(trim(col("rep"), "<>"), "><").as("s"))
+        .select(col("cnt"), explode(expr(
+          """CASE WHEN size(s) >= 2
+            |  THEN transform(sequence(0, size(s) - 2),
+            |         i -> struct(s[i] AS lhs, s[i+1] AS rhs))
+            |  ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(desc("c"), asc("lhs"), asc("rhs")).limit(1)
+        .select(lit(r.toLong).as("step"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("c").as("cnt"))
+        .localCheckpoint(true)
+      merges += best
+      // a round with no pairs left yields an empty winner: the coalesced
+      // pattern `<<` cannot occur in a wrapped rep, so the rewrite
+      // degrades to a no-op instead of nulling the corpus
+      words = words
+        .join(broadcast(best.select(col("lhs"), col("rhs"), col("merged"))),
+          lit(true), "left")
+        .select(expr(
+          """replace(rep,
+            |  coalesce(concat('<', lhs, '><', rhs, '>'), '<<'),
+            |  coalesce(concat('<', merged, '>'), ''))""".stripMargin).as("rep"),
+          col("cnt"))
+        .localCheckpoint(true)
+    }
+    (merges.result().reduce(_.unionByName(_)), words)
+  }
+
+  /** q134: the learned BPE merge table — (step, lhs, rhs, merged, cnt),
+    * one row per round in learning order. */
+  def bpeMerges(spark: SparkSession, dir: String,
+                rounds: Int = MergeRounds): DataFrame =
+    train(spark, dir, rounds)._1
+
+  /** DuckDB oracle: the identical greedy loop unrolled as CTE rounds
+    * (the q111 precedent) over the same wrapped-symbol representation —
+    * zip-unnest of the shifted symbol lists gives the adjacent pairs,
+    * LIMIT 1 the winner, one `replace` the rewrite. Every chained CTE is
+    * MATERIALIZED: each round references its predecessor twice, so
+    * DuckDB's default inlining would expand the base scan 2^rounds
+    * times (observed as a too-many-open-files explosion at 16 rounds).
+    */
+  private def oracleFor(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(tok, '(.)', '<\1>', 'g') AS rep, cnt FROM (
+        |    SELECT tok, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |      FROM documents)
+        |    WHERE tok <> '' GROUP BY tok))""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |p$r AS (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        |    SELECT unnest(s[1:len(s)-1]) AS lhs, unnest(s[2:len(s)]) AS rhs, cnt
+        |    FROM (SELECT string_split(trim(rep, '<>'), '><') AS s, cnt FROM w${r - 1}))
+        |  GROUP BY 1, 2),
+        |b$r AS MATERIALIZED (SELECT lhs, rhs, lhs || rhs AS merged, c FROM p$r
+        |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+        |w$r AS MATERIALIZED (SELECT replace(rep,
+        |    coalesce('<' || b.lhs || '><' || b.rhs || '>', '<<'),
+        |    coalesce('<' || b.merged || '>', '')) AS rep, cnt
+        |  FROM w${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, merged, c AS cnt FROM b$r")
+      .mkString("", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q134_bpe_merges" -> oracleFor(MergeRounds))
+}

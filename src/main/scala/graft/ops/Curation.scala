@@ -131,6 +131,122 @@ object Curation {
           .as("text_clean"))
   }
 
+  /** Minimum duplicated-span length (tokens) for q133. Lee et al. use 50
+    * BPE tokens on real corpora; 8 here so the synthetic corpus (random
+    * 31-word text with injected duplicate passages) actually exercises
+    * the operator — at sf0.01, ~1k 8-grams repeat across 47 docs. */
+  private val MinSpanTokens = 8
+
+  /** q133: exact substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022) — the upgrade path
+    * from q89's fixed chunk grid. A token sits in a duplicated span of
+    * length ≥ L iff some L-gram covering it occurs more than once in the
+    * corpus (including within-doc repeats), so duplicated-span coverage
+    * is EXACTLY the union of [i, i+L) over duplicated L-gram starts i —
+    * no suffix array needed for the coverage/cut accounting. Per doc:
+    * total tokens, tokens inside any duplicated span (`dup_tok`), tokens
+    * that keep-first dedup would cut (`cut_tok` — the union over
+    * occurrences that are NOT the corpus-wide first (min (doc_id, pos))
+    * occurrence of their gram), and the count of maximal duplicated
+    * spans (`n_spans`).
+    *
+    * Scale shape: gram TEXT never shuffles — occurrences reduce to
+    * (doc_id, pos, md5-16B) rows; the duplicate test + first-occurrence
+    * winner is ONE groupBy(hash) with map-side partials, and occurrences
+    * of duplicated grams come back via one equi-join on the hash. The
+    * interval union runs in ONE window pass partitioned by doc_id
+    * (bounded by document length, never corpus size) computing both
+    * running maxima — all-occurrence and non-first-occurrence — so the
+    * follow-up groupBy(doc_id) reuses the window's exchange. At 100 TB
+    * nothing here is corpus-global: the heavy tables carry 32 bytes per
+    * token position. */
+  def substringDedup(spark: SparkSession, dir: String,
+                     minSpan: Int = MinSpanTokens): DataFrame = {
+    require(minSpan > 0, "span length must be positive")
+    val L = minSpan
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+    // (doc_id, pos, 64-bit-hex gram hash); docs shorter than L emit none
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $L
+           |  THEN transform(sequence(0, size(toks) - $L),
+           |         i -> substring(md5(concat_ws(' ', slice(toks, i + 1, $L))), 1, 16))
+           |  ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val dupFirst = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+    val dup = grams.join(dupFirst, "h")
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("k_doc") && col("pos") === col("k_pos")).as("is_first"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val end = col("pos") + lit(L)
+    val stats = dup
+      .withColumn("all_prev", max(col("pos") + lit(L)).over(wPrev))
+      .withColumn("cut_prev",
+        max(when(!col("is_first"), col("pos") + lit(L))).over(wPrev))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(greatest(end - greatest(coalesce(col("all_prev"), col("pos")), col("pos")),
+          lit(0))).cast("long").as("dup_tok"),
+        sum(when(!col("is_first"),
+          greatest(end - greatest(coalesce(col("cut_prev"), col("pos")), col("pos")),
+            lit(0))).otherwise(lit(0))).cast("long").as("cut_tok"),
+        sum(when(coalesce(col("all_prev"), lit(-1)) < col("pos"), 1L)
+          .otherwise(0L)).as("n_spans"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+        coalesce(col("cut_tok"), lit(0L)).as("cut_tok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** q136 window/stride (tokens). Real RAG pipelines run 256/192-ish;
+    * 16/12 exercises multi-chunk docs and the end-backoff on the
+    * synthetic ~54-token documents. */
+  private val ChunkWindow = 16
+  private val ChunkStride = 12
+
+  /** q136: sliding-window document chunking with overlap — the
+    * retrieval/RAG prep step that turns documents into fixed-size
+    * overlapping passages. Chunk starts advance by `stride`; the LAST
+    * chunk backs off to end exactly at the document tail (so every
+    * token is covered and no chunk is shorter than `window` unless the
+    * whole document is), the convention retrieval pipelines use so tail
+    * tokens get full-width context. Each chunk carries its token span,
+    * text, and an md5 fingerprint (the join key for chunk-level dedup
+    * and embedding caches downstream).
+    *
+    * Scale shape: entirely map-side — one posexplode of a
+    * per-document-bounded chunk list, no shuffle, no window function;
+    * the plan is a single WholeStageCodegen span over the scan. */
+  def chunkSliding(spark: SparkSession, dir: String,
+                   window: Int = ChunkWindow,
+                   stride: Int = ChunkStride): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val (w, s) = (window, stride)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tok"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CASE WHEN size(toks) <= $w THEN 0
+             |    ELSE CAST(ceil((size(toks) - $w) / $s.0) AS INT) END),
+             |  c -> least(c * $s, greatest(size(toks) - $w, 0)))""".stripMargin)))
+      .select(col("doc_id"), col("n_tok"), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        expr(s"concat_ws(' ', slice(toks, col + 1, $w))").as("chunk_text"))
+      .withColumn("chunk_len",
+        (size(split(col("chunk_text"), " "))).cast("long"))
+      .withColumn("chunk_fp", md5(col("chunk_text")))
+  }
+
   /** Default shard count for q90 (a knob; real deployments size shards
     * to ~1 GB of tokens each). */
   private val NumShards = 64
@@ -418,6 +534,56 @@ object Curation {
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |  arg_min(doc_id, ord) AS first_doc_id
          |FROM k GROUP BY 1""".stripMargin,
+    "q136_chunk_sliding" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, toks,
+         |    unnest(range(0, CASE WHEN len(toks) <= $ChunkWindow THEN 1
+         |      ELSE CAST(ceil((len(toks) - $ChunkWindow) / $ChunkStride.0) AS BIGINT) + 1 END)) AS chunk_id
+         |  FROM t),
+         |s AS (SELECT doc_id, n_tok, chunk_id,
+         |    least(chunk_id * $ChunkStride, greatest(n_tok - $ChunkWindow, 0)) AS start_tok, toks
+         |  FROM c)
+         |SELECT doc_id, n_tok, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  array_to_string(toks[CAST(start_tok + 1 AS INT):CAST(start_tok + $ChunkWindow AS INT)], ' ') AS chunk_text,
+         |  CAST(len(toks[CAST(start_tok + 1 AS INT):CAST(start_tok + $ChunkWindow AS INT)]) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(toks[CAST(start_tok + 1 AS INT):CAST(start_tok + $ChunkWindow AS INT)], ' ')) AS chunk_fp
+         |FROM s""".stripMargin,
+    "q133_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(toks) - $MinSpanTokens + 1, 0))) AS pos,
+         |    unnest(list_transform(range(0, greatest(len(toks) - $MinSpanTokens + 1, 0)),
+         |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + $MinSpanTokens AS INT)], ' '))) AS gram
+         |  FROM t),
+         |k AS (SELECT gram, doc_id AS k_doc, pos AS k_pos FROM (
+         |    SELECT gram, doc_id, pos,
+         |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         |      count(*) OVER (PARTITION BY gram) AS c
+         |    FROM g) WHERE rn = 1 AND c > 1),
+         |d AS (SELECT g.doc_id, g.pos,
+         |    (g.doc_id = k.k_doc AND g.pos = k.k_pos) AS is_first
+         |  FROM g JOIN k USING (gram)),
+         |w AS (SELECT doc_id, pos, is_first,
+         |    max(pos + $MinSpanTokens) OVER wp AS all_prev,
+         |    max(CASE WHEN NOT is_first THEN pos + $MinSpanTokens END) OVER wp AS cut_prev
+         |  FROM d WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |s AS (SELECT doc_id,
+         |    CAST(sum(greatest(pos + $MinSpanTokens - greatest(coalesce(all_prev, pos), pos), 0)) AS BIGINT) AS dup_tok,
+         |    CAST(sum(CASE WHEN NOT is_first
+         |      THEN greatest(pos + $MinSpanTokens - greatest(coalesce(cut_prev, pos), pos), 0)
+         |      ELSE 0 END) AS BIGINT) AS cut_tok,
+         |    CAST(sum(CASE WHEN coalesce(all_prev, -1) < pos THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+         |  FROM w GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |  coalesce(s.dup_tok, 0) AS dup_tok, coalesce(s.cut_tok, 0) AS cut_tok,
+         |  coalesce(s.n_spans, 0) AS n_spans
+         |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
     "q89_chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t

@@ -189,7 +189,58 @@ object Sketches {
           (col("b") + lit(1)).cast("double")).as("est"))
   }
 
+  /** Counter budget for q135 — fewer counters than the 26-letter
+    * alphabet, so decrement/merge-subtract paths genuinely fire, while
+    * the guarantee still catches every char above the 1/16 frequency
+    * threshold. */
+  private[graft] val MgCounters = 16
+
+  /** q135: exact heavy hitters over the corpus CHARACTER stream via a
+    * Misra-Gries candidate pass + exact recount — the two-pass shape
+    * that finds "keys above φ·N frequency" over an unbounded key space
+    * in one streaming scan plus one bounded verification.
+    *
+    * Pass 1 is the [[graft.functions.MisraGriesAgg]] summary (k fixed
+    * counters, mergeable, map-side partial aggregation; each input ROW
+    * feeds the whole document's characters, so no per-char explode
+    * ever materializes). Its PODS'12 guarantee — undercount ≤ N/(k+1) —
+    * makes the ≤ k survivors a provable superset of every character
+    * with count > N/k. Pass 2 recounts ONLY those candidates exactly:
+    * the ≤ k-row candidate list broadcast-joins back over the corpus
+    * and per-doc occurrence counts come from the codegen'd
+    * length-difference (no explode again), then one 16-group groupBy.
+    * The final filter cnt·k > N is integer-exact, so the OUTPUT is
+    * sketch-free exact — the oracle states the plain GROUP BY/HAVING
+    * semantics and must match hash-for-hash.
+    *
+    * Scale shape: pass 1 shuffles ≤ k counters per partition; pass 2
+    * shuffles ≤ k rows per partition. Nothing corpus-sized ever moves. */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   k: Int = MgCounters): DataFrame = {
+    require(k >= 1, "counter budget must be positive")
+    val stripped = Tables.documents(spark, dir)
+      .select(regexp_replace(Dedup.normText(col("text")), " ", "").as("t"))
+    val mg = udaf(new graft.functions.MisraGriesAgg(k))
+    val cand = stripped.agg(mg(col("t")).as("cand"))
+      .select(explode(col("cand")).as("ch"))
+    val counts = stripped.crossJoin(broadcast(cand))
+      .select(col("ch"),
+        (length(col("t")) - length(expr("replace(t, ch, '')"))).cast("long").as("c"))
+      .groupBy(col("ch")).agg(sum(col("c")).as("cnt"))
+    val tot = stripped.agg(sum(length(col("t"))).cast("long").as("n"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * lit(k.toLong) > col("n"))
+      .select(col("ch"), col("cnt"), col("n"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q135_heavy_hitters" ->
+      s"""WITH st AS (SELECT replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ', '') AS t
+         |  FROM documents),
+         |ag AS (SELECT c AS ch, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(t, '')) AS c FROM st) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ag)
+         |SELECT ch, cnt, n FROM ag, tot WHERE cnt * $MgCounters > n""".stripMargin,
     "q121_hll_intersect" ->
       s"""WITH regs AS (
          |  SELECT l_returnflag, bucket, CAST(max(rho) AS INT) AS r FROM (

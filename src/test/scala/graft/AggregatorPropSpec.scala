@@ -91,4 +91,37 @@ class AggregatorPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MisraGriesAgg candidate guarantee holds under any partitioning and merge order") {
+    val rnd = new Random(23)
+    val chars = "abcdefghij"
+    for (trial <- 1 to 40) {
+      val k = 1 + rnd.nextInt(8)
+      val n = 200 + rnd.nextInt(800)
+      // geometric skew: 'a' drawn with p=1/2, 'b' 1/4, … — real heavies exist
+      val stream = Seq.fill(n) {
+        var i = 0
+        while (i < chars.length - 1 && rnd.nextBoolean()) i += 1
+        chars(i)
+      }
+      val trueCounts = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val heavies = trueCounts.collect { case (c, v) if v * k > n => c }.toSet
+      // chop the stream into "documents" (spaces must be skipped)
+      val docs = stream.mkString.grouped(1 + rnd.nextInt(20))
+        .map(s => if (rnd.nextBoolean()) s + " " else s).toSeq
+      val agg = new graft.functions.MisraGriesAgg(k)
+      for (_ <- 1 to 3) {
+        val shuffled = rnd.shuffle(docs)
+        val nChunks = 1 + rnd.nextInt(5)
+        val chunks = (0 until nChunks)
+          .map(i => shuffled.zipWithIndex.collect { case (x, j) if j % nChunks == i => x })
+        val partials = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+        val cand = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+          .map(_.head).toSet
+        assert(cand.size <= k, s"trial $trial: summary exceeded $k counters")
+        assert(heavies.subsetOf(cand),
+          s"trial $trial k=$k n=$n: lost heavies ${heavies -- cand} (cand=$cand)")
+      }
+    }
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the q134 BPE trainer that the merge-table
+  * oracle can't articulate: greediness of the first pick, and that the
+  * engine-side rewrites segment exactly like a reference in-memory
+  * greedy BPE (round-trip included). */
+class BpeSpec extends SparkSpec {
+
+  private def corpusCounts: Map[String, Long] =
+    Tables.documents(spark, sf)
+      .select(explode(split(graft.ops.Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("bpe (q134): merge table is well-formed and the first pick is the true argmax") {
+    val rounds = 6
+    val m = graft.ops.Bpe.train(spark, sf, rounds)._1.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(m.map(_._1).toSeq == (1L to rounds).toSeq, "one merge per step")
+    m.foreach { case (step, l, r, merged, cnt) =>
+      assert(merged == l + r, s"step $step: merged symbol must concatenate the pair")
+      assert(cnt > 0, s"step $step: winning pair must occur")
+    }
+    // ground truth for step 1: character-bigram counts over the raw corpus
+    val big = corpusCounts.toSeq.flatMap { case (tok, cnt) =>
+      tok.toSeq.zip(tok.tail).map { case (a, b) => (a.toString, b.toString) -> cnt }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val (bl, br, bc) = big.map { case ((a, b), c) => (a, b, c) }
+      .minBy { case (a, b, c) => (-c, a, b) }
+    assert((m.head._2, m.head._3, m.head._5) == ((bl, br, bc)),
+      s"step-1 winner must be the corpus bigram argmax ($bl,$br,$bc)")
+  }
+
+  test("bpe (q134): engine segmentation equals reference greedy BPE; round-trips") {
+    val rounds = graft.ops.Bpe.MergeRounds
+    val (mergesDf, wordsDf) = graft.ops.Bpe.train(spark, sf, rounds)
+    val merges = mergesDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val got = wordsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = corpusCounts
+    assert(got.size == counts.size, "one rep per distinct token")
+    got.foreach { case (rep, cnt) =>
+      val tok = rep.replaceAll("[<>]", "")
+      assert(counts.get(tok).contains(cnt), s"rep $rep must round-trip to a corpus token")
+      // reference greedy BPE: same wrapped representation, java replace
+      // (literal, left-to-right, non-overlapping — the semantics the
+      // operator's doc argues both engines share)
+      var ref = tok.map(c => s"<$c>").mkString
+      merges.foreach { case (_, l, r, merged) =>
+        ref = ref.replace(s"<$l><$r>", s"<$merged>")
+      }
+      assert(rep == ref, s"token $tok: engine rep $rep != reference $ref")
+    }
+  }
+}

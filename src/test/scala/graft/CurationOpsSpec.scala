@@ -193,4 +193,75 @@ class CurationOpsSpec extends SparkSpec {
       if (id % 13 == 0) assert(scrubbed.contains("<NUM>"))
     }
   }
+
+  test("substring dedup (q133): coverage and cut match an in-memory ground truth") {
+    val L = 8
+    val out = graft.ops.Curation.substringDedup(spark, sf, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // independent ground truth: pure-Scala L-gram multiset over the same
+    // normalization, interval unions computed set-wise (no windows)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val occ = for {
+      (id, toks) <- docs.toSeq
+      i <- 0 to toks.length - L
+    } yield (toks.slice(i, i + L).mkString(" "), id, i)
+    val byGram = occ.groupBy(_._1).filter(_._2.size > 1)
+    val firstOf = byGram.view.mapValues(_.map(o => (o._2, o._3)).min).toMap
+    val dupPos = byGram.values.flatten
+      .flatMap { case (_, id, i) => (i until i + L).map(id -> _) }.toSet
+    val cutPos = byGram.toSeq.flatMap { case (g, os) =>
+      os.filter(o => (o._2, o._3) != firstOf(g))
+        .flatMap { case (_, id, i) => (i until i + L).map(id -> _) }
+    }.toSet
+    assert(out.nonEmpty && dupPos.nonEmpty, "fixture must exercise the operator")
+    docs.foreach { case (id, toks) =>
+      val (nTok, dupTok, cutTok, nSpans) = out(id)
+      assert(nTok == toks.length, s"doc $id token count")
+      val truthDup = dupPos.count(_._1 == id)
+      val truthCut = cutPos.count(_._1 == id)
+      assert(dupTok == truthDup, s"doc $id dup coverage: got $dupTok want $truthDup")
+      assert(cutTok == truthCut, s"doc $id cut coverage: got $cutTok want $truthCut")
+      // spans are maximal unions of L-intervals: each is >= L tokens long
+      assert(dupTok >= nSpans * L, s"doc $id spans too short: $nSpans spans, $dupTok tokens")
+      assert(cutTok <= dupTok && dupTok <= nTok, s"doc $id containment")
+      // count maximal runs in the truth position set
+      val ps = dupPos.collect { case (d, p) if d == id => p }.toSeq.sorted
+      val runs = ps.indices.count(j => j == 0 || ps(j) != ps(j - 1) + 1)
+      assert(nSpans == runs, s"doc $id span count: got $nSpans want $runs")
+    }
+  }
+
+  test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
+    val (w, s) = (16, 12)
+    val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getString(6)))
+    assert(rows.exists(_._3 > 0), "fixture must produce multi-chunk docs")
+    rows.groupBy(_._1).foreach { case (id, chunks) =>
+      val nTok = chunks.head._2
+      val sorted = chunks.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_.toLong),
+        s"doc $id chunk ids must be dense from 0")
+      sorted.foreach { case (_, _, cid, start, text, len, fp) =>
+        assert(len == math.min(w, nTok), s"doc $id chunk $cid length")
+        assert(start == math.min(cid * s, math.max(nTok - w, 0L)),
+          s"doc $id chunk $cid start")
+        assert(len == text.split(" ").length.toLong, s"doc $id chunk $cid text length")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp == md, s"doc $id chunk $cid fingerprint")
+      }
+      // coverage: chunk intervals tile [0, nTok) with no gaps
+      val last = sorted.last
+      assert(last._4 + last._6 == nTok, s"doc $id tail not covered")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 <= a._4 + a._6, s"doc $id gap between chunks ${a._3}/${b._3}")
+        case _ =>
+      }
+    }
+  }
 }

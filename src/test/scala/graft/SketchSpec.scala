@@ -150,4 +150,21 @@ class SketchSpec extends SparkSpec {
       k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == whole)
   }
+
+  test("q135 heavy hitters: output equals the exact GROUP BY/HAVING semantics") {
+    val k = 16
+    val got = Sketches.heavyHitters(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // exact recomputation by a different route: full char explode
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(regexp_replace(
+        graft.ops.Dedup.normText(col("text")), " ", ""), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("ch").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val want = exact.collect { case (c, v) if v * k > n => (c, v, n) }.toSet
+    assert(want.nonEmpty, "fixture must produce at least one heavy hitter")
+    assert(got == want, s"only-got=${got -- want} only-want=${want -- got}")
+  }
 }
