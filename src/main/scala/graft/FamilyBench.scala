@@ -26,11 +26,24 @@ object FamilyBench {
     // is excluded: it sketches lineitem, which ScaleGen doesn't grow)
     "q111_kmeans", "q115_priority_sample",
     "q118_semdedup", "q119_containment", "q129_dedup_apply",
-    "q130_integrity_manifest")
+    "q130_integrity_manifest",
+    // round-8 additions over documents
+    "q133_substring_dedup", "q134_bpe_merges", "q135_heavy_hitters",
+    "q136_chunk_sliding")
+
+  /** Graph/agg head (round-8 trend extension): the queries whose
+    * "fixed-overhead, not a scale-killer" claims had never been measured
+    * at 10×. Needs orders/lineitem/events in sfDir — ScaleGen now
+    * synthesizes all three with offset key spaces. */
+  private val GraphFamily = Seq(
+    "q97_pagerank", "q124_basket_pairs", "q125_rfm_segments",
+    "q126_assoc_rules", "q128_triangles", "q129_dedup_apply",
+    "q132_cohort_retention", "q54_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "FAMILY_BENCH.json"
+    val family = if (args.length > 2 && args(2) == "graph") GraphFamily else Family
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +62,7 @@ object FamilyBench {
     val fns = SparkEntry.queries + ("q118_semdedup" ->
       ((s: SparkSession, d: String) =>
         graft.ops.Similarity.semDedup(s, d, k = graft.ops.Similarity.semDedupAutoK(nVec))))
-    val results = Family.map { name =>
+    val results = family.map { name =>
       val fn = fns(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -62,8 +75,11 @@ object FamilyBench {
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val metric =
+      if (family eq GraphFamily) "graph_agg_family_total"
+      else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"dedup_similarity_family_total","value":$total%.2f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

@@ -153,6 +153,7 @@ object SparkEntry {
     "q134_bpe_merges"      -> ((s, d) => ops.Bpe.bpeMerges(s, d)),
     "q135_heavy_hitters"   -> ((s, d) => ops.Sketches.heavyHitters(s, d)),
     "q136_chunk_sliding"   -> ((s, d) => ops.Curation.chunkSliding(s, d)),
+    "q137_bpe_encode"      -> ((s, d) => ops.Bpe.bpeEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -96,6 +96,36 @@ object Bpe {
                 rounds: Int = MergeRounds): DataFrame =
     train(spark, dir, rounds)._1
 
+  /** q137: corpus encoding with the learned merges — the apply step
+    * that turns documents into subword streams. The trained word table
+    * IS the codebook: stripping the delimiters recovers the raw token
+    * (the wrapping is a bijection), so tokens join the vocab-sized
+    * codebook (broadcast — the q99 encode shape) and each document
+    * reassembles its wrapped-symbol stream in token order via one
+    * sorted-struct collapse, never a per-doc sort window. Output per
+    * doc: token count, total subword symbol count, and the encoded
+    * stream. Scale shape: training never touches the corpus beyond its
+    * one groupBy (see above); encoding is one broadcast join + one
+    * groupBy(doc_id) with map-side partials. */
+  def bpeEncode(spark: SparkSession, dir: String,
+                rounds: Int = MergeRounds): DataFrame = {
+    val words = train(spark, dir, rounds)._2
+    val codebook = words.select(
+      regexp_replace(col("rep"), "[<>]", "").as("tok"), col("rep"),
+      size(split(trim(col("rep"), "<>"), "><")).as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(Dedup.normText(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .filter(col("tok") =!= "")
+      .join(broadcast(codebook), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("n_sym")).cast("long").as("n_sym"),
+        sort_array(collect_list(struct(col("pos"), col("rep")))).as("pr"))
+      .select(col("doc_id"), col("n_tok"), col("n_sym"),
+        expr("concat_ws(' ', transform(pr, x -> x.rep))").as("enc"))
+  }
+
   /** DuckDB oracle: the identical greedy loop unrolled as CTE rounds
     * (the q111 precedent) over the same wrapped-symbol representation —
     * zip-unnest of the shifted symbol lists gives the adjacent pairs,
@@ -106,8 +136,20 @@ object Bpe {
     */
   private def oracleFor(rounds: Int): String = {
     val sb = new StringBuilder
+    sb ++= "WITH "
+    sb ++= chainFor(rounds)
+    sb ++= "\n"
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, merged, c AS cnt FROM b$r")
+      .mkString("", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
+  /** The shared CTE chain `w0 … w<rounds>` of the unrolled trainer. */
+  private def chainFor(rounds: Int): String = {
+    val sb = new StringBuilder
     sb ++=
-      """WITH w0 AS MATERIALIZED (
+      """w0 AS MATERIALIZED (
         |  SELECT regexp_replace(tok, '(.)', '<\1>', 'g') AS rep, cnt FROM (
         |    SELECT tok, count(*) AS cnt FROM (
         |      SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
@@ -126,13 +168,25 @@ object Bpe {
         |    coalesce('<' || b.merged || '>', '')) AS rep, cnt
         |  FROM w${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, merged, c AS cnt FROM b$r")
-      .mkString("", "\nUNION ALL\n", "")
     sb.toString
   }
 
+  private def encodeOracleFor(rounds: Int): String =
+    s"""WITH ${chainFor(rounds)},
+       |cb AS (SELECT rep, regexp_replace(rep, '[<>]', '', 'g') AS tok,
+       |    CAST(len(string_split(trim(rep, '<>'), '><')) AS BIGINT) AS n_sym
+       |  FROM w$rounds),
+       |inst AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+       |  FROM (SELECT doc_id,
+       |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |    FROM documents))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_sym,
+       |  string_agg(rep, ' ' ORDER BY pos) AS enc
+       |FROM inst JOIN cb USING (tok) WHERE tok <> ''
+       |GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q134_bpe_merges" -> oracleFor(MergeRounds))
+    "q134_bpe_merges" -> oracleFor(MergeRounds),
+    "q137_bpe_encode" -> encodeOracleFor(MergeRounds))
 }

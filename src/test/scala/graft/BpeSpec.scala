@@ -57,4 +57,24 @@ class BpeSpec extends SparkSpec {
       assert(rep == ref, s"token $tok: engine rep $rep != reference $ref")
     }
   }
+
+  test("bpe encode (q137): every document round-trips through its subword stream") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ops.Dedup.normText(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.ops.Bpe.bpeEncode(spark, sf, 4).collect()
+    assert(out.length == docs.size, "one encoded row per document")
+    out.foreach { r =>
+      val (id, nTok, nSym, enc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val text = docs(id)
+      assert(enc.split(" ").map(_.replaceAll("[<>]", "")).mkString(" ") == text,
+        s"doc $id: stripping delimiters must recover the normalized text")
+      assert(nTok == text.split(" ").length.toLong, s"doc $id token count")
+      val syms = enc.split(" ").map(_.count(_ == '<')).sum.toLong
+      assert(nSym == syms, s"doc $id symbol count vs stream")
+      assert(nSym >= nTok && nSym <= text.replace(" ", "").length,
+        s"doc $id: symbols bounded by tokens and characters")
+    }
+  }
 }

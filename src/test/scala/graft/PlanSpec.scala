@@ -270,6 +270,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q133 substring dedup: hash-key dup test, per-doc window, no nested loop") {
+    val p = plan(q("q133_substring_dedup"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gram join must stay an equi-join on the hash:\n$p")
+    // the interval union windows per doc_id, never globally
+    assert(p.contains("Window"), s"interval union runs as one window pass:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"window must partition by doc_id, never globally:\n$p")
+    assert(p.contains("partial"), s"dup-gram count must combine map-side:\n$p")
+  }
+
+  test("q134 bpe: no window; argmax is bounded TakeOrderedAndProject; rewrite broadcasts") {
+    val p = plan(graft.ops.Bpe.bpeMerges(spark, sf, rounds = 2))
+    assert(!p.contains("Window"), s"no rank window anywhere in the trainer:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row rewrite join must broadcast, not go cartesian:\n$p")
+  }
+
+  test("q135 heavy hitters: sketch partials map-side, candidates broadcast, no explode") {
+    val p = plan(q("q135_heavy_hitters"))
+    assert(p.contains("ObjectHashAggregate") || p.contains("partial_"),
+      s"the MG summary must combine partially before the shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the ≤k candidate list must ride a broadcast back over the corpus:\n$p")
+    assert(!p.contains("Generate explode(split"),
+      s"no per-character explode may appear in the counting path:\n$p")
+  }
+
+  test("q136 sliding chunks: map-side only — no exchange, no join, no window") {
+    val p = plan(q("q136_chunk_sliding"))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"chunking is a pure projection + generate:\n$p")
+    assert(p.contains("*("), s"chunking must stay codegen'd (no *(n) span found):\n$p")
+  }
+
   test("join strategy hints steer the planner (broadcast / shuffle_hash / merge)") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf)
