@@ -1,60 +1,42 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-/** Dev utility: SAME-SESSION A/B of the five queries whose BENCH_r07 vs
-  * BENCH_r06 cross-session ratios exceeded the documented ±40%
-  * environmental noise (VERDICT r7 §perf: q68 4.1×, q50 4.0×, q52 3.8×,
-  * q49 2.6×, q48 2.0×). Cross-session numbers on this box are not
-  * comparable (SURVEY §12.1), so this main times, in ONE process with
-  * interleaved executions and min-of-3:
-  *   - q68 / q50: the current form vs the ROUND-6 form (the only two of
-  *     the five whose code actually changed in round 7 — q68's stats
-  *     broadcast restructure, q50's isEval expression refactor), the
-  *     round-6 bodies reproduced verbatim below from commit 6dd7be6;
-  *   - q49 / q52 / q48: code-identical to round 6 (verified by file
-  *     diff), so the A/B is two independent same-session passes of the
-  *     same query — the spread IS the same-session noise bound.
+/** Dev utility: SAME-SESSION adjudication of cross-session bench deltas.
+  * Cross-session numbers on this box are not comparable (±40% external
+  * load noise, SURVEY §12.1 — proven by rounds 7/8, where 4 of 5 flagged
+  * "regressions" were phantoms and one was real). So: any query whose
+  * cross-session ratio exceeds the noise band gets N same-session runs
+  * here; min-of-N is the query's true current cost (min is the
+  * load-robust statistic), and max/min bounds the WITHIN-session noise.
+  * A flagged query whose same-session min matches the OLD round's number
+  * is adjudicated noise; one matching the new (slower) number on an
+  * unchanged file needs investigation (the q68 precedent: round 7's own
+  * restructure was real and got fixed).
   *
-  * `runMain graft.ABBench <sfDir> [outFile]` → one JSON line.
+  * Round 8 used this harness with round-6 variant bodies inline; those
+  * were removed once q68 was fixed — every round-9 flagged query is
+  * code-identical to its prior round, so the A/B is min-of-N of the
+  * same form, plus /proc/loadavg context in the artifact.
+  *
+  * `runMain graft.ABBench <sfDir> [outFile] [q1,q2,...]` → one JSON line.
   */
 object ABBench {
 
-  /** q68 as of round 6 (commit 6dd7be6, Relational.scala): histogram
-    * crossJoins a 2-column projection of the stats row, then re-joins
-    * the full stats row — two broadcast projections of one aggregate. */
-  private def r6NumericProfile(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val stats = li.agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col("l_extendedprice")).as("n_distinct"),
-      min(col("l_extendedprice")).as("vmin"),
-      max(col("l_extendedprice")).as("vmax"),
-      Tables.toDouble(sum(Tables.dec(col("l_extendedprice"))), 2).as("vsum"))
-      .withColumn("mean", round(col("vsum") / col("n_rows"), 6))
-    val hist = li.crossJoin(broadcast(stats.select("vmin", "vmax")))
-      .withColumn("bucket",
-        least(floor((col("l_extendedprice") - col("vmin")) * 10.0 /
-          (col("vmax") - col("vmin"))), lit(9L)).cast("int"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_in_bucket"))
-    hist.crossJoin(broadcast(stats))
-      .select(col("bucket"), col("n_in_bucket"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("vmin"), col("vmax"), col("mean"))
-  }
-
-  /** q50 as of round 6: the split predicate inlined as `md5 < "e6"`
-    * rather than `!isEval` (same semantics, different expression tree). */
-  private def r6HashSplit(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        when(md5(col("doc_id").cast("string")) < "e6", "train")
-          .otherwise("eval").as("split"))
+  /** The round-9 flagged set: VERDICT r8 finding 1 (q38–q42 adjacent
+    * cluster, q119, q127) + ADVICE r8 item 3 (q37, q86, q87, q97) +
+    * q136 (§13.6 re-measure item). */
+  private val DefaultFlagged = Seq(
+    "q37_csv_roundtrip", "q38_sink_insert_absent", "q39_merge_timestamped",
+    "q40_cube_agg", "q41_grouping_sets", "q42_pivot_status",
+    "q86_stream_interval_join", "q87_pq_ann", "q97_pagerank",
+    "q119_containment", "q127_robust_outliers", "q136_chunk_sliding")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val outFile = if (args.length > 1) args(1) else "AB_r08.json"
+    val outFile = if (args.length > 1) args(1) else "AB_r09.json"
+    val queries =
+      if (args.length > 2) args(2).split(",").toSeq else DefaultFlagged
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,18 +46,7 @@ object ABBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val cur = SparkEntry.queries
-    // (query, variant-A = current, variant-B = round-6 or second pass)
-    val pairs: Seq[(String, (SparkSession, String) => DataFrame, (SparkSession, String) => DataFrame, String)] = Seq(
-      ("q68_numeric_profile", cur("q68_numeric_profile"), r6NumericProfile _, "r6"),
-      ("q50_hash_split", cur("q50_hash_split"), r6HashSplit _, "r6"),
-      ("q49_tfidf", cur("q49_tfidf"), cur("q49_tfidf"), "same"),
-      ("q52_fuzzy_match", cur("q52_fuzzy_match"), cur("q52_fuzzy_match"), "same"),
-      ("q48_salted_join", cur("q48_salted_join"), cur("q48_salted_join"), "same"))
-
-    // warmup: codegen/classload, uncounted
-    cur("q68_numeric_profile")(spark, sfDir).count()
+    val loadBefore = Bench.loadAvg()
 
     def time(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -85,18 +56,20 @@ object ABBench {
       t
     }
 
-    // interleaved A/B/A/B... (3 each) so drift hits both variants equally
-    val results = pairs.map { case (name, a, b, kind) =>
-      val times = (1 to 3).flatMap(_ => Seq("a" -> time(a), "b" -> time(b)))
-      val ta = times.collect { case ("a", t) => t }.min
-      val tb = times.collect { case ("b", t) => t }.min
-      (name, kind, ta, tb)
+    // warmup: codegen/classload, uncounted
+    time(SparkEntry.queries(queries.head))
+
+    // round-robin over the set 5 times (rather than 5 back-to-back runs
+    // per query) so slow load drift hits every query equally
+    val runs = (1 to 5).flatMap { _ =>
+      queries.map(q => q -> time(SparkEntry.queries(q)))
     }
-    val qs = results.map { case (name, kind, ta, tb) =>
-      f""""$name":{"kind":"$kind","cur":$ta%.3f,"other":$tb%.3f,"ratio":${ta / tb}%.2f}"""
+    val qs = queries.map { q =>
+      val ts = runs.collect { case (`q`, t) => t }.sorted
+      f""""$q":{"min":${ts.head}%.3f,"median":${ts(ts.size / 2)}%.3f,"max":${ts.last}%.3f}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"same_session_ab_r08","sf":"$sfDir","cpus":$cpus,"runs_per_variant":3,"aggregation":"min_of_3_interleaved","queries":$qs}"""
+      s"""{"metric":"same_session_ab_r09","sf":"$sfDir","cpus":$cpus,"runs_per_query":5,"aggregation":"min_median_max_round_robin","loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

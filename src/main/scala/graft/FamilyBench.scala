@@ -55,13 +55,10 @@ object FamilyBench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: codegen/classload once, uncounted
     SparkEntry.queries("q21_dedup_exact")(spark, sfDir).count()
-    // q118 benches the SCALE configuration (K ∝ n, constant cluster
-    // size), not the oracle-pinned k=8 whose self-join is Θ(n²/8);
-    // the corpus count is taken outside the timed region
-    val nVec = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    val fns = SparkEntry.queries + ("q118_semdedup" ->
-      ((s: SparkSession, d: String) =>
-        graft.ops.Similarity.semDedup(s, d, k = graft.ops.Similarity.semDedupAutoK(nVec))))
+    // the declared q118/q27 entries carry the SCALE configuration
+    // themselves since round 9 (auto-K ∝ n via semDedupAuto /
+    // embeddingNearDupAuto), so no override is needed here
+    val fns = SparkEntry.queries
     val results = family.map { name =>
       val fn = fns(name)
       val times = (1 to 2).map { _ =>

@@ -43,7 +43,7 @@ object SparkEntry {
     "q24_simhash_neardup"  -> ((s, d) => ops.Dedup.simhashNearDup(s, d)),
     "q25_cosine_topk"      -> ((s, d) => ops.Similarity.cosineTopK(s, d)),
     "q26_ann_ivf"          -> ((s, d) => ops.Similarity.ivfTopK(s, d)),
-    "q27_embedding_neardup" -> ((s, d) => ops.Similarity.embeddingNearDup(s, d)),
+    "q27_embedding_neardup" -> ((s, d) => ops.Similarity.embeddingNearDupAuto(s, d)),
     "q28_langid"           -> (ops.TextAnalysis.langId _),
     "q29_quality_score"    -> (ops.TextAnalysis.qualityScore _),
     "q30_token_stats"      -> (ops.TextAnalysis.tokenStats _),
@@ -134,7 +134,7 @@ object SparkEntry {
     "q115_priority_sample" -> ((s, d) => ops.Curation.prioritySample(s, d)),
     "q116_grid_quantiles"  -> ((s, d) => ops.Sketches.gridQuantiles(s, d)),
     "q117_incremental_agg" -> ((s, d) => analytics.Relational.incrementalAgg(s, d)),
-    "q118_semdedup"        -> ((s, d) => ops.Similarity.semDedup(s, d)),
+    "q118_semdedup"        -> ((s, d) => ops.Similarity.semDedupAuto(s, d)),
     "q119_containment"     -> ((s, d) => ops.Dedup.containmentJoin(s, d)),
     "q120_pii_scrub"       -> (ops.TextAnalysis.piiScrub _),
     "q121_hll_intersect"   -> (ops.Sketches.hllIntersections _),
@@ -150,6 +150,7 @@ object SparkEntry {
     "q131_lang_drift"      -> ((s, d) => ops.TextAnalysis.langDrift(s, d)),
     "q132_cohort_retention" -> (ops.Events.cohortRetention _),
     "q133_substring_dedup" -> ((s, d) => ops.Curation.substringDedup(s, d)),
+    "q138_substring_apply" -> ((s, d) => ops.Curation.substringDedupApply(s, d)),
     "q134_bpe_merges"      -> ((s, d) => ops.Bpe.bpeMerges(s, d)),
     "q135_heavy_hitters"   -> ((s, d) => ops.Sketches.heavyHitters(s, d)),
     "q136_chunk_sliding"   -> ((s, d) => ops.Curation.chunkSliding(s, d)),

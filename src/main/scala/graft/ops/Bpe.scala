@@ -53,13 +53,35 @@ object Bpe {
 
   /** The trainer loop: returns (merge table, final word table).
     * `merges` is (step, lhs, rhs, merged, cnt); `words` is (rep, cnt)
-    * after all rounds. */
+    * after all rounds.
+    *
+    * Stopping (how real tokenizers terminate, Sennrich §3.2): besides
+    * the `rounds` cap, `vocabTarget` > 0 stops once the symbol
+    * vocabulary (initial alphabet + one new symbol per merge) reaches
+    * the target, and `minPairCount` > 1 stops before a merge whose best
+    * pair occurs fewer times. Best-pair counts are non-increasing
+    * across BPE rounds (a merge's derived pairs occur at most as often
+    * as the merge itself), so both stops truncate the unconstrained
+    * merge sequence to a PREFIX — BpeSpec asserts exactly that. Each
+    * round already materializes its 1-row winner (localCheckpoint), so
+    * the threshold read adds no work. */
   private[graft] def train(spark: SparkSession, dir: String,
-                           rounds: Int): (DataFrame, DataFrame) = {
+                           rounds: Int, minPairCount: Long = 1L,
+                           vocabTarget: Int = 0): (DataFrame, DataFrame) = {
     require(rounds >= 1, "merge rounds must be positive")
     var words = initialWords(spark, dir).localCheckpoint(true)
+    val effRounds = if (vocabTarget <= 0) rounds else {
+      // symbols grow by exactly one per merge from the initial alphabet
+      val alphabet = words
+        .select(explode(split(trim(col("rep"), "<>"), "><")).as("sym"))
+        .distinct().count()
+      val budget = vocabTarget - alphabet
+      require(budget >= 1, s"vocab target $vocabTarget <= alphabet $alphabet")
+      math.min(rounds.toLong, budget).toInt
+    }
     val merges = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
+    var stopped = false
+    for (r <- 1 to effRounds if !stopped) {
       val pairs = words
         .select(col("cnt"), split(trim(col("rep"), "<>"), "><").as("s"))
         .select(col("cnt"), explode(expr(
@@ -73,6 +95,12 @@ object Bpe {
         .select(lit(r.toLong).as("step"), col("lhs"), col("rhs"),
           concat(col("lhs"), col("rhs")).as("merged"), col("c").as("cnt"))
         .localCheckpoint(true)
+      // threshold stop: the checkpointed winner is 1 row — reading it
+      // is free; a sub-threshold best ends training BEFORE this merge
+      if (minPairCount > 1L &&
+          best.select(col("cnt")).take(1).forall(_.getLong(0) < minPairCount)) {
+        stopped = true
+      } else {
       merges += best
       // a round with no pairs left yields an empty winner: the coalesced
       // pattern `<<` cannot occur in a wrapped rep, so the rewrite
@@ -86,15 +114,21 @@ object Bpe {
             |  coalesce(concat('<', merged, '>'), ''))""".stripMargin).as("rep"),
           col("cnt"))
         .localCheckpoint(true)
+      }
     }
-    (merges.result().reduce(_.unionByName(_)), words)
+    val ms = merges.result()
+    require(ms.nonEmpty, s"no merge reached count >= $minPairCount")
+    (ms.reduce(_.unionByName(_)), words)
   }
 
   /** q134: the learned BPE merge table — (step, lhs, rhs, merged, cnt),
-    * one row per round in learning order. */
+    * one row per round in learning order. Defaults train exactly
+    * `rounds` merges (the oracle-checked configuration); `vocabTarget`
+    * / `minPairCount` expose the deployment stopping rules. */
   def bpeMerges(spark: SparkSession, dir: String,
-                rounds: Int = MergeRounds): DataFrame =
-    train(spark, dir, rounds)._1
+                rounds: Int = MergeRounds, minPairCount: Long = 1L,
+                vocabTarget: Int = 0): DataFrame =
+    train(spark, dir, rounds, minPairCount, vocabTarget)._1
 
   /** q137: corpus encoding with the learned merges — the apply step
     * that turns documents into subword streams. The trained word table

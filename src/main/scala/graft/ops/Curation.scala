@@ -160,24 +160,39 @@ object Curation {
     * follow-up groupBy(doc_id) reuses the window's exchange. At 100 TB
     * nothing here is corpus-global: the heavy tables carry 32 bytes per
     * token position. */
+  /** Tokenized documents (shared by q133/q138). */
+  private def sdToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+
+  /** (doc_id, pos, 128-bit gram hash as 16 raw bytes); docs shorter
+    * than L emit none. Full md5 width matters: at ~10^13 gram
+    * positions a 64-bit key would see birthday collisions with
+    * near-certainty, silently inflating dup/cut accounting. */
+  private def sdGrams(toks: DataFrame, L: Int): DataFrame =
+    toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $L
+           |  THEN transform(sequence(0, size(toks) - $L),
+           |         i -> unhex(md5(concat_ws(' ', slice(toks, i + 1, $L)))))
+           |  ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+
+  /** Duplicated grams with their corpus-wide first occurrence — ONE
+    * groupBy(hash) with map-side partials. */
+  private def sdDupFirst(grams: DataFrame): DataFrame =
+    grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+
   def substringDedup(spark: SparkSession, dir: String,
                      minSpan: Int = MinSpanTokens): DataFrame = {
     require(minSpan > 0, "span length must be positive")
     val L = minSpan
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
-    // (doc_id, pos, 64-bit-hex gram hash); docs shorter than L emit none
-    val grams = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(toks) >= $L
-           |  THEN transform(sequence(0, size(toks) - $L),
-           |         i -> substring(md5(concat_ws(' ', slice(toks, i + 1, $L))), 1, 16))
-           |  ELSE array() END""".stripMargin)))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-    val dupFirst = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("k"))
-      .filter(col("c") > 1)
-      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+    val toks = sdToks(spark, dir)
+    val grams = sdGrams(toks, L)
+    val dupFirst = sdDupFirst(grams)
     val dup = grams.join(dupFirst, "h")
       .select(col("doc_id"), col("pos"),
         (col("doc_id") === col("k_doc") && col("pos") === col("k_pos")).as("is_first"))
@@ -204,6 +219,61 @@ object Curation {
         coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
         coalesce(col("cut_tok"), lit(0L)).as("cut_tok"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** q138: substring-dedup APPLY — emits the deduplicated corpus that
+    * q133 only accounts for (Lee et al.'s actual output): each document
+    * minus every token covered by a non-first occurrence of a
+    * duplicated L-gram (keep-first, corpus-wide first = min (doc_id,
+    * pos) of the gram). Conservation law, spec-asserted per doc:
+    * kept_tok = q133.n_tok − q133.cut_tok.
+    *
+    * Scale shape (the q89 rebuild pattern): document TEXT never enters
+    * a shuffle — the dup test is the shared groupBy(hash) on 16-byte
+    * keys, and the per-doc cut-start list is a positions-only
+    * collect_list (bounded by document length). Reconstruction is
+    * map-side after one doc_id equi-join: sorted cut starts merge into
+    * disjoint intervals with a per-doc aggregate() fold, and the kept
+    * text is the concatenation of the gap slices — no window, no
+    * per-token explode on the rebuild side. */
+  def substringDedupApply(spark: SparkSession, dir: String,
+                          minSpan: Int = MinSpanTokens): DataFrame = {
+    require(minSpan > 0, "span length must be positive")
+    val L = minSpan
+    val toks = sdToks(spark, dir)
+    val grams = sdGrams(toks, L)
+    val cuts = grams.join(sdDupFirst(grams), "h")
+      .filter(!(col("doc_id") === col("k_doc") && col("pos") === col("k_pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    // sorted cut starts → disjoint merged intervals [st, en); all spans
+    // have length L and ss is ascending, so a start s extends the last
+    // interval iff s <= last.en
+    val ivExpr =
+      s"""aggregate(coalesce(ss, CAST(array() AS array<int>)),
+         |  CAST(array() AS array<struct<st:int,en:int>>),
+         |  (acc, s) -> IF(size(acc) > 0 AND s <= element_at(acc, -1).en,
+         |    concat(slice(acc, 1, size(acc) - 1),
+         |      array(named_struct('st', element_at(acc, -1).st,
+         |        'en', greatest(element_at(acc, -1).en, s + $L)))),
+         |    concat(acc, array(named_struct('st', s, 'en', s + $L)))))""".stripMargin
+    toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"), expr(ivExpr).as("iv"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") -
+          expr("aggregate(iv, 0, (a, x) -> a + (x.en - x.st))").cast("long"))
+          .as("kept_tok"),
+        // gap k spans [iv[k].en (or 0), iv[k+1].st (or n_tok)) — the
+        // kept text is the flattened gap slices, never re-shuffled
+        expr(
+          """concat_ws(' ', flatten(transform(sequence(0, size(iv)),
+            |  k -> slice(toks,
+            |    (CASE WHEN k = 0 THEN 0 ELSE element_at(iv, k).en END) + 1,
+            |    (CASE WHEN k = size(iv) THEN size(toks)
+            |          ELSE element_at(iv, k + 1).st END)
+            |      - (CASE WHEN k = 0 THEN 0 ELSE element_at(iv, k).en END)))))"""
+            .stripMargin).as("text_clean"))
   }
 
   /** q136 window/stride (tokens). Real RAG pipelines run 256/192-ish;
@@ -584,6 +654,41 @@ object Curation {
          |  coalesce(s.dup_tok, 0) AS dup_tok, coalesce(s.cut_tok, 0) AS cut_tok,
          |  coalesce(s.n_spans, 0) AS n_spans
          |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
+    // q138: same gram/first-occurrence chain as q133, then the cut
+    // spans expand to covered token positions (oracle-side only — the
+    // sf0.01 corpus affords the per-token rows DuckDB-side; the Spark
+    // side rebuilds from merged intervals without any per-token rows)
+    // and the kept tokens re-agg in order.
+    "q138_substring_apply" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(toks) - $MinSpanTokens + 1, 0))) AS pos,
+         |    unnest(list_transform(range(0, greatest(len(toks) - $MinSpanTokens + 1, 0)),
+         |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + $MinSpanTokens AS INT)], ' '))) AS gram
+         |  FROM t),
+         |k AS (SELECT gram, doc_id AS k_doc, pos AS k_pos FROM (
+         |    SELECT gram, doc_id, pos,
+         |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         |      count(*) OVER (PARTITION BY gram) AS c
+         |    FROM g) WHERE rn = 1 AND c > 1),
+         |cut AS (SELECT g.doc_id, g.pos FROM g JOIN k USING (gram)
+         |  WHERE NOT (g.doc_id = k.k_doc AND g.pos = k.k_pos)),
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS p
+         |  FROM cut, (SELECT unnest(range(0, $MinSpanTokens)) AS i)),
+         |tk AS (SELECT doc_id,
+         |    unnest(range(0, len(toks))) AS p, unnest(toks) AS tok FROM t),
+         |kp AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+         |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
+         |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+         |  FROM kp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |  coalesce(rb.kept_tok, 0) AS kept_tok,
+         |  coalesce(rb.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN rb USING (doc_id)""".stripMargin,
     "q89_chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t

@@ -52,6 +52,69 @@ object KMeans {
     assign(v, cs)
   }
 
+  /** IVF-pruned Lloyd (q139 shares everything with q111 except the
+    * assignment expression): per round the K centroids regroup under
+    * ⌈√K⌉ COARSE cells — the nc centroids with the smallest
+    * md5(cid) are the coarse centers (the q26 deterministic-sample
+    * move, recomputed from the centroid frame itself, so it costs
+    * nothing corpus-sized), every centroid files under its nearest
+    * coarse center (ties → lower coarse index; each cell holds at
+    * least its own center) — and a vector scores nc coarse + the
+    * fines of its `nprobe` best cells: ~(1+nprobe)·√K distances
+    * instead of K, still one broadcast + map-side expression, no
+    * shuffle added. Deterministically APPROXIMATE: a vector whose true
+    * nearest centroid lives in an unprobed cell mis-assigns — the
+    * standard IVF trade (KMeansSpec pins exact equivalence when
+    * nprobe covers every cell, and the q26-style recall contract
+    * otherwise); the oracle replays the identical pruning. */
+  private[graft] def finalAssignIvf(v: DataFrame, k: Int, iters: Int,
+                                    nprobe: Int): DataFrame = {
+    require(k >= 1 && iters >= 0 && nprobe >= 1)
+    var cs = group(initCentroids(v, k))
+    for (_ <- 1 to iters)
+      cs = group(update(assignIvf(v, cs, nprobe))).localCheckpoint(true)
+    assignIvf(v, cs, nprobe)
+  }
+
+  private val distFn =
+    "(a, b) -> aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (s, e) -> s + e)"
+
+  /** Re-shape the one-row [carr] centroid frame into the coarse-grouped
+    * [cgrp: array<struct<cc:array<bigint>, fines:array<struct<cid,c>>>>]
+    * frame — K-sized expressions on a 1-row frame, evaluated once. */
+  private[graft] def group(cs: DataFrame): DataFrame =
+    cs.select(expr(
+      s"""transform(
+         |  slice(array_sort(transform(carr,
+         |          x -> struct(md5(CAST(x.cid AS STRING)) AS m, x.c AS c))),
+         |    1, CAST(ceil(sqrt(CAST(size(carr) AS DOUBLE))) AS INT)),
+         |  (co, i) -> named_struct('cc', co.c, 'i', i))""".stripMargin)
+      .as("coarse"), col("carr"))
+    .select(expr(
+      s"""transform(coarse, co -> named_struct(
+         |  'cc', co.cc,
+         |  'fines', filter(
+         |     transform(carr, x -> named_struct('cell',
+         |       array_min(transform(coarse, g -> struct(
+         |         ($distFn)(x.c, g.cc) AS d, g.i AS i))).i,
+         |       'cid', x.cid, 'c', x.c)),
+         |     f -> f.cell = co.i)))""".stripMargin).as("cgrp"))
+
+  /** Map-side pruned assignment over the coarse-grouped broadcast. */
+  private[graft] def assignIvf(v: DataFrame, cgrp: DataFrame,
+                               nprobe: Int): DataFrame =
+    v.crossJoin(broadcast(cgrp))
+      .withColumn("best", expr(
+        s"""array_min(flatten(transform(
+           |  slice(array_sort(transform(cgrp,
+           |          (g, gi) -> struct(($distFn)(ai, g.cc) AS d, gi AS gi))),
+           |    1, $nprobe),
+           |  p -> transform(element_at(cgrp, p.gi + 1).fines,
+           |         x -> struct(($distFn)(ai, x.c) AS d, x.cid AS cid)))))"""
+          .stripMargin))
+      .select(col("vec_id"), col("ai"),
+        col("best.cid").as("cluster"), col("best.d").as("dist2"))
+
   /** One-row frame [carr: array<struct<cid:int, c:array<bigint>>>] from
     * the k smallest vec_ids, cid = rank. TakeOrderedAndProject does the
     * global top-k; the collect_list runs over k rows only. */
@@ -89,8 +152,14 @@ object KMeans {
 
   /** The WITH-body of the unrolled Lloyd chain, ending in CTE `afinal`
     * (vec_id, ai, cid, d) — shared by q111's oracle and q118's, which
-    * continues the dataflow with within-cluster pair generation. */
-  private[graft] def oracleChain(k: Int, iters: Int): String = {
+    * continues the dataflow with within-cluster pair generation.
+    * `kSql` is a SQL expression for K — a literal, or a scalar subquery
+    * over `v` so the oracle derives the same corpus-sized K the Spark
+    * side computes at runtime (the auto-K entries). */
+  private[graft] def oracleChain(k: Int, iters: Int): String =
+    oracleChain(k.toString, iters)
+
+  private[graft] def oracleChain(kSql: String, iters: Int): String = {
     val scaledSql =
       """SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
@@ -119,7 +188,7 @@ object KMeans {
     s"""v AS ($scaledSql),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, ai AS c
-       |  FROM (SELECT vec_id, ai FROM v ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, ai FROM v ORDER BY vec_id LIMIT $kSql)),
        |$rounds,
        |${assignSql(s"c$iters", "afinal")}""".stripMargin
   }

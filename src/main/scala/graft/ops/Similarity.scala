@@ -365,8 +365,10 @@ object Similarity {
     * n² — no full-corpus broadcast, no all-pairs join; the pipeline is
     * deterministic end-to-end and the oracle mirrors it. Cross-cell pairs
     * are out of scope by definition (precision vs the exact all-pairs
-    * join is asserted in SimilaritySpec). NearDupK cells keep per-cell
-    * pair enumeration small; the cell count stays corpus-independent.
+    * join is asserted in SimilaritySpec). The declared q27 entry uses
+    * [[embeddingNearDupAuto]] (cells ∝ n, [[nearDupAutoK]]) so per-cell
+    * pair enumeration stays bounded at any corpus size; the parametric
+    * k remains for specs.
     *
     * Knobs (SURVEY §8.1): candidate pairs ≈ Σ_cells size² ≈ n²·nAssign²/k
     * — k grows with the corpus (k ∝ n keeps per-cell work constant);
@@ -461,13 +463,16 @@ object Similarity {
     * centroid set (mirrors `centroids`), and the n-way cell assignment
     * (mirrors assignCells; the oracle can afford the window form — it
     * runs at sf0.01 in DuckDB, the Spark side is the scale path). */
-  private def assignSql(nAssign: Int, k: Int) =
+  private def assignSql(nAssign: Int, k: Int): String =
+    assignSql(nAssign, k.toString)
+
+  private def assignSql(nAssign: Int, kSql: String): String =
     s"""v AS (
        |  SELECT vec_id, ai,
        |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
        |  FROM ($scaledSql)),
        |c AS (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSql),
        |assign AS (
        |  SELECT vec_id, ai, n2, c_id FROM (
        |    SELECT v.vec_id, v.ai, v.n2, c.c_id,
@@ -483,10 +488,10 @@ object Similarity {
     * candidate space (pairs enumerate within a cluster only — Σ(n/K)²
     * work instead of n²; at scale K must grow ∝ n to hold the cluster
     * size constant, which is what [[semDedupAutoK]] derives and the
-    * FamilyBench entry uses — the k=8 default here is pinned only
-    * because the chained q111 oracle unrolls exactly 8 clusters, so a
-    * fixed-K run IS quadratic in n and must not be benchmarked as the
-    * scale configuration), then EXACT cosine
+    * DECLARED q118 entry now uses via [[semDedupAuto]] — the oracle
+    * derives the identical K with a scalar subquery in the c0 LIMIT, so
+    * the gate checks the deployment-shaped configuration at any sf; the
+    * parametric k remains for specs), then EXACT cosine
     * over the integer-scaled vectors keeps pairs above τ. Contrast q27,
     * which buys cluster scoping with one md5-sampled assignment pass and
     * 2-way cell membership: SemDeDup proper pays the Lloyd iterations
@@ -503,6 +508,31 @@ object Similarity {
     * the within-cluster self-join Θ(n · 128) instead of Θ(n²/K_fixed). */
   private[graft] def semDedupAutoK(n: Long): Int =
     math.max(8L, n / 128L).toInt
+
+  /** K ∝ n for q27's cells: with 2-way assignment the expected cell
+    * size is 2n/K, so K = n/32 holds it at ≈ 64 vectors — the
+    * within-cell pair enumeration stays Θ(n · 64) instead of the
+    * fixed-K quadratic (SURVEY §8.1). */
+  private[graft] def nearDupAutoK(n: Long): Int =
+    math.max(NearDupK.toLong, n / 32L).toInt
+
+  /** The deployment-shaped q118: K derived from the corpus count at
+    * runtime (one metadata-only parquet count) so the declared entry
+    * IS the scale configuration; the oracle derives the same K with a
+    * scalar subquery. */
+  def semDedupAuto(spark: SparkSession, dir: String,
+                   iters: Int = 3, cosT: Double = 0.4): DataFrame =
+    semDedup(spark, dir,
+      k = semDedupAutoK(Tables.embeddings(spark, dir).count()),
+      iters = iters, cosT = cosT)
+
+  /** The deployment-shaped q27 — same auto-K treatment as
+    * [[semDedupAuto]], cell count ∝ n. */
+  def embeddingNearDupAuto(spark: SparkSession, dir: String,
+                           nAssign: Int = 2, minCos: Double = 0.4): DataFrame =
+    embeddingNearDup(spark, dir,
+      k = nearDupAutoK(Tables.embeddings(spark, dir).count()),
+      nAssign = nAssign, minCos = minCos)
 
   def semDedup(spark: SparkSession, dir: String, k: Int = 8,
                iters: Int = 3, cosT: Double = 0.4): DataFrame = {
@@ -673,7 +703,7 @@ object Similarity {
     // q27: cluster-scoped near-dup — the oracle mirrors the 2-way cell
     // assignment and within-cell pair enumeration exactly.
     "q118_semdedup" ->
-      s"""WITH ${KMeans.oracleChain(8, 3)},
+      s"""WITH ${KMeans.oracleChain("(SELECT greatest(8, count(*) // 128) FROM v)", 3)},
          |pairs AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
@@ -682,7 +712,7 @@ object Similarity {
          |  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     "q27_embedding_neardup" ->
-      s"""WITH ${assignSql(2, NearDupK)},
+      s"""WITH ${assignSql(2, s"(SELECT greatest($NearDupK, count(*) // 32) FROM v)")},
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
          |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)

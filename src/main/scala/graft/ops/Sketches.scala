@@ -221,14 +221,16 @@ object Sketches {
     val stripped = Tables.documents(spark, dir)
       .select(regexp_replace(Dedup.normText(col("text")), " ", "").as("t"))
     val mg = udaf(new graft.functions.MisraGriesAgg(k))
-    val cand = stripped.agg(mg(col("t")).as("cand"))
-      .select(explode(col("cand")).as("ch"))
-    val counts = stripped.crossJoin(broadcast(cand))
-      .select(col("ch"),
+    // Pass 1 carries the total character count N alongside the MG
+    // summary — same scan, so the whole operator really is two corpus
+    // reads as the docstring claims.
+    val cand = stripped
+      .agg(mg(col("t")).as("cand"), sum(length(col("t"))).cast("long").as("n"))
+      .select(explode(col("cand")).as("ch"), col("n"))
+    stripped.crossJoin(broadcast(cand))
+      .select(col("ch"), col("n"),
         (length(col("t")) - length(expr("replace(t, ch, '')"))).cast("long").as("c"))
-      .groupBy(col("ch")).agg(sum(col("c")).as("cnt"))
-    val tot = stripped.agg(sum(length(col("t"))).cast("long").as("n"))
-    counts.crossJoin(broadcast(tot))
+      .groupBy(col("ch"), col("n")).agg(sum(col("c")).as("cnt"))
       .filter(col("cnt") * lit(k.toLong) > col("n"))
       .select(col("ch"), col("cnt"), col("n"))
   }

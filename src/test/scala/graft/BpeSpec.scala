@@ -58,6 +58,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe (q134): vocab-target and min-count stops truncate to a prefix") {
+    val rounds = 8
+    val full = graft.ops.Bpe.bpeMerges(spark, sf, rounds).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1)
+    // best-pair counts are non-increasing round over round
+    assert(full.map(_._4).sliding(2).forall(w => w.head >= w.last),
+      s"counts must be non-increasing: ${full.map(_._4).toSeq}")
+    // vocab target = alphabet + 3 ⇒ exactly the first 3 merges
+    val alphabet = Tables.documents(spark, sf)
+      .select(explode(split(regexp_replace(
+        graft.ops.Dedup.normText(col("text")), " ", ""), "")).as("c"))
+      .filter(col("c") =!= "").distinct().count()
+    val byVocab = graft.ops.Bpe
+      .bpeMerges(spark, sf, rounds, vocabTarget = alphabet.toInt + 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(byVocab.toSeq == full.take(3).toSeq,
+      "vocab-target run must be the 3-merge prefix of the unconstrained run")
+    // min-count threshold at the 4th merge's count + 1 ⇒ the prefix of
+    // merges strictly above it (monotonicity makes this well-defined)
+    val thresh = full(3)._4 + 1
+    val expected = full.takeWhile(_._4 >= thresh).toSeq
+    assume(expected.nonEmpty, "fixture needs a count gap to exercise the stop")
+    val byCount = graft.ops.Bpe
+      .bpeMerges(spark, sf, rounds, minPairCount = thresh).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(byCount.toSeq == expected,
+      s"threshold run must be the >=$thresh prefix")
+  }
+
   test("bpe encode (q137): every document round-trips through its subword stream") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), graft.ops.Dedup.normText(col("text")))

@@ -234,6 +234,44 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("substring apply (q138): kept text matches ground truth; conservation vs q133") {
+    val L = 8
+    val out = graft.ops.Curation.substringDedupApply(spark, sf, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val acct = graft.ops.Curation.substringDedup(spark, sf, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))) // n_tok, cut_tok
+      .toMap
+    // same pure-Scala ground truth as the q133 spec: keep-first cut set
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val occ = for {
+      (id, toks) <- docs.toSeq
+      i <- 0 to toks.length - L
+    } yield (toks.slice(i, i + L).mkString(" "), id, i)
+    val byGram = occ.groupBy(_._1).filter(_._2.size > 1)
+    val firstOf = byGram.view.mapValues(_.map(o => (o._2, o._3)).min).toMap
+    val cutPos = byGram.toSeq.flatMap { case (g, os) =>
+      os.filter(o => (o._2, o._3) != firstOf(g))
+        .flatMap { case (_, id, i) => (i until i + L).map(id -> _) }
+    }.toSet
+    assert(cutPos.nonEmpty, "fixture must exercise the operator")
+    docs.foreach { case (id, toks) =>
+      val (nTok, keptTok, text) = out(id)
+      assert(nTok == toks.length, s"doc $id token count")
+      // conservation law vs the q133 accounting
+      val (n133, cut133) = acct(id)
+      assert(nTok == n133 && keptTok == n133 - cut133,
+        s"doc $id conservation: kept $keptTok != ${n133 - cut133}")
+      // the kept text IS the tokens outside the cut set, in order
+      val truth = toks.zipWithIndex
+        .collect { case (t, i) if !cutPos(id -> i) => t }
+      assert(text == truth.mkString(" "), s"doc $id rebuilt text")
+      assert(keptTok == truth.size, s"doc $id kept count")
+    }
+  }
+
   test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
     val (w, s) = (16, 12)
     val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()

@@ -281,6 +281,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"dup-gram count must combine map-side:\n$p")
   }
 
+  test("q138 substring apply: positions-only collect, map-side rebuild, no window") {
+    val p = plan(q("q138_substring_apply"))
+    assert(!p.contains("Window"),
+      s"the rebuild must fold intervals per doc, never window:\n$p")
+    assert(p.contains("partial_collect_list(pos"),
+      s"cut-start lists must collect POSITIONS, not text:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gram join must stay an equi-join on the hash:\n$p")
+  }
+
   test("q134 bpe: no window; argmax is bounded TakeOrderedAndProject; rewrite broadcasts") {
     val p = plan(graft.ops.Bpe.bpeMerges(spark, sf, rounds = 2))
     assert(!p.contains("Window"), s"no rank window anywhere in the trainer:\n$p")

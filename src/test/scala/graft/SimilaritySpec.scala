@@ -227,4 +227,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == coClustered,
       s"missed ${coClustered -- got} / extra ${got -- coClustered}")
   }
+
+  test("auto-K formulas scale ∝ n and the auto entries match explicit K") {
+    import Similarity.{semDedupAutoK, nearDupAutoK}
+    // floors at the spec-corpus constants, linear growth beyond them
+    assert(semDedupAutoK(500) == 8 && nearDupAutoK(500) == 64)
+    assert(semDedupAutoK(1L << 20) == (1L << 20) / 128 &&
+      nearDupAutoK(1L << 20) == (1L << 20) / 32)
+    assert(semDedupAutoK(10L * (1 << 20)) == 10 * semDedupAutoK(1 << 20))
+    // the declared (auto) entries produce exactly the explicit-K result
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val autoSem = Similarity.semDedupAuto(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explSem = Similarity.semDedup(spark, sf, k = semDedupAutoK(n))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoSem == explSem)
+    val autoNd = Similarity.embeddingNearDupAuto(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explNd = Similarity.embeddingNearDup(spark, sf, k = nearDupAutoK(n))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoNd == explNd)
+  }
 }
