@@ -29,7 +29,7 @@ object ABBench {
   private val DefaultFlagged = Seq(
     "q37_csv_roundtrip", "q38_sink_insert_absent", "q39_merge_timestamped",
     "q40_cube_agg", "q41_grouping_sets", "q42_pivot_status",
-    "q86_stream_interval_join", "q87_pq_ann", "q97_pagerank",
+    "q86_stream_join", "q87_pq_ann", "q97_pagerank",
     "q119_containment", "q127_robust_outliers", "q136_chunk_sliding")
 
   def main(args: Array[String]): Unit = {

@@ -29,7 +29,10 @@ object FamilyBench {
     "q130_integrity_manifest",
     // round-8 additions over documents
     "q133_substring_dedup", "q134_bpe_merges", "q135_heavy_hitters",
-    "q136_chunk_sliding")
+    "q136_chunk_sliding",
+    // round-9 additions: the substring apply composition and the
+    // IVF-pruned SemDeDup (the q118 n·K assignment upgrade path)
+    "q138_substring_apply", "q139_semdedup_ivf")
 
   /** Graph/agg head (round-8 trend extension): the queries whose
     * "fixed-overhead, not a scale-killer" claims had never been measured

@@ -151,6 +151,7 @@ object SparkEntry {
     "q132_cohort_retention" -> (ops.Events.cohortRetention _),
     "q133_substring_dedup" -> ((s, d) => ops.Curation.substringDedup(s, d)),
     "q138_substring_apply" -> ((s, d) => ops.Curation.substringDedupApply(s, d)),
+    "q139_semdedup_ivf"    -> ((s, d) => ops.Similarity.semDedupIvf(s, d)),
     "q134_bpe_merges"      -> ((s, d) => ops.Bpe.bpeMerges(s, d)),
     "q135_heavy_hitters"   -> ((s, d) => ops.Sketches.heavyHitters(s, d)),
     "q136_chunk_sliding"   -> ((s, d) => ops.Curation.chunkSliding(s, d)),

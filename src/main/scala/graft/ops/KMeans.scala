@@ -76,8 +76,11 @@ object KMeans {
     assignIvf(v, cs, nprobe)
   }
 
-  private val distFn =
-    "(a, b) -> aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (s, e) -> s + e)"
+  /** Exact integer squared distance, inlined textually (SQL has no
+    * first-class lambdas); fresh variable names avoid shadowing the
+    * enclosing HOF lambdas. */
+  private def distSql(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (px, py) -> (px - py) * (px - py)), CAST(0 AS BIGINT), (sa, se) -> sa + se)"
 
   /** Re-shape the one-row [carr] centroid frame into the coarse-grouped
     * [cgrp: array<struct<cc:array<bigint>, fines:array<struct<cid,c>>>>]
@@ -96,7 +99,7 @@ object KMeans {
          |  'fines', filter(
          |     transform(carr, x -> named_struct('cell',
          |       array_min(transform(coarse, g -> struct(
-         |         ($distFn)(x.c, g.cc) AS d, g.i AS i))).i,
+         |         ${distSql("x.c", "g.cc")} AS d, g.i AS i))).i,
          |       'cid', x.cid, 'c', x.c)),
          |     f -> f.cell = co.i)))""".stripMargin).as("cgrp"))
 
@@ -107,10 +110,10 @@ object KMeans {
       .withColumn("best", expr(
         s"""array_min(flatten(transform(
            |  slice(array_sort(transform(cgrp,
-           |          (g, gi) -> struct(($distFn)(ai, g.cc) AS d, gi AS gi))),
+           |          (g, gi) -> struct(${distSql("ai", "g.cc")} AS d, gi AS gi))),
            |    1, $nprobe),
            |  p -> transform(element_at(cgrp, p.gi + 1).fines,
-           |         x -> struct(($distFn)(ai, x.c) AS d, x.cid AS cid)))))"""
+           |         x -> struct(${distSql("ai", "x.c")} AS d, x.cid AS cid)))))"""
           .stripMargin))
       .select(col("vec_id"), col("ai"),
         col("best.cid").as("cluster"), col("best.d").as("dist2"))
@@ -191,6 +194,61 @@ object KMeans {
        |  FROM (SELECT vec_id, ai FROM v ORDER BY vec_id LIMIT $kSql)),
        |$rounds,
        |${assignSql(s"c$iters", "afinal")}""".stripMargin
+  }
+
+  /** The WITH-body of the unrolled IVF-PRUNED Lloyd chain (q139),
+    * ending in CTE `afinal` — mirrors [[finalAssignIvf]] exactly: per
+    * round, coarse = ⌈√K⌉ smallest-md5(cid) centroids indexed in that
+    * order, each centroid files under its nearest coarse (ties → lower
+    * index), each vector probes its `nprobe` best coarse cells and
+    * argmins over their fines only. Derived CTEs are MATERIALIZED —
+    * each is referenced more than once per round, and DuckDB's default
+    * inlining would re-expand the chain multiplicatively (the q134
+    * lesson). */
+  private[graft] def oracleChainIvf(kSql: String, iters: Int,
+                                    nprobe: Int): String = {
+    val scaledSql =
+      """SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
+        |FROM embeddings""".stripMargin
+    def dSql(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(0, 64), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))) AS BIGINT)"
+    def roundSql(cFrom: String, r: String, aName: String) =
+      s"""co$r AS MATERIALIZED (SELECT cid, c, rn - 1 AS gi FROM (
+         |    SELECT cid, c, row_number() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), c) AS rn
+         |    FROM $cFrom)
+         |  WHERE rn <= ceil(sqrt((SELECT count(*) FROM $cFrom)))),
+         |fm$r AS MATERIALIZED (SELECT cid, c, gi AS cell FROM (
+         |    SELECT f.cid, f.c, g.gi,
+         |      row_number() OVER (PARTITION BY f.cid ORDER BY ${dSql("f.c", "g.c")}, g.gi) AS rn
+         |    FROM $cFrom f, co$r g) WHERE rn = 1),
+         |pr$r AS MATERIALIZED (SELECT vec_id, gi FROM (
+         |    SELECT v.vec_id, g.gi,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dSql("v.ai", "g.c")}, g.gi) AS rn
+         |    FROM v, co$r g) WHERE rn <= $nprobe),
+         |$aName AS MATERIALIZED (SELECT vec_id, ai, cid, d FROM (
+         |    SELECT v.vec_id, v.ai, f.cid, ${dSql("v.ai", "f.c")} AS d,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dSql("v.ai", "f.c")}, f.cid) AS rn
+         |    FROM v JOIN pr$r p ON p.vec_id = v.vec_id JOIN fm$r f ON f.cell = p.gi)
+         |  WHERE rn = 1)""".stripMargin
+    def updateSql(aFrom: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT cid, list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+         |                   ORDER BY i) AS c
+         |  FROM (
+         |    SELECT cid, i, CAST(sum(ai[i+1]) AS BIGINT) AS s, count(*) AS n
+         |    FROM $aFrom, (SELECT unnest(range(0, 64)) AS i)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (0 until iters).flatMap { r =>
+      Seq(roundSql(s"c$r", s"$r", s"a$r"), updateSql(s"a$r", s"c${r + 1}"))
+    }.mkString(",\n")
+    s"""v AS ($scaledSql),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, ai AS c
+       |  FROM (SELECT vec_id, ai FROM v ORDER BY vec_id LIMIT $kSql)),
+       |$rounds,
+       |${roundSql(s"c$iters", "f", "afinal")}""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

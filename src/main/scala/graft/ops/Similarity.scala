@@ -538,9 +538,32 @@ object Similarity {
                iters: Int = 3, cosT: Double = 0.4): DataFrame = {
     val v = scaled(spark, dir).select(col("vec_id"), col("ai"))
     // one code path with q111 for the clusters (so the chained oracles
-    // stay in lock-step); norms computed once per VECTOR, not per pair,
-    // and the assignment materialized once — it feeds both join sides
-    val asg = KMeans.finalAssign(v, k, iters)
+    // stay in lock-step)
+    clusterPairs(KMeans.finalAssign(v, k, iters), cosT)
+  }
+
+  /** q139: SemDeDup with the IVF-PRUNED Lloyd assignment — the named
+    * upgrade path for q118's n·K assignment cost: every round a vector
+    * scores ~(1+nprobe)·√K centroid distances instead of K (coarse
+    * probe over ⌈√K⌉ cells, then only the probed cells' members; see
+    * [[KMeans.finalAssignIvf]]). With K ∝ n (the same auto-K as the
+    * declared q118) per-round assignment work drops from n·n/128 to
+    * n·√n strictly map-side; the pair stage is unchanged. The clusters
+    * are deterministically APPROXIMATE vs exact Lloyd (unprobed-cell
+    * misses, the standard IVF trade) — the oracle replays the identical
+    * pruning, so the gate is still exact row-for-row. */
+  def semDedupIvf(spark: SparkSession, dir: String, iters: Int = 3,
+                  cosT: Double = 0.4, nprobe: Int = 2): DataFrame = {
+    val v = scaled(spark, dir).select(col("vec_id"), col("ai"))
+    val k = semDedupAutoK(Tables.embeddings(spark, dir).count())
+    clusterPairs(KMeans.finalAssignIvf(v, k, iters, nprobe), cosT)
+  }
+
+  /** Shared SemDeDup pair stage: norms computed once per VECTOR, not
+    * per pair, and the assignment materialized once — it feeds both
+    * join sides; the join shuffles on the cluster id only. */
+  private def clusterPairs(assigned: DataFrame, cosT: Double): DataFrame = {
+    val asg = assigned
       .withColumn("n2", expr("dot_long(ai, ai)"))
       .localCheckpoint(true)
     val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
@@ -704,6 +727,15 @@ object Similarity {
     // assignment and within-cell pair enumeration exactly.
     "q118_semdedup" ->
       s"""WITH ${KMeans.oracleChain("(SELECT greatest(8, count(*) // 128) FROM v)", 3)},
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * a.ai[i+1])) AS DOUBLE))
+         |       * sqrt(CAST(list_sum(list_transform(range(0, 64), i -> b.ai[i+1] * b.ai[i+1])) AS DOUBLE))) AS cos
+         |  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+    "q139_semdedup_ivf" ->
+      s"""WITH ${KMeans.oracleChainIvf("(SELECT greatest(8, count(*) // 128) FROM v)", 3, 2)},
          |pairs AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)

@@ -75,6 +75,48 @@ class KMeansSpec extends SparkSpec {
     assert(seeds.map(_.getInt(2)).toSet.subsetOf(Set(0, 1)))
   }
 
+  test("IVF-pruned assignment equals exact Lloyd when every cell is probed") {
+    val v = Similarity.scaled(spark, sf).select(col("vec_id"), col("ai"))
+    // k=9 ⇒ 3 coarse cells; nprobe=3 probes them all ⇒ the prune is a
+    // no-op and the whole chain must match exact Lloyd bit-for-bit
+    val exact = KMeans.finalAssign(v, k = 9, iters = 2)
+      .select("vec_id", "cluster", "dist2").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val pruned = KMeans.finalAssignIvf(v, k = 9, iters = 2, nprobe = 3)
+      .select("vec_id", "cluster", "dist2").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(pruned == exact)
+  }
+
+  test("IVF-pruned assignment at nprobe=2: valid, one-sided error, mostly equal") {
+    val v = Similarity.scaled(spark, sf).select(col("vec_id"), col("ai"))
+    val k = 16
+    // iters=0 pins both sides to the SAME raw-seed centroids, so the
+    // prune's error is one-sided per vector: it can only find a
+    // same-or-farther centroid than the exact argmin
+    val exact0 = KMeans.finalAssign(v, k, iters = 0)
+      .select("vec_id", "cluster", "dist2").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val pruned0 = KMeans.finalAssignIvf(v, k, iters = 0, nprobe = 2)
+      .select("vec_id", "cluster", "dist2").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(pruned0.keySet == exact0.keySet, "every vector must be assigned")
+    pruned0.foreach { case (id, (_, d)) =>
+      val de = exact0(id)._2
+      assert(d >= de, s"vec $id: pruned dist $d beats exact $de")
+    }
+    // after full pruned rounds, cluster IDS are nominal (the two runs'
+    // centroids diverge), so the meaningful contract is partition
+    // QUALITY: the pruned run's total quantization cost stays within a
+    // small factor of exact Lloyd's
+    val exactCost = KMeans.finalAssign(v, k, iters = 2)
+      .agg(sum(col("dist2"))).collect()(0).getLong(0)
+    val prunedCost = KMeans.finalAssignIvf(v, k, iters = 2, nprobe = 2)
+      .agg(sum(col("dist2"))).collect()(0).getLong(0)
+    assert(prunedCost.toDouble <= exactCost.toDouble * 1.5,
+      s"pruned quantization cost $prunedCost vs exact $exactCost")
+  }
+
   test("every vector is assigned and clusters are non-trivial") {
     val rows = KMeans.kmeans(spark, sf).collect()
     assert(rows.length == vectors.length)

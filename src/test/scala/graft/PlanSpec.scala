@@ -281,6 +281,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"dup-gram count must combine map-side:\n$p")
   }
 
+  test("q139 IVF semdedup: broadcast assignment, no window, cluster-keyed pair join") {
+    val p = plan(q("q139_semdedup_ivf"))
+    assert(!p.contains("Window"),
+      s"pruned assignment must stay an expression over the broadcast, no window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the centroid frame must broadcast, not go cartesian:\n$p")
+    // the pair join keys on the cluster id alone — hash-shuffled at
+    // scale, AQE-broadcast at spec sf; both are cluster-keyed equi joins
+    assert(p.contains("hashpartitioning(cluster") ||
+      p.contains("BroadcastHashJoin [cluster"),
+      s"the pair join must be an equi join keyed on cluster only:\n$p")
+  }
+
   test("q138 substring apply: positions-only collect, map-side rebuild, no window") {
     val p = plan(q("q138_substring_apply"))
     assert(!p.contains("Window"),
