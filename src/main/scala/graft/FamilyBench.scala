@@ -32,7 +32,11 @@ object FamilyBench {
     "q136_chunk_sliding",
     // round-9 additions: the substring apply composition and the
     // IVF-pruned SemDeDup (the q118 n·K assignment upgrade path)
-    "q138_substring_apply", "q139_semdedup_ivf")
+    "q138_substring_apply", "q139_semdedup_ivf",
+    // round-9 second batch: SemDeDup apply (CC on the pair sliver),
+    // CMS registers, Gopher rule gates, leakage-safe split
+    "q140_semdedup_apply", "q141_cms_registers", "q142_gopher_rules",
+    "q143_leakage_safe_split")
 
   /** Graph/agg head (round-8 trend extension): the queries whose
     * "fixed-overhead, not a scale-killer" claims had never been measured

@@ -152,10 +152,18 @@ object SparkEntry {
     "q133_substring_dedup" -> ((s, d) => ops.Curation.substringDedup(s, d)),
     "q138_substring_apply" -> ((s, d) => ops.Curation.substringDedupApply(s, d)),
     "q139_semdedup_ivf"    -> ((s, d) => ops.Similarity.semDedupIvf(s, d)),
+    "q140_semdedup_apply"  -> ((s, d) => ops.Similarity.semDedupApply(s, d)),
+    "q141_cms_registers"   -> ((s, d) => ops.Sketches.cmsRegisters(s, d)),
+    "q142_gopher_rules"    -> ((s, d) => ops.TextAnalysis.gopherRules(s, d)),
+    "q143_leakage_safe_split" -> ((s, d) => ops.Clusters.leakageSafeSplit(s, d)),
     "q134_bpe_merges"      -> ((s, d) => ops.Bpe.bpeMerges(s, d)),
     "q135_heavy_hitters"   -> ((s, d) => ops.Sketches.heavyHitters(s, d)),
     "q136_chunk_sliding"   -> ((s, d) => ops.Curation.chunkSliding(s, d)),
     "q137_bpe_encode"      -> ((s, d) => ops.Bpe.bpeEncode(s, d)),
+    "q144_stream_cms"      -> (streaming.StreamingEvents.streamCmsRegisters _),
+    "q145_bpe_fertility"   -> ((s, d) => ops.Bpe.bpeFertility(s, d)),
+    "q146_boilerplate"     -> ((s, d) => ops.Curation.boilerplateDetect(s, d)),
+    "q147_boilerplate_apply" -> ((s, d) => ops.Curation.boilerplateApply(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

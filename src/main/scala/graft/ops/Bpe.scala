@@ -160,6 +160,42 @@ object Bpe {
         expr("concat_ws(' ', transform(pr, x -> x.rep))").as("enc"))
   }
 
+  /** q145: tokenizer fertility by language — the standard multilingual
+    * tokenizer-equity report (symbols-per-word; cf. the parity analyses
+    * around Sennrich ACL'16-style BPE): languages under-represented in
+    * the training corpus fragment into more subwords per word, which
+    * directly inflates their effective sequence length and training
+    * cost. Per language: document/word/symbol/char totals, fertility =
+    * symbols per word, and compression = chars per symbol. All
+    * divisions are exact-BIGINT ratios taken once at the end
+    * (deterministic doubles, the q142 rule).
+    *
+    * Scale shape: the q137 encode pipeline minus the per-doc collapse —
+    * one broadcast codebook join, then a groupBy over the ~handful of
+    * languages with map-side partials; the multi-aggregate needs no
+    * distinct shuffle beyond doc_id-per-lang. */
+  def bpeFertility(spark: SparkSession, dir: String,
+                   rounds: Int = MergeRounds): DataFrame = {
+    val words = train(spark, dir, rounds)._2
+    val codebook = words.select(
+      regexp_replace(col("rep"), "[<>]", "").as("tok"),
+      size(split(trim(col("rep"), "<>"), "><")).as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(broadcast(codebook), "tok")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_sym"),
+        sum(length(col("tok"))).cast("long").as("n_chars"))
+      .withColumn("fertility",
+        col("n_sym").cast("double") / col("n_words"))
+      .withColumn("chars_per_sym",
+        col("n_chars").cast("double") / col("n_sym"))
+  }
+
   /** DuckDB oracle: the identical greedy loop unrolled as CTE rounds
     * (the q111 precedent) over the same wrapped-symbol representation —
     * zip-unnest of the shifted symbol lists gives the adjacent pairs,
@@ -220,7 +256,28 @@ object Bpe {
        |FROM inst JOIN cb USING (tok) WHERE tok <> ''
        |GROUP BY doc_id""".stripMargin
 
+  /** q145's oracle: the q137 chain with lang carried through and the
+    * per-doc collapse replaced by the per-language report. */
+  private def fertilityOracleFor(rounds: Int): String =
+    s"""WITH ${chainFor(rounds)},
+       |cb AS (SELECT regexp_replace(rep, '[<>]', '', 'g') AS tok,
+       |    CAST(len(string_split(trim(rep, '<>'), '><')) AS BIGINT) AS n_sym
+       |  FROM w$rounds),
+       |inst AS (SELECT doc_id, lang, unnest(toks) AS tok
+       |  FROM (SELECT doc_id, lang,
+       |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |    FROM documents))
+       |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_sym,
+       |  CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_sym) AS DOUBLE) / count(*) AS fertility,
+       |  CAST(sum(length(tok)) AS DOUBLE) / sum(n_sym) AS chars_per_sym
+       |FROM inst JOIN cb USING (tok) WHERE tok <> ''
+       |GROUP BY lang""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q134_bpe_merges" -> oracleFor(MergeRounds),
-    "q137_bpe_encode" -> encodeOracleFor(MergeRounds))
+    "q137_bpe_encode" -> encodeOracleFor(MergeRounds),
+    "q145_bpe_fertility" -> fertilityOracleFor(MergeRounds))
 }

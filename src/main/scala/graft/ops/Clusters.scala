@@ -155,6 +155,30 @@ object Clusters {
         when(col("doc_id") === col("keep_id"), "keep").otherwise("drop").as("action"))
   }
 
+  /** q143: leakage-safe train/eval split — q50's deterministic hash
+    * split with the near-dup LEAK CLOSED: a plain per-doc split puts
+    * near-identical documents on both sides of the train/eval wall
+    * (the classic contamination bug honest eval pipelines must
+    * prevent), so the split key is the near-dup CLUSTER canonical
+    * (q54), not the doc — every member of a cluster inherits the
+    * canonical's draw and whole clusters land on one side. Singletons
+    * (docs in no near-dup pair) split on their own id, which IS their
+    * canonical — one rule, no special case. Same md5 < 'e6' ≈ 90/10
+    * draw as q50, so the two splits are comparable.
+    *
+    * Scale shape: q54's CC on the pair sliver + one left join of the
+    * corpus against the member list; the split itself is a map-side
+    * hash compare. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(dedupClusters(spark, dir).select(col("doc_id"),
+        col("canonical_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("split",
+        when(md5(col("canonical_id").cast("string")) < "e6", "train")
+          .otherwise("eval"))
+
   /** The q54 CTE chain (shingles → jaccard pairs → recursive-CTE
     * reachability), ending in `walk(node, lbl)` — shared by the q54 and
     * q129 oracles. */
@@ -183,6 +207,15 @@ object Clusters {
       |  SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q143: the q54 component chain, continued with the cluster-keyed
+    // hash draw over ALL documents (left join restores singletons)
+    "q143_leakage_safe_split" ->
+      s"""WITH RECURSIVE $componentChainSql,
+         |comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM walk GROUP BY node)
+         |SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+         |  CASE WHEN md5(CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)) < 'e6'
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
     "q129_dedup_apply" ->
       // the q54 component chain, continued with the q29 quality argmax
       s"""WITH RECURSIVE $componentChainSql,

@@ -276,6 +276,75 @@ object Curation {
             .stripMargin).as("text_clean"))
   }
 
+  /** q146/q147 boilerplate knobs: L-gram span and the document-frequency
+    * threshold above which a gram counts as boilerplate. Real corpus
+    * builds (CCNet-style) use line-level units and df in the hundreds;
+    * 5-grams shared by ≥3 documents exercise the same machinery on the
+    * synthetic replica structure. */
+  private val BoilerGramL = 5
+  private val BoilerMinDf = 3
+  private[graft] val BoilerFracFlag = 0.5
+
+  /** q146: boilerplate span detection — the cross-document counterpart
+    * of q133's within-corpus substring dedup (CCNet/C4 lineage:
+    * navigation bars, disclaimers, and cookie banners recur VERBATIM
+    * across many pages; spans whose document frequency is
+    * implausibly high are template, not content). Emits each L-gram
+    * whose df ≥ threshold with its document frequency, total
+    * occurrence count, and corpus-wide first location (exemplar) for
+    * audit.
+    *
+    * Scale shape: one groupBy over 16-byte gram hashes (the q133
+    * shuffle budget — text never shuffles); df is the two-phase
+    * distinct-per-key aggregate, the exemplar rides the same shuffle
+    * as a min(struct). Output is df-thresholded — boilerplate-sized,
+    * not corpus-sized. */
+  def boilerplateDetect(spark: SparkSession, dir: String,
+                        L: Int = BoilerGramL,
+                        minDf: Long = BoilerMinDf): DataFrame =
+    sdGrams(sdToks(spark, dir), L)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("df") >= minDf)
+      .select(lower(hex(col("h"))).as("gram_hash"), col("df"), col("tf"),
+        col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+
+  /** q147: per-document boilerplate fraction + flag — the apply step:
+    * each document's grams probe the q146 boilerplate set and the doc
+    * reports what fraction of its spans are template. Documents too
+    * short to emit a gram score 0 (nothing to indict them).
+    *
+    * Scale shape: the probe is an equi-join on the 16-byte hash
+    * against the df-thresholded (boilerplate-sized) set — AQE turns
+    * it into a broadcast join whenever the set fits, and the shuffled
+    * fallback stays on hashes only; the per-doc rollup is one
+    * groupBy(doc_id) with map-side partials. */
+  def boilerplateApply(spark: SparkSession, dir: String,
+                       L: Int = BoilerGramL,
+                       minDf: Long = BoilerMinDf): DataFrame = {
+    val toks = sdToks(spark, dir)
+    val grams = sdGrams(toks, L)
+    val boiler = grams
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(1L).as("b"))
+    val per = grams.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("b"), lit(0L))).as("n_boiler"))
+    toks.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams")).otherwise(0.0))
+      .withColumn("flag", col("boiler_frac") >= BoilerFracFlag)
+  }
+
   /** q136 window/stride (tokens). Real RAG pipelines run 256/192-ish;
     * 16/12 exercises multi-chunk docs and the end-backoff on the
     * synthetic ~54-token documents. */
@@ -521,7 +590,48 @@ object Curation {
         greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0))).as("w_hat"))
   }
 
+  /** Shared q146/q147 oracle prefix: tokenized docs and their L-gram
+    * positions, keyed by gram TEXT (the hash-free ground truth the
+    * Spark side's md5 keys must agree with). */
+  private val boilerGramSql =
+    s"""t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |    unnest(range(0, greatest(len(toks) - $BoilerGramL + 1, 0))) AS pos,
+       |    unnest(list_transform(range(0, greatest(len(toks) - $BoilerGramL + 1, 0)),
+       |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + $BoilerGramL AS INT)], ' '))) AS gram
+       |  FROM t)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q146_boilerplate" ->
+      s"""WITH $boilerGramSql,
+         |a AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= $BoilerMinDf),
+         |k AS (SELECT gram, doc_id AS k_doc, CAST(pos AS INT) AS k_pos FROM (
+         |    SELECT gram, doc_id, pos,
+         |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |    FROM g) WHERE rn = 1)
+         |SELECT md5(gram) AS gram_hash, df, tf, k_doc, k_pos
+         |FROM a JOIN k USING (gram)""".stripMargin,
+    "q147_boilerplate_apply" ->
+      s"""WITH $boilerGramSql,
+         |bd AS (SELECT gram FROM g GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= $BoilerMinDf),
+         |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN bd.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |  FROM g LEFT JOIN bd USING (gram) GROUP BY g.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  CASE WHEN coalesce(per.n_grams, 0) > 0
+         |       THEN CAST(per.n_boiler AS DOUBLE) / per.n_grams
+         |       ELSE 0.0e0 END AS boiler_frac,
+         |  (CASE WHEN coalesce(per.n_grams, 0) > 0
+         |        THEN CAST(per.n_boiler AS DOUBLE) / per.n_grams
+         |        ELSE 0.0e0 END) >= $BoilerFracFlag AS flag
+         |FROM t LEFT JOIN per USING (doc_id)""".stripMargin,
     "q115_priority_sample" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars AS w,

@@ -509,12 +509,14 @@ object Similarity {
   private[graft] def semDedupAutoK(n: Long): Int =
     math.max(8L, n / 128L).toInt
 
-  /** K ∝ n for q27's cells: with 2-way assignment the expected cell
-    * size is 2n/K, so K = n/32 holds it at ≈ 64 vectors — the
-    * within-cell pair enumeration stays Θ(n · 64) instead of the
-    * fixed-K quadratic (SURVEY §8.1). */
+  /** K ∝ √n for q27's cells — the BALANCED choice (SURVEY §8.1's IVF
+    * sizing): assignment scores all K centroids per vector (n·K) while
+    * within-cell pairs cost 4n²/K, so K ∝ n starves one stage to feed
+    * the other (measured 4.8× at 10× data) and the equalizer
+    * n·K = 4n²/K ⇒ K = 2√n puts BOTH stages at Θ(n^1.5) — ratio bound
+    * √10 ≈ 3.2 per 10× step. */
   private[graft] def nearDupAutoK(n: Long): Int =
-    math.max(NearDupK.toLong, n / 32L).toInt
+    math.max(NearDupK.toLong, 2L * math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
   /** The deployment-shaped q118: K derived from the corpus count at
     * runtime (one metadata-only parquet count) so the declared entry
@@ -559,6 +561,33 @@ object Similarity {
     clusterPairs(KMeans.finalAssignIvf(v, k, iters, nprobe), cosT)
   }
 
+  /** q140: SemDeDup APPLY — the end step q118/q139 stop short of
+    * (Abbas et al. §3: keep one member per semantic-duplicate group).
+    * The q139 pair list clusters transitively via star-contraction
+    * connected components ([[Clusters.connectedComponents]] — near-dup
+    * pairs only become actionable once clustered, the q129 precedent),
+    * and the kept member is the component's canonical (minimum) vec_id
+    * — the deterministic stand-in for the paper's arbitrary-member
+    * choice, and free here because the CC labeling already IS the
+    * component minimum. Singletons (vectors in no pair) keep
+    * themselves. Output: one row per corpus vector with its canonical
+    * id and keep/drop.
+    *
+    * Scale shape: CC runs on the PAIR set (the duplicate sliver, ≪ n);
+    * the final labeling is one left join of the corpus against it —
+    * vectors never enter the CC loop. */
+  def semDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = semDedupIvf(spark, dir).select(col("a_id"), col("b_id"))
+    val comps = Clusters.connectedComponents(pairs)
+    scaled(spark, dir).select(col("vec_id"))
+      .join(comps.select(col("node").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("canonical_id"))
+      .withColumn("action",
+        when(col("vec_id") === col("canonical_id"), "keep").otherwise("drop"))
+  }
+
   /** Shared SemDeDup pair stage: norms computed once per VECTOR, not
     * per pair, and the assignment materialized once — it feeds both
     * join sides; the join shuffles on the cluster id only. */
@@ -578,6 +607,18 @@ object Similarity {
             sqrt(col("b_n2").cast("double")))).as("cos"))
       .filter(col("cos") >= cosT)
   }
+
+  /** Shared SemDeDup oracle pair stage over the Lloyd chain's `afinal`
+    * (exact q118 or pruned q139): within-cluster pairs above τ=0.4. */
+  private val semPairsSql =
+    """pairs AS (
+      |  SELECT a_id, b_id, cos FROM (
+      |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |      CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
+      |        / (sqrt(CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * a.ai[i+1])) AS DOUBLE))
+      |         * sqrt(CAST(list_sum(list_transform(range(0, 64), i -> b.ai[i+1] * b.ai[i+1])) AS DOUBLE))) AS cos
+      |    FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      |  WHERE cos >= 0.4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q106_hard_negatives" ->
@@ -727,24 +768,31 @@ object Similarity {
     // assignment and within-cell pair enumeration exactly.
     "q118_semdedup" ->
       s"""WITH ${KMeans.oracleChain("(SELECT greatest(8, count(*) // 128) FROM v)", 3)},
-         |pairs AS (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
-         |      / (sqrt(CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * a.ai[i+1])) AS DOUBLE))
-         |       * sqrt(CAST(list_sum(list_transform(range(0, 64), i -> b.ai[i+1] * b.ai[i+1])) AS DOUBLE))) AS cos
-         |  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+         |$semPairsSql
+         |SELECT a_id, b_id, cos FROM pairs""".stripMargin,
     "q139_semdedup_ivf" ->
       s"""WITH ${KMeans.oracleChainIvf("(SELECT greatest(8, count(*) // 128) FROM v)", 3, 2)},
-         |pairs AS (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
-         |      / (sqrt(CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * a.ai[i+1])) AS DOUBLE))
-         |       * sqrt(CAST(list_sum(list_transform(range(0, 64), i -> b.ai[i+1] * b.ai[i+1])) AS DOUBLE))) AS cos
-         |  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+         |$semPairsSql
+         |SELECT a_id, b_id, cos FROM pairs""".stripMargin,
+    // q140: the q139 chain, continued with recursive-CTE reachability
+    // (the q54 oracle pattern) — component id = min member, so the
+    // keep rule is `vec_id = canonical_id`; singletons keep themselves.
+    "q140_semdedup_apply" ->
+      s"""WITH RECURSIVE ${KMeans.oracleChainIvf("(SELECT greatest(8, count(*) // 128) FROM v)", 3, 2)},
+         |$semPairsSql,
+         |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(node, lbl) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.node),
+         |comp AS (SELECT node, min(lbl) AS comp FROM walk GROUP BY node)
+         |SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS canonical_id,
+         |  CASE WHEN coalesce(c.comp, v.vec_id) = v.vec_id
+         |       THEN 'keep' ELSE 'drop' END AS action
+         |FROM v LEFT JOIN comp c ON c.node = v.vec_id""".stripMargin,
     "q27_embedding_neardup" ->
-      s"""WITH ${assignSql(2, s"(SELECT greatest($NearDupK, count(*) // 32) FROM v)")},
+      s"""WITH ${assignSql(2, s"(SELECT greatest($NearDupK, 2 * CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM v)")},
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
          |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)

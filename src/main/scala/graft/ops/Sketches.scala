@@ -189,6 +189,51 @@ object Sketches {
           (col("b") + lit(1)).cast("double")).as("est"))
   }
 
+  /** q141 count–min dimensions: d rows × w buckets. ε = e/w ≈ 0.27%
+    * of stream length per point query, δ = e^−d ≈ 1.8% failure — the
+    * Cormode–Muthukrishnan sizing; both are knobs at deployment. */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
+
+  /** q141: count–min sketch registers over the corpus TOKEN stream
+    * (Cormode & Muthukrishnan, J. Algorithms 2005) — the frequency
+    * companion to q101's cardinality registers and the mergeable
+    * complement to q135's exact heavy hitters: point-queryable
+    * approximate counts over an unbounded key space in fixed memory.
+    * est(x) = min over rows r of reg[r][h_r(x)] is a one-sided
+    * overestimate (collisions only ADD); two sketches merge by
+    * element-wise SUM, so per-shard sketches reduce centrally —
+    * SketchSpec proves both the guarantee and the merge law.
+    *
+    * Portable construction (the q101 rule): row hashes are
+    * md5-derived (`md5(r || ':' || token)` mod w), so any engine
+    * reproduces the register table bit-identically and the oracle
+    * checks it exactly, not within a tolerance.
+    *
+    * Scale shape: one groupBy over (r, bucket) with map-side partial
+    * counts — the shuffle carries ≤ d·w rows regardless of corpus
+    * size. */
+  def cmsRegisters(spark: SparkSession, dir: String,
+                   depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    cmsOf(Tables.documents(spark, dir), depth, width)
+
+  /** The sketch over an explicit documents frame — the seam SketchSpec
+    * uses to prove the merge law on disjoint sub-corpora. */
+  private[graft] def cmsOf(docs: DataFrame,
+                           depth: Int = CmsDepth,
+                           width: Int = CmsWidth): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    docs
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(posexplode(expr(
+        s"""transform(sequence(0, ${depth - 1}),
+           |  r -> CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', tok)), 1, 15), 16, 10) AS BIGINT) % $width)"""
+          .stripMargin)))
+      .select(col("pos").as("r"), col("col").as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Counter budget for q135 — fewer counters than the 26-letter
     * alphabet, so decrement/merge-subtract paths genuinely fire, while
     * the guarantee still catches every char above the 1/16 frequency
@@ -236,6 +281,15 @@ object Sketches {
   }
 
   val oracle: Map[String, String] = Map(
+    "q141_cms_registers" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM documents),
+         |e AS (
+         |  SELECT r, CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM t, (SELECT unnest(range(0, $CmsDepth)) AS r) WHERE tok <> '')
+         |SELECT CAST(r AS INT) AS r, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |FROM e GROUP BY 1, 2""".stripMargin,
     "q135_heavy_hitters" ->
       s"""WITH st AS (SELECT replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ', '') AS t
          |  FROM documents),

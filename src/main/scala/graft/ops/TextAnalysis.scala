@@ -56,6 +56,47 @@ object TextAnalysis {
         "0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)"))
       .withColumn("low_quality", col("quality") < 0.5)
 
+  /** q142: the Gopher quality-rule suite (Rae et al. 2021, App. A —
+    * the industry-standard pre-filter every large corpus build runs,
+    * and the named-rule complement to q29's weighted score): per
+    * document, the canonical thresholds as independent boolean gates
+    * plus the conjunction —
+    *  - word count in [50, 100 000] (the synthetic ~31–54-token docs
+    *    genuinely split on this),
+    *  - mean word length in [3, 10] characters,
+    *  - ≥ 80% of words contain an alphabetic character,
+    *  - symbol-to-word ratio (# and … stand-ins) ≤ 0.1,
+    *  - at least 2 DISTINCT required stopwords present.
+    * Every feature is an int/int single division (deterministic
+    * doubles); entirely map-side, codegen'd, no shuffle. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(Dedup.normText(col("text")), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("length(concat_ws('', toks))").cast("long").as("n_chars"),
+        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long")
+          .as("n_alpha_words"),
+        expr("size(filter(toks, x -> x rlike '[#…]'))").cast("long")
+          .as("n_symbol_words"),
+        expr(s"size(array_intersect(array_distinct(toks), array(${inList(stopEn)})))")
+          .cast("long").as("n_stop_distinct"))
+      .withColumn("mean_word_len",
+        col("n_chars").cast("double") / col("n_words"))
+      .withColumn("frac_alpha_words",
+        col("n_alpha_words").cast("double") / col("n_words"))
+      .withColumn("symbol_ratio",
+        col("n_symbol_words").cast("double") / col("n_words"))
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_alpha", col("frac_alpha_words") >= 0.8)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha") &&
+          col("r_symbol") && col("r_stopwords"))
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens
     * ([alpha]+ | [digit]+ | single symbol), distinct counts, bytes/token. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -453,6 +494,32 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q142_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS n_symbol_words,
+         |    CAST(len(list_intersect(list_distinct(toks), [${inList(stopEn)}])) AS BIGINT) AS n_stop_distinct
+         |  FROM t),
+         |r AS (SELECT *,
+         |    CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+         |    CAST(n_alpha_words AS DOUBLE) / n_words AS frac_alpha_words,
+         |    CAST(n_symbol_words AS DOUBLE) / n_words AS symbol_ratio
+         |  FROM f)
+         |SELECT doc_id, n_words, n_chars, n_alpha_words, n_symbol_words,
+         |  n_stop_distinct, mean_word_len, frac_alpha_words, symbol_ratio,
+         |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         |  mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0 AS r_mean_word_len,
+         |  frac_alpha_words >= 0.8e0 AS r_alpha,
+         |  symbol_ratio <= 0.1e0 AS r_symbol,
+         |  n_stop_distinct >= 2 AS r_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0)
+         |    AND frac_alpha_words >= 0.8e0 AND symbol_ratio <= 0.1e0
+         |    AND n_stop_distinct >= 2 AS pass
+         |FROM r""".stripMargin,
     "q131_lang_drift" ->
       """WITH d AS (SELECT source, lang FROM documents),
         |corpus AS (SELECT lang, count(*) AS n_lang FROM d GROUP BY 1),

@@ -181,8 +181,52 @@ object StreamingEvents {
     freeze(spark, name)
   }
 
+  /** Schema of documents.parquet as the stream source sees it. */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** q144: STREAMING count–min sketch — q141's register table
+    * maintained incrementally over the arriving-documents stream.
+    * This is the pairing the sketch exists for: CMS registers are
+    * counters under element-wise sum, so the streaming aggregation
+    * state IS the sketch (d×w bounded rows, no watermark needed —
+    * the key space is fixed by construction), and every micro-batch
+    * folds its token counts into it exactly the way per-shard
+    * sketches merge in the batch world (SketchSpec's merge law is
+    * the commutativity proof). Under AvailableNow the final state
+    * provably equals the batch q141 table, which is the oracle —
+    * batch ≡ stream, same SQL.
+    *
+    * 100 TB shape: the stream side never shuffles more than d·w
+    * partial rows per batch; a continuous deployment reads an
+    * arriving-files directory and emits the register table per
+    * trigger (complete mode is safe precisely because the result is
+    * sketch-sized, not data-sized). */
+  def streamCmsRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val regs = graft.ops.Sketches.cmsOf(docs)
+    val name = s"stream_cms_${System.nanoTime()}"
+    val q = regs.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freeze(spark, name)
+  }
+
   /** Oracle: identical to the batch queries — the point. */
   val oracle: Map[String, String] = Map(
+    // q144 ≡ q141: the stream's final state is the batch sketch
+    "q144_stream_cms" -> graft.ops.Sketches.oracle("q141_cms_registers"),
     "q102_stream_static" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

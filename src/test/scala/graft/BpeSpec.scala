@@ -109,4 +109,34 @@ class BpeSpec extends SparkSpec {
         s"doc $id: symbols bounded by tokens and characters")
     }
   }
+
+  test("bpe fertility (q145): per-language report is the encode rollup, ratios exact") {
+    import org.apache.spark.sql.functions._
+    val rounds = 4
+    // ground truth: the (independently spec-verified) per-doc encode,
+    // rolled up by each document's lang
+    val langOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), graft.ops.Dedup.normText(col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val enc = graft.ops.Bpe.bpeEncode(spark, sf, rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = enc.groupBy { case (id, _, _) => langOf(id)._1 }
+      .map { case (lang, rows) =>
+        lang -> (rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+          rows.map(t => langOf(t._1)._2.replace(" ", "").length.toLong).sum)
+      }
+    val out = graft.ops.Bpe.bpeFertility(spark, sf, rounds).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == truth.keySet, "one row per language present in the corpus")
+    truth.foreach { case (lang, (nDocs, nWords, nSym, nChars)) =>
+      val r = out(lang)
+      assert(r.getLong(1) == nDocs, s"$lang n_docs")
+      assert(r.getLong(2) == nWords, s"$lang n_words")
+      assert(r.getLong(3) == nSym, s"$lang n_sym")
+      assert(r.getLong(4) == nChars, s"$lang n_chars")
+      assert(r.getDouble(5) == nSym.toDouble / nWords, s"$lang fertility")
+      assert(r.getDouble(6) == nChars.toDouble / nSym, s"$lang chars_per_sym")
+      assert(r.getDouble(5) >= 1.0, s"$lang: every word is at least one symbol")
+    }
+  }
 }

@@ -67,6 +67,32 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("q143 leakage-safe split: no near-dup pair ever crosses the train/eval wall") {
+    val out = Clusters.leakageSafeSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val n = Tables.documents(spark, sf).count()
+    assert(out.size == n, "one row per document")
+    // the leakage property itself: both ends of every near-dup pair
+    // land on the same side
+    val pairs = graft.ops.Dedup.jaccardNearDup(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty, "fixture must have near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) crosses the split")
+    }
+    // the split is the canonical's q50-style draw, members inherit it
+    out.foreach { case (id, (canon, split)) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(canon.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(split == (if (hex < "e6") "train" else "eval"), s"doc $id draw")
+      assert(out(canon)._2 == split, s"doc $id disagrees with canonical $canon")
+    }
+    // both sides populated (90/10 draw on the spec corpus)
+    val splits = out.values.map(_._2).toSet
+    assert(splits == Set("train", "eval"))
+  }
+
   test("q129 dedup apply keeps exactly the best-quality member per cluster") {
     import org.apache.spark.sql.functions._
     val rows = graft.ops.Clusters.dedupApply(spark, sf).collect()

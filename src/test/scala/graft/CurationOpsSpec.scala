@@ -194,6 +194,34 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules (q142): features match ground truth and the word-count gate discriminates") {
+    val stopEn = Set("the", "a", "of", "and", "to", "in", "is")
+    val out = graft.ops.TextAnalysis.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    docs.foreach { case (id, toks) =>
+      val r = out(id)
+      val nWords = toks.length.toLong
+      assert(r.getAs[Long]("n_words") == nWords, s"doc $id n_words")
+      val meanLen = toks.map(_.length).sum.toDouble / nWords
+      assert(math.abs(r.getAs[Double]("mean_word_len") - meanLen) < 1e-12, s"doc $id mwl")
+      val fracAlpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / nWords
+      assert(math.abs(r.getAs[Double]("frac_alpha_words") - fracAlpha) < 1e-12, s"doc $id alpha")
+      val nStop = toks.toSet.count(stopEn)
+      assert(r.getAs[Long]("n_stop_distinct") == nStop, s"doc $id stopwords")
+      assert(r.getAs[Boolean]("r_word_count") == (nWords >= 50 && nWords <= 100000))
+      val expectPass = (nWords >= 50 && nWords <= 100000) &&
+        meanLen >= 3.0 && meanLen <= 10.0 && fracAlpha >= 0.8 &&
+        r.getAs[Double]("symbol_ratio") <= 0.1 && nStop >= 2
+      assert(r.getAs[Boolean]("pass") == expectPass, s"doc $id pass")
+    }
+    // the canonical 50-word floor must genuinely split this corpus
+    val passes = out.values.map(_.getAs[Boolean]("r_word_count")).toSet
+    assert(passes == Set(true, false), "fixture must discriminate on word count")
+  }
+
   test("substring dedup (q133): coverage and cut match an in-memory ground truth") {
     val L = 8
     val out = graft.ops.Curation.substringDedup(spark, sf, L).collect()
@@ -301,5 +329,67 @@ class CurationOpsSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  /** Ground-truth L-gram occurrence list per doc, built in plain Scala. */
+  private def gramTruth(l: Int): (Map[Long, Seq[String]], Map[String, Seq[(Long, Int)]]) = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ops.Dedup.normText(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val occ = docs.toSeq.flatMap { case (id, toks) =>
+      if (toks.size < l) Seq.empty
+      else toks.sliding(l).zipWithIndex.map { case (g, i) => (g.mkString(" "), id, i) }.toSeq
+    }.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(identity)).toMap
+    (docs, occ)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("boilerplate detect (q146): exactly the df-thresholded grams, with exact df/tf/exemplar") {
+    val (_, occ) = gramTruth(5)
+    val minDf = 2L
+    val truth = occ.collect { case (g, os) if os.map(_._1).distinct.size >= minDf =>
+      md5hex(g) -> (os.map(_._1).distinct.size.toLong, os.size.toLong, os.min)
+    }
+    assert(truth.nonEmpty, "fixture must contain cross-document grams")
+    val out = graft.ops.Curation.boilerplateDetect(spark, sf, 5, minDf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        (r.getLong(3), r.getInt(4)))).toMap
+    assert(out.keySet == truth.keySet, "detected gram set must match ground truth exactly")
+    truth.foreach { case (h, (df, tf, k)) =>
+      assert(out(h)._1 == df, s"gram $h df")
+      assert(out(h)._2 == tf, s"gram $h tf")
+      assert(out(h)._3 == ((k._1, k._2)), s"gram $h exemplar must be the corpus-wide min")
+    }
+  }
+
+  test("boilerplate apply (q147): per-doc gram accounting and flag against ground truth") {
+    val l = 5
+    val minDf = 2L
+    val (docs, occ) = gramTruth(l)
+    val boiler = occ.collect {
+      case (g, os) if os.map(_._1).distinct.size >= minDf => g
+    }.toSet
+    assert(boiler.nonEmpty, "fixture must contain boilerplate grams")
+    val out = graft.ops.Curation.boilerplateApply(spark, sf, l, minDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    assert(out.keySet == docs.keySet, "one row per document, short docs included")
+    docs.foreach { case (id, toks) =>
+      val grams = if (toks.size < l) Seq.empty
+                  else toks.sliding(l).map(_.mkString(" ")).toSeq
+      val nB = grams.count(boiler)
+      val (gotG, gotB, gotF, gotFlag) = out(id)
+      assert(gotG == grams.size.toLong, s"doc $id n_grams")
+      assert(gotB == nB.toLong, s"doc $id n_boiler")
+      val frac = if (grams.nonEmpty) nB.toDouble / grams.size else 0.0
+      assert(gotF == frac, s"doc $id boiler_frac")
+      assert(gotFlag == (frac >= graft.ops.Curation.BoilerFracFlag), s"doc $id flag")
+    }
+    // the flag must discriminate on the fixture: replicas flag, originals don't
+    assert(out.values.exists(_._4) && out.values.exists(!_._4),
+      "fixture must produce both flagged and clean documents")
   }
 }

@@ -281,6 +281,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"dup-gram count must combine map-side:\n$p")
   }
 
+  test("q141 cms: fixed-width registers — map-side partial counts, no join, no window") {
+    val p = plan(q("q141_cms_registers"))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"register counts must combine map-side before the d*w-row shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the sketch is one generate + one aggregate:\n$p")
+  }
+
+  test("q142 gopher rules: pure map-side — no exchange, no join, codegen'd") {
+    val p = plan(q("q142_gopher_rules"))
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"the rule suite must not shuffle:\n$p")
+    assert(p.contains("*("), s"rules must stay codegen'd:\n$p")
+  }
+
+  test("q143 leakage-safe split: corpus labels via one left join, no window") {
+    val p = plan(q("q143_leakage_safe_split"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the split is a hash compare after the member join:\n$p")
+  }
+
   test("q139 IVF semdedup: broadcast assignment, no window, cluster-keyed pair join") {
     val p = plan(q("q139_semdedup_ivf"))
     assert(!p.contains("Window"),
@@ -302,6 +323,33 @@ class PlanSpec extends SparkSpec {
       s"cut-start lists must collect POSITIONS, not text:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"gram join must stay an equi-join on the hash:\n$p")
+  }
+
+  test("q145 fertility: broadcast codebook join, tiny-key aggregate, no window") {
+    val p = plan(graft.ops.Bpe.bpeFertility(spark, sf, rounds = 2))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-sized codebook must broadcast to the token stream:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the per-language rollup is one aggregate:\n$p")
+  }
+
+  test("q146 boilerplate detect: hash-keyed aggregate, no text shuffle, no window") {
+    val p = plan(q("q146_boilerplate"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"detection is one groupBy over gram hashes:\n$p")
+    assert(p.contains("partial"),
+      s"occurrence counts must combine map-side:\n$p")
+    // the shuffle carries the 16-byte hash, never the gram text: no
+    // exchange schema may contain a raw gram string column
+    assert(!p.contains("Exchange") || !p.contains("gram#"),
+      s"gram text must not enter an exchange:\n$p")
+  }
+
+  test("q147 boilerplate apply: hash equi-join probe, no window, short docs via left join") {
+    val p = plan(q("q147_boilerplate_apply"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the probe must stay an equi-join on the hash:\n$p")
   }
 
   test("q134 bpe: no window; argmax is bounded TakeOrderedAndProject; rewrite broadcasts") {

@@ -228,12 +228,41 @@ class SimilaritySpec extends SparkSpec {
       s"missed ${coClustered -- got} / extra ${got -- coClustered}")
   }
 
+  test("q140 semdedup apply: canonical = min of transitive closure, keeps one per group") {
+    val pairs = Similarity.semDedupIvf(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty, "fixture must produce semantic-dup pairs")
+    // independent union-find over the collected pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val truth = members.map(m => m -> members.filter(x => find(x) == find(m)).min).toMap
+    val out = Similarity.semDedupApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.size == n, "one row per corpus vector")
+    out.foreach { case (id, (canon, action)) =>
+      assert(canon == truth.getOrElse(id, id), s"vec $id canonical")
+      assert(action == (if (canon == id) "keep" else "drop"), s"vec $id action")
+    }
+    // exactly one keep per duplicate group, and all singletons keep
+    assert(out.count(_._2._2 == "keep") == n - members.length + truth.values.toSet.size)
+  }
+
   test("auto-K formulas scale ∝ n and the auto entries match explicit K") {
     import Similarity.{semDedupAutoK, nearDupAutoK}
-    // floors at the spec-corpus constants, linear growth beyond them
+    // floors at the spec-corpus constants; K ∝ n for clusters (q118),
+    // K ∝ √n for cells (q27's balanced assignment-vs-pairs sizing)
     assert(semDedupAutoK(500) == 8 && nearDupAutoK(500) == 64)
     assert(semDedupAutoK(1L << 20) == (1L << 20) / 128 &&
-      nearDupAutoK(1L << 20) == (1L << 20) / 32)
+      nearDupAutoK(1L << 20) == 2 * 1024)
     assert(semDedupAutoK(10L * (1 << 20)) == 10 * semDedupAutoK(1 << 20))
     // the declared (auto) entries produce exactly the explicit-K result
     val n = graft.Tables.embeddings(spark, sf).count()

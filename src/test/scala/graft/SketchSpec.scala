@@ -12,6 +12,46 @@ class SketchSpec extends SparkSpec {
       .view.mapValues(_.map(r => r.getAs[Long]("bucket").toInt -> r.getAs[Int]("r")).toMap)
       .toMap
 
+  test("cms (q141): point estimates are one-sided and exact sans collision; sketches merge by sum") {
+    val W = 1024
+    val regs = Sketches.cmsRegisters(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent ground truth: Scala-side token counts + the same
+    // md5-derived row hashes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(r: Int, tok: String): Long = {
+      val hex = md.digest(s"$r:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 15), 16) % W).toLong
+    }
+    val toks = Tables.documents(spark, sf)
+      .select(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .collect().flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val trueCnt = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(regs.values.sum == toks.length.toLong * 4, "register mass = 4x stream length")
+    trueCnt.foreach { case (tok, n) =>
+      val est = (0 until 4).map(r => regs.getOrElse((r, h(r, tok)), 0L)).min
+      assert(est >= n, s"'$tok': est $est under-counts true $n")
+    }
+    // exactness when a token's min row is collision-free: bucket mass
+    // equals the token's own count ⇒ est == true count (holds for any
+    // token where some row's bucket holds only that token)
+    val exact = trueCnt.count { case (tok, n) =>
+      (0 until 4).map(r => regs.getOrElse((r, h(r, tok)), 0L)).min == n
+    }
+    assert(exact > 0, "fixture should have some collision-free tokens")
+    // merge law: disjoint halves sum elementwise to the full sketch
+    val docs = Tables.documents(spark, sf)
+    def regsOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsOf(d).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = regsOf(docs.filter(col("doc_id") % 2 === 0))
+    val b = regsOf(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == regs, "cms(A) + cms(B) must equal cms(A ∪ B)")
+  }
+
   test("hll estimate lands within the m=256 error band of the exact count") {
     val est = regs(Sketches.hllRegisters(spark, sf))
       .view.mapValues(Sketches.estimate).toMap

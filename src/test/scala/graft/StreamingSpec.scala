@@ -235,5 +235,12 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("streaming CMS final state equals the batch sketch (q144 ≡ q141)") {
+    val streamed = graft.streaming.StreamingEvents.streamCmsRegisters(spark, sf)
+    val batch = graft.ops.Sketches.cmsRegisters(spark, sf)
+    assert(streamed.count() > 0, "sketch must have occupied registers")
+    assertSameRows(streamed, batch)
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
