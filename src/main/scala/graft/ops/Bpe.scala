@@ -57,31 +57,39 @@ object Bpe {
     *
     * Stopping (how real tokenizers terminate, Sennrich §3.2): besides
     * the `rounds` cap, `vocabTarget` > 0 stops once the symbol
-    * vocabulary (initial alphabet + one new symbol per merge) reaches
-    * the target, and `minPairCount` > 1 stops before a merge whose best
-    * pair occurs fewer times. Best-pair counts are non-increasing
-    * across BPE rounds (a merge's derived pairs occur at most as often
-    * as the merge itself), so both stops truncate the unconstrained
-    * merge sequence to a PREFIX — BpeSpec asserts exactly that. Each
-    * round already materializes its 1-row winner (localCheckpoint), so
-    * the threshold read adds no work. */
+    * vocabulary reaches the target, and `minPairCount` > 1 stops before
+    * a merge whose best pair occurs fewer times. The vocabulary is
+    * tracked as the actual DISTINCT symbol set (alphabet ∪ merged
+    * strings), not as alphabet + one-per-merge: two different merges
+    * can produce the SAME merged string ('a'+'bc' and 'ab'+'c' both
+    * yield 'abc'), in which case a round grows the vocabulary by zero
+    * and training correctly continues until the target is really met.
+    * Best-pair counts are non-increasing across BPE rounds (a merge's
+    * derived pairs occur at most as often as the merge itself), so both
+    * stops truncate the unconstrained merge sequence to a PREFIX —
+    * BpeSpec asserts exactly that. Each round already materializes its
+    * 1-row winner (localCheckpoint), so the per-round reads (threshold,
+    * merged symbol) are 1-row takes on checkpointed frames — free. */
   private[graft] def train(spark: SparkSession, dir: String,
                            rounds: Int, minPairCount: Long = 1L,
                            vocabTarget: Int = 0): (DataFrame, DataFrame) = {
     require(rounds >= 1, "merge rounds must be positive")
     var words = initialWords(spark, dir).localCheckpoint(true)
-    val effRounds = if (vocabTarget <= 0) rounds else {
-      // symbols grow by exactly one per merge from the initial alphabet
-      val alphabet = words
-        .select(explode(split(trim(col("rep"), "<>"), "><")).as("sym"))
-        .distinct().count()
-      val budget = vocabTarget - alphabet
-      require(budget >= 1, s"vocab target $vocabTarget <= alphabet $alphabet")
-      math.min(rounds.toLong, budget).toInt
-    }
+    // exact vocab tracking: the alphabet is charset-bounded (here [a-z],
+    // ≤ a few hundred in general) so collecting it is metadata-sized
+    val vocab: scala.collection.mutable.Set[String] =
+      if (vocabTarget <= 0) null
+      else {
+        val s = scala.collection.mutable.Set.empty[String]
+        words.select(explode(split(trim(col("rep"), "<>"), "><")).as("sym"))
+          .distinct().collect().foreach(r => s += r.getString(0))
+        require(vocabTarget > s.size,
+          s"vocab target $vocabTarget <= alphabet ${s.size}")
+        s
+      }
     val merges = Seq.newBuilder[DataFrame]
     var stopped = false
-    for (r <- 1 to effRounds if !stopped) {
+    for (r <- 1 to rounds if !stopped && (vocab == null || vocab.size < vocabTarget)) {
       val pairs = words
         .select(col("cnt"), split(trim(col("rep"), "<>"), "><").as("s"))
         .select(col("cnt"), explode(expr(
@@ -102,6 +110,8 @@ object Bpe {
         stopped = true
       } else {
       merges += best
+      if (vocab != null)
+        best.select(col("merged")).take(1).foreach(row => vocab += row.getString(0))
       // a round with no pairs left yields an empty winner: the coalesced
       // pattern `<<` cannot occur in a wrapped rep, so the rewrite
       // degrades to a no-op instead of nulling the corpus
@@ -117,8 +127,16 @@ object Bpe {
       }
     }
     val ms = merges.result()
-    require(ms.nonEmpty, s"no merge reached count >= $minPairCount")
-    (ms.reduce(_.unionByName(_)), words)
+    // a threshold that rejects even the FIRST best pair is a valid
+    // "nothing to merge" outcome, not an error: return an empty frame
+    // with the merge-table schema (ADVICE r9) so callers and sinks see
+    // zero rows instead of a crash
+    val table =
+      if (ms.nonEmpty) ms.reduce(_.unionByName(_))
+      else spark.range(0).select(
+        col("id").as("step"), lit("").as("lhs"), lit("").as("rhs"),
+        lit("").as("merged"), col("id").as("cnt"))
+    (table, words)
   }
 
   /** q134: the learned BPE merge table — (step, lhs, rhs, merged, cnt),

@@ -103,14 +103,21 @@ object KMeans {
          |       'cid', x.cid, 'c', x.c)),
          |     f -> f.cell = co.i)))""".stripMargin).as("cgrp"))
 
-  /** Map-side pruned assignment over the coarse-grouped broadcast. */
+  /** Map-side pruned assignment over the coarse-grouped broadcast.
+    * The probe ranking keeps only NON-EMPTY cells (duplicate coarse
+    * coordinates can leave a twin's cell empty — its own center files
+    * under the lower-index twin; ADVICE r9): probing an empty cell
+    * contributes zero candidates, so the filter never changes a result
+    * the unfiltered form produced, and it guarantees the candidate
+    * list is non-empty whenever K ≥ 1 — `best` can never be NULL. */
   private[graft] def assignIvf(v: DataFrame, cgrp: DataFrame,
                                nprobe: Int): DataFrame =
     v.crossJoin(broadcast(cgrp))
       .withColumn("best", expr(
         s"""array_min(flatten(transform(
-           |  slice(array_sort(transform(cgrp,
+           |  slice(filter(array_sort(transform(cgrp,
            |          (g, gi) -> struct(${distSql("ai", "g.cc")} AS d, gi AS gi))),
+           |      p -> size(element_at(cgrp, p.gi + 1).fines) > 0),
            |    1, $nprobe),
            |  p -> transform(element_at(cgrp, p.gi + 1).fines,
            |         x -> struct(${distSql("ai", "x.c")} AS d, x.cid AS cid)))))"""
@@ -225,7 +232,8 @@ object KMeans {
          |pr$r AS MATERIALIZED (SELECT vec_id, gi FROM (
          |    SELECT v.vec_id, g.gi,
          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dSql("v.ai", "g.c")}, g.gi) AS rn
-         |    FROM v, co$r g) WHERE rn <= $nprobe),
+         |    FROM v, co$r g
+         |    WHERE g.gi IN (SELECT DISTINCT cell FROM fm$r)) WHERE rn <= $nprobe),
          |$aName AS MATERIALIZED (SELECT vec_id, ai, cid, d FROM (
          |    SELECT v.vec_id, v.ai, f.cid, ${dSql("v.ai", "f.c")} AS d,
          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dSql("v.ai", "f.c")}, f.cid) AS rn
