@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch,
   * "Neural Machine Translation of Rare Words with Subword Units", ACL
@@ -60,10 +61,17 @@ object Bpe {
     * vocabulary reaches the target, and `minPairCount` > 1 stops before
     * a merge whose best pair occurs fewer times. The vocabulary is
     * tracked as the actual DISTINCT symbol set (alphabet ∪ merged
-    * strings), not as alphabet + one-per-merge: two different merges
-    * can produce the SAME merged string ('a'+'bc' and 'ab'+'c' both
-    * yield 'abc'), in which case a round grows the vocabulary by zero
-    * and training correctly continues until the target is really met.
+    * strings), not as alphabet + one-per-merge. A duplicate merged
+    * string (two merges concatenating to the same string, e.g. 'a'+'bc'
+    * and 'ab'+'c') would grow the vocabulary by zero and training would
+    * correctly continue — but under THIS trainer's global left-to-right
+    * rewrites the case appears unreachable: each merge canonicalizes
+    * its adjacency corpus-wide before any later merge runs, so an
+    * alternative split of the same string never survives to pair up
+    * (700k randomized fixture searches over 2–3 letter alphabets found
+    * no duplicate). The exact tracking is therefore DEFENSIVE — it
+    * makes the stop robust to the case instead of silently assuming
+    * distinctness.
     * Best-pair counts are non-increasing across BPE rounds (a merge's
     * derived pairs occur at most as often as the merge itself), so both
     * stops truncate the unconstrained merge sequence to a PREFIX —
@@ -133,9 +141,20 @@ object Bpe {
     // zero rows instead of a crash
     val table =
       if (ms.nonEmpty) ms.reduce(_.unionByName(_))
-      else spark.range(0).select(
-        col("id").as("step"), lit("").as("lhs"), lit("").as("rhs"),
-        lit("").as("merged"), col("id").as("cnt"))
+      else {
+        // mirror the populated branch's schema exactly, nullability
+        // included (step is a literal and lhs/rhs/merged derive from
+        // split elements with containsNull=false → non-null; only the
+        // summed cnt is nullable), so unions and schema-hash checks see
+        // ONE schema whichever branch ran (ADVICE r10; BpeSpec pins it)
+        val schema = StructType(Seq(
+          StructField("step", LongType, nullable = false),
+          StructField("lhs", StringType, nullable = false),
+          StructField("rhs", StringType, nullable = false),
+          StructField("merged", StringType, nullable = false),
+          StructField("cnt", LongType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
     (table, words)
   }
 

@@ -106,10 +106,13 @@ object KMeans {
   /** Map-side pruned assignment over the coarse-grouped broadcast.
     * The probe ranking keeps only NON-EMPTY cells (duplicate coarse
     * coordinates can leave a twin's cell empty — its own center files
-    * under the lower-index twin; ADVICE r9): probing an empty cell
-    * contributes zero candidates, so the filter never changes a result
-    * the unfiltered form produced, and it guarantees the candidate
-    * list is non-empty whenever K ≥ 1 — `best` can never be NULL. */
+    * under the lower-index twin; ADVICE r9): an empty cell inside the
+    * top-nprobe window contributed zero candidates, so filtering first
+    * re-targets that probe budget to non-empty cells — the candidate
+    * set per vector is a strict SUPERSET of the unfiltered form's, so
+    * assignments change only by finding a same-or-closer centroid, and
+    * the candidate list is non-empty whenever K ≥ 1 — `best` can never
+    * be NULL. */
   private[graft] def assignIvf(v: DataFrame, cgrp: DataFrame,
                                nprobe: Int): DataFrame =
     v.crossJoin(broadcast(cgrp))

@@ -66,7 +66,12 @@ class BpeSpec extends SparkSpec {
     // best-pair counts are non-increasing round over round
     assert(full.map(_._4).sliding(2).forall(w => w.head >= w.last),
       s"counts must be non-increasing: ${full.map(_._4).toSeq}")
-    // vocab target = alphabet + 3 ⇒ exactly the first 3 merges
+    // vocab target = alphabet + 3 ⇒ merges until 3 NEW distinct symbols
+    // exist. Derive the expected prefix with the trainer's own exact
+    // distinct-set semantics (a duplicate merged string grows the vocab
+    // by zero, so it would legitimately train extra merges) — the test
+    // documents the r10 tracking instead of assuming the first three
+    // merged strings are pairwise distinct (ADVICE r10).
     val alphabet = Tables.documents(spark, sf)
       .select(explode(split(regexp_replace(
         graft.ops.Dedup.normText(col("text")), " ", ""), "")).as("c"))
@@ -75,8 +80,17 @@ class BpeSpec extends SparkSpec {
       .bpeMerges(spark, sf, rounds, vocabTarget = alphabet.toInt + 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
       .sortBy(_._1)
-    assert(byVocab.toSeq == full.take(3).toSeq,
-      "vocab-target run must be the 3-merge prefix of the unconstrained run")
+    val expectedPrefix = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      val buf = Seq.newBuilder[(Long, String, String, Long)]
+      val it = full.iterator
+      while (seen.size < 3 && it.hasNext) {
+        val m = it.next(); buf += m; seen += (m._2 + m._3)
+      }
+      buf.result()
+    }
+    assert(byVocab.toSeq == expectedPrefix,
+      "vocab-target run must stop exactly when 3 new distinct symbols exist")
     // min-count threshold at the 4th merge's count + 1 ⇒ the prefix of
     // merges strictly above it (monotonicity makes this well-defined)
     val thresh = full(3)._4 + 1
@@ -88,6 +102,23 @@ class BpeSpec extends SparkSpec {
       .sortBy(_._1)
     assert(byCount.toSeq == expected,
       s"threshold run must be the >=$thresh prefix")
+  }
+
+  test("bpe (q134): threshold rejecting the FIRST merge returns an empty table, schema intact") {
+    // pre-round-10 code threw (`require(ms.nonEmpty)`) on this path;
+    // the contract is now zero rows with the EXACT populated schema —
+    // nullability included — so sinks and unions behave identically
+    // whichever branch ran (VERDICT r10 item 4 / ADVICE r10)
+    val populated = graft.ops.Bpe.bpeMerges(spark, sf, rounds = 1)
+    val c1 = populated.collect() match {
+      case Array(row) => row.getLong(4)
+      case other => fail(s"expected exactly one merge, got ${other.length}")
+    }
+    val empty = graft.ops.Bpe.bpeMerges(spark, sf, rounds = 4, minPairCount = c1 + 1)
+    assert(empty.count() == 0, "no merge may clear a threshold above the best pair")
+    assert(empty.schema == populated.schema,
+      s"empty branch must mirror the populated schema exactly:\n  empty:     ${empty.schema}\n  populated: ${populated.schema}")
+    assert(populated.unionByName(empty).count() == 1, "empty table unions cleanly")
   }
 
   test("bpe encode (q137): every document round-trips through its subword stream") {

@@ -117,6 +117,33 @@ class KMeansSpec extends SparkSpec {
       s"pruned quantization cost $prunedCost vs exact $exactCost")
   }
 
+  test("IVF probe budget re-targets past an EMPTY twin cell (the r10 fix)") {
+    import spark.implicits._
+    // K=5 ⇒ 3 coarse cells = the 3 smallest-md5(cid) centroids — for
+    // cids 0..4 that is gi0=cid4, gi1=cid1, gi2=cid2 (md5 order
+    // a87.. < c4c.. < c81..). vec1 ≡ vec4 makes gi0/gi1 DUPLICATE
+    // coarse twins: both fines file under gi0 by the lower-index
+    // tie-break, so cell gi1 is EMPTY (the ADVICE-r9 degenerate case).
+    // Query 100 sits closer to the twin coordinate than to c2, so an
+    // UNFILTERED nprobe=2 window is {gi0, gi1} — the empty twin wastes
+    // a probe and the best reachable centroid is cid1 at d²=1600. The
+    // non-empty filter re-targets the window to {gi0, gi2}, whose
+    // fines include cid3 at d²=400 — strictly closer. Pre-round-10
+    // code (no filter) returns (1, 1600) here and fails this test.
+    def vec(x: Long) = Array(x, 0L, 0L, 0L)
+    val v = Seq(
+      0L -> vec(-50), 1L -> vec(0), 2L -> vec(100), 3L -> vec(60),
+      4L -> vec(0), 100L -> vec(40)).toDF("vec_id", "ai")
+    val got = KMeans.finalAssignIvf(v, k = 5, iters = 0, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(got(100L) == ((3, 400L)),
+      s"the empty twin cell must not consume a probe: $got")
+    assert(got(1L) == ((1, 0L)) && got(4L) == ((1, 0L)),
+      "twins sit on their shared centroid (min-cid tie-break)")
+    assert(got.size == 6 && got.values.forall(_._2 >= 0L),
+      "every vector assigned, no NULL best")
+  }
+
   test("every vector is assigned and clusters are non-trivial") {
     val rows = KMeans.kmeans(spark, sf).collect()
     assert(rows.length == vectors.length)
