@@ -394,26 +394,40 @@ object Dedup {
     * string form paid 128 substring calls per candidate pair and
     * shuffled 64-byte keys where 8 bytes carry the same information. */
   def simhashNearDup(spark: SparkSession, dir: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(simhashSignatures(spark, dir), chunkBits = 8, maxHamming)
+
+  /** The banded Hamming-join machinery shared by q24 (64-bit SimHash,
+    * 8-bit chunks) and q148 (56-bit media dHash, 7-bit chunks): group
+    * docs by DISTINCT signature, band the sigs by the C(8,4)=70 quads
+    * of `chunkBits`-bit chunks, verify `bit_count(xor)` on candidate
+    * sig pairs, expand back to doc pairs, and add the identical-sig
+    * within-group pairs at Hamming 0. Exactness is the chunk-count
+    * pigeonhole and does not depend on the chunk WIDTH: ≤ maxHamming ≤
+    * 4 dirty bits touch ≤ 4 chunks, leaving ≥ 4 clean ⇒ some quad
+    * agrees. Input `sig` is (doc_id, sig BIGINT) with the signature
+    * occupying the low 8·chunkBits bits. */
+  private[graft] def hammingBandPairs(sig: DataFrame, chunkBits: Int,
+                                      maxHamming: Int): DataFrame = {
     // quad banding over 8 chunks is exact while ≥ 4 chunks stay clean:
     // pigeonhole needs C(8 − maxHamming, 4) ≥ 1 ⇔ maxHamming ≤ 4
     require(maxHamming >= 0 && maxHamming <= 4,
       "quad banding is exact only for Hamming radius <= 4")
-    val sig = simhashSignatures(spark, dir)
+    require(chunkBits >= 1 && chunkBits <= 8, "band values must fit 32 bits")
     // tiny (≤ #distinct signatures) but feeds four plan branches — without
-    // persist the whole per-token signature pipeline recomputes per branch
+    // persist the whole per-doc signature pipeline recomputes per branch
     val groups = sig.groupBy(col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def chunk(c: Int): Column =
-      shiftright(col("sig"), c * 8).bitwiseAND(lit(255L))
+      shiftright(col("sig"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
     val quads = (for {
       i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8; l <- k + 1 until 8
     } yield (i, j, k, l)).zipWithIndex
     val bandCols = quads.map { case ((i, j, k, l), b) =>
       struct(lit(b).as("band"),
-        shiftleft(chunk(i), 24).bitwiseOR(shiftleft(chunk(j), 16))
-          .bitwiseOR(shiftleft(chunk(k), 8)).bitwiseOR(chunk(l)).as("bv"))
+        shiftleft(chunk(i), 3 * chunkBits).bitwiseOR(shiftleft(chunk(j), 2 * chunkBits))
+          .bitwiseOR(shiftleft(chunk(k), chunkBits)).bitwiseOR(chunk(l)).as("bv"))
     }
     val buckets = groups.select(col("sig"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sig"), col("bk.band"), col("bk.bv"))

@@ -137,7 +137,86 @@ object Multimodal {
             |  ELSE array() END""".stripMargin)).as("f"))
       .select(col("doc_id"), col("f.frame_idx"), col("f.frame_md5"))
 
+  /** q148: perceptual-hash near-duplicate detection over the media
+    * payloads — the multimodal counterpart of q24's text SimHash
+    * (dHash lineage: Krawetz's difference hash — row-adjacent gradient
+    * SIGNS survive resizing/re-encoding, so near-identical images
+    * collide; here the 1-D analogue over the payload stream). The
+    * payload is split into 57 equal segments ("pixels"), each reduced
+    * to its byte-sum intensity; bit s of the 56-bit signature is the
+    * gradient sign I(s) > I(s+1). A small local edit perturbs one or
+    * two segment sums and flips at most a few gradient signs, so true
+    * near-dups land within Hamming ≤ 3 while unrelated payloads are
+    * ~random 56-bit strings (collision odds ≈ C(56,≤3)/2⁵⁶ ≈ 10⁻¹²).
+    *
+    * Pairs come from [[Dedup.hammingBandPairs]] — the identical q24
+    * machinery at 7-bit chunks (56 = 8×7), same C(8,4) pigeonhole
+    * exactness for Hamming ≤ 3. Engine-portable by construction:
+    * intensities are ascii-code sums both engines compute identically,
+    * so the DuckDB oracle derives bit-identical signatures and brute-
+    * force-verifies the banded result (the q24 oracle convention — the
+    * banding exactness theorem IS what the gate checks).
+    *
+    * Scale shape: signatures are one map-side pass (no shuffle); the
+    * pair stage inherits q24's distinct-sig banding bounds. A real
+    * image dHash would compute the 9×8 grayscale grid in the
+    * [[mediaFeaturesDf]] per-partition decoder; the signature-to-pairs
+    * half — the distributed part — is exactly this code path. */
+  private[graft] val DhashSegments = 57
+
+  /** doc_id → 56-bit dHash of the payload byte stream (BIGINT, top 8
+    * bits clear). Segment s covers 1-based char positions
+    * [1 + s·len/57, (s+1)·len/57]; empty segments (len < 57) sum to 0. */
+  private[graft] def dhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val n = DhashSegments
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, $n - 1), s ->
+           |  CASE WHEN ((s + 1) * len) div $n >= 1 + (s * len) div $n
+           |    THEN aggregate(
+           |           sequence(1 + (s * len) div $n, ((s + 1) * len) div $n),
+           |           CAST(0 AS BIGINT),
+           |           (acc, i) -> acc + ascii(substring(text, i, 1)))
+           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("ints"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(0, ${n - 2}), CAST(0 AS BIGINT), (acc, s) ->
+           |  acc + CASE WHEN ints[s] > ints[s + 1]
+           |    THEN shiftleft(CAST(1 AS BIGINT), ${n - 2} - s)
+           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("sig"))
+  }
+
+  /** q148: (a_id, b_id, hamming) media near-dup pairs at Hamming ≤ 3. */
+  def mediaNearDup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame =
+    Dedup.hammingBandPairs(dhashSignatures(spark, dir),
+      chunkBits = 7, maxHamming = maxHamming)
+
+  /** The q148 oracle's signature chain (DuckDB): same 57 ascii-sum
+    * intensities and gradient-sign packing, 1-based lists. */
+  private def dhashOracle: String = {
+    val n = DhashSegments
+    s"""d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |seg AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(range(0, $n), s -> coalesce(list_sum(
+       |      list_transform(range(1 + (s * len) // $n, ((s + 1) * len) // $n + 1),
+       |        i -> ascii(substr(text, CAST(i AS INT), 1)))), 0)) AS ints
+       |  FROM d),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, ${n - 1}),
+       |      s -> CASE WHEN ints[CAST(s + 1 AS INT)] > ints[CAST(s + 2 AS INT)]
+       |             THEN (CAST(1 AS BIGINT) << CAST(${n - 2} - s AS INT))
+       |             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM seg)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q148_media_neardup" ->
+      s"""WITH $dhashOracle
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     "q32_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
