@@ -50,7 +50,18 @@ object FamilyBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "FAMILY_BENCH.json"
-    val family = if (args.length > 2 && args(2) == "graph") GraphFamily else Family
+    // args(2): "graph" = the graph/agg head; a comma-separated query
+    // list = an explicit subset (the sf10 second-decade runs measure the
+    // superlinear-by-construction members without paying the whole
+    // family's wall clock at 100x); absent = the full doc family
+    val family =
+      if (args.length > 2 && args(2) == "graph") GraphFamily
+      else if (args.length > 2) {
+        val qs = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = qs.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        qs
+      } else Family
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,6 +86,7 @@ object FamilyBench {
         spark.catalog.clearCache()
         t
       }
+      System.err.println(f"FAMILY_PROGRESS $name ${times.min}%.3f")
       (name, times.min)
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

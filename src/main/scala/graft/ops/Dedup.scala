@@ -289,8 +289,8 @@ object Dedup {
     out
   }
 
-  private val NumHashes = 16
-  private val BandRows = 2 // 8 bands × 2 rows: P(candidate|j=0.5) ≈ 0.90
+  private[graft] val NumHashes = 16
+  private[graft] val BandRows = 2 // 8 bands × 2 rows: P(candidate|j=0.5) ≈ 0.90
 
   /** Carter-Wegman universal hash family over a 31-bit Mersenne-prime
     * field: h_i(x) = (a_i·x + b_i) mod (2^31 − 1). Products stay under
@@ -318,7 +318,7 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesOf(shingles(spark, dir))
 
-  private def signaturesOf(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+  private[graft] def signaturesOf(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
     val withBase = sh.withColumn("hv",
       expr(s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MersenneP"))
     val aggs = (0 until numHashes).map { s =>
@@ -351,22 +351,62 @@ object Dedup {
     // twice; one short row per doc is the cheapest thing in this plan to
     // cache
     val sig = signaturesOf(sh, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandCandidates(sig, numHashes, bandRows)
+    val out = verifyJaccard(cand, sh, threshold) // eager — safe to release inputs
+    sh.unpersist(false)
+    sig.unpersist(false)
+    out
+  }
+
+  /** Banded LSH candidate pairs over a (doc_id, h0..h{n-1}) signature
+    * frame: band hash = md5 of each band's rows (cast to string — both
+    * engines render a BIGINT as plain decimal digits, keeping the hash
+    * portable), bucket self-join on (band, bh), canonical a < b,
+    * distinct. Shared by q23 (which then verifies with EXACT jaccard
+    * against the shingle sets) and q149's state-only sweep (which
+    * verifies with the signature ESTIMATE — the text is gone). */
+  private[graft] def bandCandidates(sig: DataFrame, numHashes: Int = NumHashes,
+                                    bandRows: Int = BandRows): DataFrame = {
     val bandCols = (0 until numHashes / bandRows).map { b =>
-      // explicit cast: both engines render a BIGINT as plain decimal
-      // digits, keeping the band hash portable
       val cols = (0 until bandRows).map(r => col(s"h${b * bandRows + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val out = verifyJaccard(cand, sh, threshold) // eager — safe to release inputs
-    sh.unpersist(false)
-    sig.unpersist(false)
-    out
+  }
+
+  /** State-only near-dup sweep over a signature frame: banded candidates
+    * verified by the SIGNATURE estimate — match_cnt = |{i : h_i(a) =
+    * h_i(b)}|, the unbiased Broder estimator of jaccard scaled by
+    * numHashes (E[match_cnt] = j·numHashes), kept at match_cnt ≥
+    * `minMatch` (8/16 ≈ τ = 0.5). This is the verify step a STREAMING
+    * deployment can afford: the signature store is all that survives
+    * ingest (q149 discards text after the stateful min-fold), so exact
+    * shingle jaccard is unavailable by design — precision is traded for
+    * a verify that touches nothing but the two 16-long signatures.
+    * Exactly the q23 plan minus the shingle re-join: the candidate
+    * stage's cost model is unchanged, and the verify join moves
+    * signature rows (doc-count-sized), never shingles. */
+  private[graft] def estimatedPairsOf(sig: DataFrame, numHashes: Int = NumHashes,
+                                      bandRows: Int = BandRows,
+                                      minMatch: Int = NumHashes / 2): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must split evenly into bands")
+    def side(p: String) = sig.select(
+      col("doc_id").as(s"${p}_id") +:
+        (0 until numHashes).map(i => col(s"h$i").as(s"${p}h$i")): _*)
+    val matchCnt = (0 until numHashes)
+      .map(i => when(col(s"ah$i") === col(s"bh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bandCandidates(sig, numHashes, bandRows)
+      .join(side("a"), "a_id")
+      .join(side("b"), "b_id")
+      .withColumn("match_cnt", matchCnt.cast("int"))
+      .filter(col("match_cnt") >= minMatch)
+      .select(col("a_id"), col("b_id"), col("match_cnt"))
   }
 
   /** SimHash near-dup, Hamming ≤ 3 over 64-bit signatures — semantics:
@@ -578,7 +618,7 @@ object Dedup {
           .otherwise("kept").as("status"))
   }
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(0, greatest(len(t)-2, 0)),
       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
@@ -603,7 +643,7 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = b_id
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
 
-  private val minhashSigSql = {
+  private[graft] val minhashSigSql = {
     val mins = (0 until NumHashes).map { s =>
       val (a, b) = cwConstants(s)
       s"min(($a * hv + $b) % $MersenneP) AS h$s"
@@ -613,7 +653,7 @@ object Dedup {
        |  FROM sh) GROUP BY doc_id""".stripMargin
   }
 
-  private val minhashBandSql = {
+  private[graft] val minhashBandSql = {
     val cases = (0 until NumHashes / BandRows).map { b =>
       val parts = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
       s"WHEN $b THEN md5(${parts.mkString(" || '|' || ")})"

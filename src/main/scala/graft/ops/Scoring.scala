@@ -124,6 +124,74 @@ object Scoring {
         round(avg(-log((col("c") + lit(1.0)) / (col("cu") + col("v")))), 6).as("xent"))
   }
 
+  /** Per-doc trigram instances as (w1, w2, w3) columns — the q95 bigram
+    * stream one order higher. Map-side: transform/explode, no shuffle. */
+  private def trigramsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(0, size(toks)-3),
+          |         i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))
+          |  ELSE array() END""".stripMargin)).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+
+  private val BackoffAlpha = 0.4
+
+  /** q150: held-out trigram cross-entropy under STUPID BACKOFF (Brants,
+    * Popat, Xu, Och & Dean, "Large Language Models in Machine
+    * Translation", EMNLP 2007 §4 — the smoothing DESIGNED for
+    * distributed count-table LMs: no discounting state, just
+    * S(w₃|w₁w₂) = c₃/c₂ when the trigram was seen, else α·S(w₃|w₂),
+    * else α²·(c₁+1)/(N+V) at the add-one unigram floor; α = 0.4).
+    *
+    * Unlike q95 (which scores the corpus under its own bigram counts),
+    * this is a HELD-OUT evaluation — the methodologically honest LM
+    * quality signal: the model trains on the ~3/4 md5-hash split of
+    * documents (the q91/q50 content-independent convention,
+    * md5(doc_id) < 'c0') and scores only the held-out rest, so unseen
+    * trigrams actually occur and the backoff chain is exercised for
+    * real (ScoringSpec asserts it fires). Scores are per held-out doc:
+    * xent = −mean ln S, 6-dp rounded (the q49/q95 float discipline).
+    *
+    * Scale shape: the model is three count AGGREGATES of the train
+    * split (trigram, bigram, unigram tables — exactly the sharded
+    * count-table layout of Brants et al. at 2T tokens); scoring joins
+    * each held-out trigram instance against them (large-fact ⋈
+    * model-dim, AQE broadcasts what fits) and N/V ride a 1-row
+    * broadcast. Nothing rescans the corpus. */
+  def trigramBackoffXent(spark: SparkSession, dir: String): DataFrame = {
+    val isTrain = md5(col("doc_id").cast("string")) < lit("c0")
+    val tg = trigramsOf(spark, dir)
+    val c3 = tg.filter(isTrain).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val bg = bigramsOf(spark, dir).select(col("doc_id"),
+      split(col("bg"), " ").getItem(0).as("u"),
+      split(col("bg"), " ").getItem(1).as("v"))
+    val c2 = bg.filter(isTrain).groupBy("u", "v").agg(count(lit(1)).as("c2"))
+    val un = toksOf(spark, dir)
+    val c1 = un.filter(isTrain).groupBy("tok").agg(count(lit(1)).as("c1"))
+    val stats = un.filter(isTrain)
+      .agg(count(lit(1)).as("n"), count_distinct(col("tok")).as("v"))
+    // c3 non-null ⇒ the context bigram was in train ⇒ c2ctx non-null;
+    // c2low non-null ⇒ w2 was in train ⇒ c1mid non-null — no branch
+    // can divide by null
+    val s = tg.filter(!isTrain)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.withColumnsRenamed(Map("u" -> "w1", "v" -> "w2", "c2" -> "c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(c2.withColumnsRenamed(Map("u" -> "w2", "v" -> "w3", "c2" -> "c2low")),
+        Seq("w2", "w3"), "left")
+      .join(c1.withColumnsRenamed(Map("tok" -> "w2", "c1" -> "c1mid")), Seq("w2"), "left")
+      .join(c1.withColumnsRenamed(Map("tok" -> "w3", "c1" -> "c1last")), Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+    val score = when(col("c3").isNotNull, col("c3") / col("c2ctx"))
+      .when(col("c2low").isNotNull, lit(BackoffAlpha) * col("c2low") / col("c1mid"))
+      .otherwise(lit(BackoffAlpha * BackoffAlpha) *
+        (coalesce(col("c1last"), lit(0L)) + lit(1.0)) / (col("n") + col("v")))
+    s.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), round(avg(-log(score)), 6).as("xent"))
+  }
+
   private val DsirBuckets = 256
 
   /** q96: DSIR importance weights. Features are hashed bigrams
@@ -322,6 +390,40 @@ object Scoring {
          |JOIN uc ON uc.u = split_part(b.bg, ' ', 1)
          |CROSS JOIN vocab
          |GROUP BY b.doc_id""".stripMargin,
+    "q150_trigram_backoff" ->
+      s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+         |  FROM documents),
+         |tg AS (SELECT doc_id, h,
+         |    unnest(list_transform(range(0, greatest(len(t)-2, 0)),
+         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+         |  FROM d),
+         |tg3 AS (SELECT doc_id, h, split_part(g, ' ', 1) AS w1,
+         |    split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3 FROM tg),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg3 WHERE h < 'c0' GROUP BY 1, 2, 3),
+         |bg AS (SELECT h, unnest(list_transform(range(0, greatest(len(t)-1, 0)),
+         |      i -> t[i+1] || ' ' || t[i+2])) AS b
+         |  FROM d),
+         |c2 AS (SELECT split_part(b, ' ', 1) AS u, split_part(b, ' ', 2) AS v, count(*) AS c2
+         |  FROM bg WHERE h < 'c0' GROUP BY 1, 2),
+         |un AS (SELECT h, unnest(t) AS w FROM d),
+         |c1 AS (SELECT w, count(*) AS c1 FROM un WHERE h < 'c0' AND w <> '' GROUP BY 1),
+         |st AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM un WHERE h < 'c0' AND w <> '')
+         |SELECT s.doc_id, count(*) AS n_trigrams,
+         |  round(avg(-ln(CASE
+         |    WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / cctx.c2
+         |    WHEN clow.c2 IS NOT NULL THEN $BackoffAlpha * CAST(clow.c2 AS DOUBLE) / cmid.c1
+         |    ELSE ${BackoffAlpha * BackoffAlpha} * (coalesce(clast.c1, 0) + 1.0) / (st.n + st.v)
+         |  END)), 6) AS xent
+         |FROM tg3 s
+         |LEFT JOIN c3 ON c3.w1 = s.w1 AND c3.w2 = s.w2 AND c3.w3 = s.w3
+         |LEFT JOIN c2 cctx ON cctx.u = s.w1 AND cctx.v = s.w2
+         |LEFT JOIN c2 clow ON clow.u = s.w2 AND clow.v = s.w3
+         |LEFT JOIN c1 cmid ON cmid.w = s.w2
+         |LEFT JOIN c1 clast ON clast.w = s.w3
+         |CROSS JOIN st
+         |WHERE s.h >= 'c0'
+         |GROUP BY 1""".stripMargin,
     "q96_dsir_weights" ->
       s"""WITH $dsirWeightsSql
          |SELECT doc_id, lang, log_weight FROM dw""".stripMargin,

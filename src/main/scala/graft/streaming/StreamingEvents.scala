@@ -223,10 +223,77 @@ object StreamingEvents {
     freeze(spark, name)
   }
 
+  /** q149: STREAMING MinHash near-dup — the dedup-family member of the
+    * §2.9 batch≡stream discipline, split the way a 100 TB deployment
+    * actually splits it:
+    *
+    *  - The STREAMING half maintains the SIGNATURE STORE: MinHash rows
+    *    are mins under element-wise min (an algebraic aggregate), so
+    *    the stateful aggregation state IS the store — one 16-min row
+    *    per doc — and every micro-batch's shingles fold in exactly the
+    *    way per-shard signatures merge in the batch world. Text is
+    *    DISCARDED at ingest; only signatures survive. No watermark:
+    *    a doc's signature must stay updatable forever (late shards of
+    *    a doc re-minimize correctly — min is idempotent/commutative).
+    *  - The pair sweep is a periodic BATCH job over the frozen state
+    *    ([[graft.ops.Dedup.estimatedPairsOf]]: q23's banding + the
+    *    signature-estimate verify, match_cnt ≥ 8 of 16 ≈ j ≥ 0.5).
+    *    That split — continuous cheap ingest, periodic sweep — is the
+    *    production shape: the sweep's cost model is q23's candidate
+    *    stage, independent of how the signatures arrived.
+    *
+    * Under AvailableNow the final signature state provably equals batch
+    * [[graft.ops.Dedup.minhashSignatures]] (same aggregate, same input,
+    * order-free), so the composition equals the batch SQL the oracle
+    * states; StreamingSpec also proves the multi-batch fold (two files,
+    * maxFilesPerTrigger = 1 → identical final state). */
+  private[graft] def streamMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val sig = graft.ops.Dedup.signaturesOf(graft.ops.Dedup.shinglesOf(docs))
+    val name = s"stream_minhash_${System.nanoTime()}"
+    val q = sig.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freeze(spark, name)
+  }
+
+  /** q149: (a_id, b_id, match_cnt) near-dup pairs from the streamed
+    * signature store — see [[streamMinhashSignatures]]. */
+  def streamMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.estimatedPairsOf(streamMinhashSignatures(spark, dir))
+
   /** Oracle: identical to the batch queries — the point. */
   val oracle: Map[String, String] = Map(
     // q144 ≡ q141: the stream's final state is the batch sketch
     "q144_stream_cms" -> graft.ops.Sketches.oracle("q141_cms_registers"),
+    // q149: the streamed signature store's final state is the batch
+    // signature table, so the sweep equals this all-batch statement —
+    // q23's banding CTEs + the signature-estimate verify
+    "q149_stream_minhash" -> {
+      val cases = (0 until graft.ops.Dedup.NumHashes)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS (${graft.ops.Dedup.shinglesSql}),
+         |sig AS (${graft.ops.Dedup.minhashSigSql}),
+         |bk AS (${graft.ops.Dedup.minhashBandSql}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id, match_cnt FROM (
+         |  SELECT c.a_id, c.b_id, CAST($cases AS INT) AS match_cnt
+         |  FROM cand c
+         |  JOIN sig a ON a.doc_id = c.a_id
+         |  JOIN sig b ON b.doc_id = c.b_id)
+         |WHERE match_cnt >= ${graft.ops.Dedup.NumHashes / 2}""".stripMargin
+    },
     "q102_stream_static" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -31,6 +31,41 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall below 0.8")
   }
 
+  test("estimated pair sweep (q149's verify): exact-dup pairs score 16/16, estimator tracks exact jaccard") {
+    val sig = Dedup.minhashSignatures(spark, sf)
+    val est = Dedup.estimatedPairsOf(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    est.foreach { case ((a, b), m) =>
+      assert(a < b, "pairs must be canonical a < b")
+      assert(m >= 8 && m <= 16, s"match_cnt out of range: (($a,$b)) -> $m")
+    }
+    // identical normalized text ⇒ identical shingle set ⇒ identical
+    // signature ⇒ the pair MUST surface at exactly 16/16 — the
+    // deterministic floor of the estimator's guarantee. The sf0.001
+    // fixture plants near-dups but no byte-identical pair, so plant
+    // one: clone the min doc under a fresh id and sweep the augmented
+    // corpus.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val src = docs.orderBy("doc_id").limit(1)
+    val aug = docs.unionByName(
+      src.select((col("doc_id") * 0 + lit(maxId + 1)).as("doc_id"), col("text")))
+    val augEst = Dedup.estimatedPairsOf(Dedup.signaturesOf(Dedup.shinglesOf(aug)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val planted = (src.head.getLong(0), maxId + 1)
+    assert(augEst.get(planted).contains(16),
+      s"planted exact-dup pair $planted missing or below 16: ${augEst.get(planted)}")
+    // the estimate is an unbiased j·16: every surfaced pair's exact
+    // jaccard should sit near match_cnt/16 (loose band — 16 hashes)
+    val exact = bruteJaccard(0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    est.foreach { case (p, m) =>
+      val j = exact.getOrElse(p, 0.0)
+      assert(math.abs(m / 16.0 - j) <= 0.45,
+        s"estimate ${m / 16.0} far from exact $j for $p")
+    }
+  }
+
   test("simhash banding equals brute-force Hamming<=3 (exact-recall pigeonhole)") {
     val sig = Dedup.simhashSignatures(spark, sf)
     val brute = sig.as("a").crossJoin(sig.as("b"))

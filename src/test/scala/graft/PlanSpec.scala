@@ -144,6 +144,15 @@ class PlanSpec extends SparkSpec {
       s"no sort-merge anywhere — the only real shuffle is the final per-doc groupBy:\n$p")
   }
 
+  test("q150 trigram backoff: no window, no cartesian blowup; model aggregates combine map-side") {
+    val p = plan(q("q150_trigram_backoff"))
+    assert(!p.contains("Window"), s"no per-doc window anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only all-pairs-shaped node allowed is the 1-row N/V broadcast:\n$p")
+    assert(p.contains("partial"),
+      s"trigram/bigram/unigram count tables must combine map-side:\n$p")
+  }
+
   test("q97 PageRank iteration: contributions combine map-side; count rides a broadcast") {
     // the eager per-round checkpoints hide iteration internals from the
     // final q97 plan — assert on one iteration's own plan instead

@@ -95,4 +95,58 @@ class ScoringSpec extends SparkSpec {
     assert(m(true) > m(false),
       s"target mean ${m(true)} not above raw mean ${m(false)}")
   }
+
+  test("trigram backoff (q150): equals an independent in-memory reference; every backoff branch fires") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      .split(" ").filter(_.nonEmpty).toSeq
+    val (train, heldOut) = docs.partition { case (id, _) => md5hex(id.toString) < "c0" }
+    assert(train.nonEmpty && heldOut.nonEmpty, "the md5 split must cut both ways")
+    val tt = train.map { case (_, t) => toks(t) }
+    def grams(k: Int) = tt.flatMap(_.sliding(k).filter(_.size == k))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (c3, c2, c1m) = (grams(3), grams(2), grams(1))
+    def c1(w: String) = c1m.get(Seq(w))
+    val n = tt.map(_.size.toLong).sum
+    val v = c1m.size.toLong
+    var hits = 0L; var bigramBackoffs = 0L; var floors = 0L
+    val expected = heldOut.flatMap { case (id, t) =>
+      val tk = toks(t)
+      if (tk.size < 3) None
+      else {
+        // the stupid-backoff chain, mirroring the operator's arithmetic
+        // shape exactly (same association order, same promotions)
+        val ss = tk.sliding(3).toSeq.map { w =>
+          if (c3.contains(w)) { hits += 1; c3(w).toDouble / c2(w.take(2)) }
+          else if (c2.contains(w.drop(1))) {
+            bigramBackoffs += 1; 0.4 * c2(w.drop(1)) / c1(w(1)).get
+          } else {
+            floors += 1; 0.4 * 0.4 * (c1(w(2)).getOrElse(0L) + 1.0) / (n + v)
+          }
+        }
+        Some(id -> (ss.size.toLong,
+          BigDecimal(-ss.map(math.log).sum / ss.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toMap
+    // held-out scoring must exercise the whole chain — an in-corpus
+    // self-scored variant would leave the backoff branches dead code
+    assert(hits > 0 && bigramBackoffs > 0 && floors > 0,
+      s"branch coverage: hits=$hits backoffs=$bigramBackoffs floors=$floors")
+    val got = graft.ops.Scoring.trigramBackoffXent(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet,
+      s"scored-doc set differs: only-got=${(got.keySet -- expected.keySet).take(3)} only-exp=${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (id, (ntg, xent)) =>
+      assert(got(id)._1 == ntg, s"doc $id trigram count ${got(id)._1} != $ntg")
+      // 6-dp agreement with a last-ulp rounding-boundary allowance
+      assert(math.abs(got(id)._2 - xent) <= 1.01e-6,
+        s"doc $id xent ${got(id)._2} != $xent")
+    }
+    // no trained doc leaks into the score set
+    assert(!train.exists { case (id, _) => got.contains(id) })
+  }
 }

@@ -242,5 +242,40 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("streaming MinHash signature store equals the batch signature table (q149)") {
+    val streamed = graft.streaming.StreamingEvents.streamMinhashSignatures(spark, sf)
+    assert(streamed.count() > 0)
+    assertSameRows(streamed, graft.ops.Dedup.minhashSignatures(spark, sf))
+  }
+
+  test("streaming MinHash folds across micro-batches: per-file triggers, same final state") {
+    // two files, maxFilesPerTrigger = 1 → the signature store must
+    // re-minimize incrementally (min is commutative/idempotent), landing
+    // on the batch table regardless of arrival slicing
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("stream_minhash_mb").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sig = graft.ops.Dedup.signaturesOf(graft.ops.Dedup.shinglesOf(stream))
+    val name = s"mb_minhash_${System.nanoTime()}"
+    val q = sig.writeStream.outputMode("complete").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the fold must have seen at least two non-empty micro-batches")
+    assertSameRows(spark.table(name), graft.ops.Dedup.minhashSignatures(spark, sf))
+  }
+
+  test("streaming MinHash pairs equal the batch sweep over batch signatures (q149 end-to-end)") {
+    val streamed = graft.streaming.StreamingEvents.streamMinhashPairs(spark, sf)
+    val batch = graft.ops.Dedup.estimatedPairsOf(
+      graft.ops.Dedup.minhashSignatures(spark, sf))
+    assert(streamed.count() > 0, "sf0.001 plants near-dups — the sweep must find them")
+    assertSameRows(streamed, batch)
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
