@@ -246,6 +246,17 @@ object Curation {
       .filter(!(col("doc_id") === col("k_doc") && col("pos") === col("k_pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    cutRebuild(toks, cuts, L)
+  }
+
+  /** Span-removal rebuild shared by q138 and q152: given (doc_id, toks)
+    * and per-doc sorted cut-start lists `ss` (each cut covering
+    * [s, s+L)), merge the starts into disjoint intervals and emit the
+    * kept text. Map-side after one doc_id equi-join — sorted cut starts
+    * fold into intervals with a per-doc aggregate(), and the kept text
+    * is the concatenation of the gap slices: no window, no per-token
+    * explode on the rebuild side. */
+  private def cutRebuild(toks: DataFrame, cuts: DataFrame, L: Int): DataFrame = {
     // sorted cut starts → disjoint merged intervals [st, en); all spans
     // have length L and ss is ascending, so a start s extends the last
     // interval iff s <= last.en
@@ -274,6 +285,47 @@ object Curation {
             |          ELSE element_at(iv, k + 1).st END)
             |      - (CASE WHEN k = 0 THEN 0 ELSE element_at(iv, k).en END)))))"""
             .stripMargin).as("text_clean"))
+  }
+
+  /** q152: span-level train/eval decontamination APPLY — the surgical
+    * upgrade of q79's doc-level gate (and the decontamination
+    * counterpart of q138): instead of DROPPING every training document
+    * that shares an L-gram with the eval split, remove exactly the
+    * contaminated spans and keep the rest of the document (the GPT-3
+    * Appendix C discipline — Brown et al. 2020 excised 13-gram
+    * collision windows rather than whole documents; L = q133's span
+    * knob here, same synthetic-corpus rationale). A train token is cut
+    * iff some eval-shared L-gram covers it, so the removed region is
+    * the interval union over contaminated gram starts — q138's exact
+    * machinery with the cut set swapped: occurrences of EVAL grams in
+    * train docs, not non-first duplicate occurrences.
+    *
+    * Scale shape: document text never enters a shuffle — both sides
+    * reduce to (doc_id, pos, 16-byte md5 gram id) rows, contamination
+    * is a LEFT SEMI join on the hash (eval's distinct gram set is the
+    * small side at 100 TB — benchmarks are finite — eligible for
+    * runtime bloom injection), and the rebuild is the shared map-side
+    * interval fold. Output: every train doc with its cleaned text —
+    * docs with no contamination pass through verbatim (spec-pinned),
+    * fully-contaminated docs come out empty rather than silently
+    * surviving. */
+  def decontamSpanApply(spark: SparkSession, dir: String,
+                        minSpan: Int = MinSpanTokens): DataFrame =
+    decontamApplyOf(Tables.documents(spark, dir), minSpan)
+
+  private[graft] def decontamApplyOf(docs: DataFrame, L: Int): DataFrame = {
+    require(L > 0, "span length must be positive")
+    val toks = docs.select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+    // filter-first (the q79 rule): each side grams only ITS documents,
+    // so every doc is grammed exactly once across the two branches
+    val trainToks = toks.filter(!isEval(col("doc_id")))
+    val evalGrams = sdGrams(toks.filter(isEval(col("doc_id"))), L)
+      .select(col("h")).distinct()
+    val cuts = sdGrams(trainToks, L)
+      .join(evalGrams, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    cutRebuild(trainToks, cuts, L)
   }
 
   /** q146/q147 boilerplate knobs: L-gram span and the document-frequency
@@ -799,6 +851,34 @@ object Curation {
          |  coalesce(rb.kept_tok, 0) AS kept_tok,
          |  coalesce(rb.text_clean, '') AS text_clean
          |FROM t LEFT JOIN rb USING (doc_id)""".stripMargin,
+    // q152: the q138 coverage/rebuild chain with the cut set swapped to
+    // eval-shared grams; only train docs are emitted.
+    "q152_decontam_apply" ->
+      s"""WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) >= 'e6' AS ev,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, ev,
+         |    unnest(range(0, greatest(len(toks) - $MinSpanTokens + 1, 0))) AS pos,
+         |    unnest(list_transform(range(0, greatest(len(toks) - $MinSpanTokens + 1, 0)),
+         |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + $MinSpanTokens AS INT)], ' '))) AS gram
+         |  FROM t),
+         |evg AS (SELECT DISTINCT gram FROM g WHERE ev),
+         |cut AS (SELECT doc_id, pos FROM g
+         |  WHERE NOT ev AND gram IN (SELECT gram FROM evg)),
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS p
+         |  FROM cut, (SELECT unnest(range(0, $MinSpanTokens)) AS i)),
+         |tk AS (SELECT doc_id,
+         |    unnest(range(0, len(toks))) AS p, unnest(toks) AS tok FROM t WHERE NOT ev),
+         |kp AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+         |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
+         |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+         |  FROM kp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |  coalesce(rb.kept_tok, 0) AS kept_tok,
+         |  coalesce(rb.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN rb USING (doc_id) WHERE NOT t.ev""".stripMargin,
     "q89_chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t

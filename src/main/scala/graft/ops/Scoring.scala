@@ -192,6 +192,74 @@ object Scoring {
       .agg(count(lit(1)).as("n_trigrams"), round(avg(-log(score)), 6).as("xent"))
   }
 
+  private val NbTargetLang = "en"
+
+  /** q151: multinomial Naive Bayes domain/quality classifier — the
+    * LEARNED member of the data-selection family (the GPT-3 Appendix A
+    * quality-filter shape: train a cheap classifier on
+    * curated-vs-crawl, score the crawl; Brown et al. 2020 used
+    * logistic regression over hashed features, and multinomial NB is
+    * the count-table analog that trains as pure aggregation — the same
+    * reason Brants et al. smoothing fits this engine, McCallum &
+    * Nigam, AAAI-98 WS). The target class is the `lang = en` slice
+    * (the q96 DSIR convention for "the distribution we want more of");
+    * training docs are the md5(doc_id) < 'c0' ~3/4 split (the q150
+    * held-out discipline — scores are only meaningful on docs the
+    * model never counted).
+    *
+    * Model: per-token class counts c_pos/c_neg with add-one smoothing
+    * over the train vocabulary V, doc-count priors; per held-out doc
+    * log-odds = ln(n_pos/n_neg) + Σ_tok [ln p̂(tok|pos) − ln p̂(tok|neg)],
+    * 6-dp rounded (the q49/q96 float discipline — the rounded value
+    * also decides `pred_target`, the q107 compare-on-rounded rule).
+    * Out-of-vocabulary tokens still contribute the smoothing-floor
+    * log-ratio ln((T_neg+V)/(T_pos+V)) — standard NB, not a skip.
+    *
+    * Scale shape: the model is ONE aggregate of the train token stream
+    * (vocab-sized, two conditional sums — no per-class passes); corpus
+    * totals and priors ride 1-row broadcasts; scoring is the held-out
+    * token stream ⋈ vocab-dim (AQE broadcasts when it fits) plus one
+    * groupBy(doc). Nothing rescans the corpus; the synthetic corpus has
+    * no real lexical lang signal, so log-odds land near the prior
+    * (ScoringSpec proves actual LEARNING on a planted class-correlated
+    * fixture, and proves the arithmetic against an in-memory
+    * reference). */
+  private[graft] def nbScores(docs: DataFrame, target: String = NbTargetLang): DataFrame = {
+    val isTrain = md5(col("doc_id").cast("string")) < lit("c0")
+    val isPos = col("lang") === target
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val train = toks.filter(isTrain)
+    val tc = train.groupBy(col("tok")).agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("cp"),
+      count(lit(1)).as("ct"))
+    val stats = train.agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("tp"),
+      count(lit(1)).as("tall"),
+      count_distinct(col("tok")).as("v"))
+    val priors = docs.filter(isTrain)
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("np"), count(lit(1)).as("nd"))
+    val term =
+      log((coalesce(col("cp"), lit(0L)) + lit(1.0)) / (col("tp") + col("v"))) -
+        log((coalesce(col("ct") - col("cp"), lit(0L)) + lit(1.0)) /
+          (col("tall") - col("tp") + col("v")))
+    toks.filter(!isTrain)
+      .join(tc, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(term).as("s"))
+      .crossJoin(broadcast(priors))
+      .withColumn("log_odds",
+        round(log(col("np").cast("double") / (col("nd") - col("np"))) + col("s"), 6))
+      .withColumn("pred_target", col("log_odds") > lit(0.0))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("log_odds"), col("pred_target"))
+  }
+
+  def nbClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbScores(Tables.documents(spark, dir))
+
   private val DsirBuckets = 256
 
   /** q96: DSIR importance weights. Features are hashed bigrams
@@ -424,6 +492,34 @@ object Scoring {
          |CROSS JOIN st
          |WHERE s.h >= 'c0'
          |GROUP BY 1""".stripMargin,
+    "q151_nb_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) < 'c0' AS tr,
+         |    unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM documents),
+         |tt AS (SELECT * FROM t WHERE tok <> ''),
+         |tc AS (SELECT tok,
+         |    sum(CASE WHEN lang = '$NbTargetLang' THEN 1 ELSE 0 END) AS cp,
+         |    count(*) AS ct
+         |  FROM tt WHERE tr GROUP BY 1),
+         |st AS (SELECT
+         |    sum(CASE WHEN lang = '$NbTargetLang' THEN 1 ELSE 0 END) AS tp,
+         |    count(*) AS tall, count(DISTINCT tok) AS v
+         |  FROM tt WHERE tr),
+         |pr AS (SELECT
+         |    sum(CASE WHEN lang = '$NbTargetLang' THEN 1 ELSE 0 END) AS np,
+         |    count(*) AS nd
+         |  FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < 'c0'),
+         |sums AS (
+         |  SELECT doc_id, lang, count(*) AS n_tok,
+         |    sum(ln((coalesce(cp, 0) + 1.0)/(tp + v))
+         |      - ln((coalesce(ct - cp, 0) + 1.0)/(tall - tp + v))) AS s
+         |  FROM tt LEFT JOIN tc USING (tok) CROSS JOIN st
+         |  WHERE NOT tr GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_tok,
+         |  round(ln(CAST(np AS DOUBLE)/(nd - np)) + s, 6) AS log_odds,
+         |  round(ln(CAST(np AS DOUBLE)/(nd - np)) + s, 6) > 0 AS pred_target
+         |FROM sums CROSS JOIN pr""".stripMargin,
     "q96_dsir_weights" ->
       s"""WITH $dsirWeightsSql
          |SELECT doc_id, lang, log_weight FROM dw""".stripMargin,

@@ -300,6 +300,64 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontam apply (q152): cut set matches ground truth; train docs only") {
+    val L = 8
+    val out = graft.ops.Curation.decontamSpanApply(spark, sf, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val (evalD, trainD) = docs.partition { case (id, _) => md5hex(id.toString) >= "e6" }
+    assert(evalD.nonEmpty && trainD.nonEmpty, "the md5 split must cut both ways")
+    val evalGrams = evalD.flatMap { case (_, toks) =>
+      toks.sliding(L).filter(_.size == L).map(_.mkString(" "))
+    }.toSet
+    val cutPos = trainD.flatMap { case (id, toks) =>
+      (0 to toks.length - L)
+        .filter(i => evalGrams(toks.slice(i, i + L).mkString(" ")))
+        .flatMap(i => (i until i + L).map(id -> _))
+    }.toSet
+    assert(cutPos.nonEmpty, "fixture must exercise the operator")
+    assert(out.keySet == trainD.map(_._1).toSet,
+      "output must be exactly the train docs — eval never emitted, clean docs never dropped")
+    trainD.foreach { case (id, toks) =>
+      val (nTok, keptTok, text) = out(id)
+      assert(nTok == toks.length, s"doc $id token count")
+      val truth = toks.zipWithIndex.collect { case (t, i) if !cutPos(id -> i) => t }
+      assert(text == truth.mkString(" "), s"doc $id rebuilt text")
+      assert(keptTok == truth.size, s"doc $id kept count")
+    }
+  }
+
+  test("decontam apply (q152): planted contamination excised, clean doc verbatim") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // pick ids on each side of the operator's own split rule
+    val ids = 0L until 200L
+    val evalId = ids.find(id => md5hex(id.toString) >= "e6").get
+    val trainIds = ids.filter(id => md5hex(id.toString) < "e6").take(2)
+    val passage = (1 to 8).map(i => s"copy$i").mkString(" ")
+    val df = Seq(
+      (evalId, s"$passage tail1 tail2"),
+      (trainIds(0), s"lead1 lead2 $passage end1 end2"),
+      (trainIds(1), "clean doc with no shared grams at all here")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.decontamApplyOf(df, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out.keySet == trainIds.toSet, "exactly the train docs come back")
+    // the planted 8-gram (and only it) is excised
+    assert(out(trainIds(0)) == ((12L, 4L, "lead1 lead2 end1 end2")),
+      s"contaminated doc: ${out(trainIds(0))}")
+    // an uncontaminated doc passes through verbatim
+    assert(out(trainIds(1)) == ((9L, 9L, "clean doc with no shared grams at all here")),
+      s"clean doc: ${out(trainIds(1))}")
+  }
+
   test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
     val (w, s) = (16, 12)
     val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()

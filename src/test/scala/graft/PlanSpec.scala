@@ -391,6 +391,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q151 nb classifier: map-side model partials, no window, no cartesian fact join") {
+    val p = plan(q("q151_nb_classifier"))
+    assert(!p.contains("Window"),
+      s"NB is aggregates + joins, never a window:\n$p")
+    // the 1-row stats/priors cross-joins legitimately compile to
+    // BroadcastNestedLoopJoin(Cross, BuildRight) — ban only the
+    // unbroadcast form
+    assert(!p.contains("CartesianProduct"),
+      s"the stats/priors frames must broadcast, not go cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin [tok"),
+      s"the vocab model must broadcast to the held-out token stream:\n$p")
+    assert(p.contains("partial"),
+      s"class counts must combine map-side before the vocab shuffle:\n$p")
+  }
+
+  test("q152 decontam apply: positions-only cut lists, no text in any shuffle, no window") {
+    val df = q("q152_decontam_apply")
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"the rebuild must fold intervals per doc, never window:\n$p")
+    assert(p.contains("partial_collect_list(pos"),
+      s"cut-start lists must collect POSITIONS, not text:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the contamination probe must stay an equi-join on the gram hash:\n$p")
+    // the q146/q147 no-text-in-shuffle contract, checked on real exchanges
+    exchangeOutputs(df).foreach { cols =>
+      assert(!cols.exists(Set("text", "toks")),
+        s"an exchange carries raw text [${cols.mkString(", ")}]:\n$p")
+    }
+  }
+
   test("q134 bpe: no window; argmax is bounded TakeOrderedAndProject; rewrite broadcasts") {
     val p = plan(graft.ops.Bpe.bpeMerges(spark, sf, rounds = 2))
     assert(!p.contains("Window"), s"no rank window anywhere in the trainer:\n$p")

@@ -149,4 +149,78 @@ class ScoringSpec extends SparkSpec {
     // no trained doc leaks into the score set
     assert(!train.exists { case (id, _) => got.contains(id) })
   }
+
+  test("nb classifier (q151): equals an independent in-memory reference; held-out only") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      .split(" ").filter(_.nonEmpty).toSeq
+    val (train, heldOut) = docs.partition { case (id, _, _) => md5hex(id.toString) < "c0" }
+    assert(train.exists(_._2 == "en") && train.exists(_._2 != "en"),
+      "train split must contain both classes for the priors to exist")
+    val trainTok = train.flatMap { case (_, lang, t) => toks(t).map(lang -> _) }
+    val cp = trainTok.filter(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cAll = trainTok.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tp = trainTok.count(_._1 == "en").toLong
+    val tall = trainTok.size.toLong
+    val v = cAll.size.toLong
+    val np = train.count(_._2 == "en").toLong
+    val nd = train.size.toLong
+    val expected = heldOut.flatMap { case (id, lang, t) =>
+      val tk = toks(t)
+      if (tk.isEmpty) None
+      else {
+        val s = tk.map { w =>
+          math.log((cp.getOrElse(w, 0L) + 1.0) / (tp + v)) -
+            math.log((cAll.getOrElse(w, 0L) - cp.getOrElse(w, 0L) + 1.0) / (tall - tp + v))
+        }.sum
+        val lo = BigDecimal(math.log(np.toDouble / (nd - np)) + s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> (lang, tk.size.toLong, lo))
+      }
+    }.toMap
+    val got = graft.ops.Scoring.nbClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got.keySet == expected.keySet,
+      s"scored-doc set differs: only-got=${(got.keySet -- expected.keySet).take(3)} only-exp=${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (id, (lang, ntok, lo)) =>
+      val (gLang, gNtok, gLo, gPred) = got(id)
+      assert(gLang == lang && gNtok == ntok, s"doc $id identity columns")
+      // 6-dp agreement with a last-ulp rounding-boundary allowance
+      assert(math.abs(gLo - lo) <= 1.01e-6, s"doc $id log_odds $gLo != $lo")
+      // the ROUNDED value decides the prediction (the q107 rule)
+      assert(gPred == (gLo > 0.0), s"doc $id pred/rounded-score disagreement")
+    }
+    assert(!train.exists { case (id, _, _) => got.contains(id) },
+      "no trained doc may be scored")
+  }
+
+  test("nb classifier (q151): learns a planted class-separated vocabulary") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // partition candidate ids by the operator's own split rule, then
+    // assign classes alternately WITHIN each side so both classes appear
+    // in both splits regardless of how the hash falls
+    val ids = 0L until 200L
+    val (trainIds, heldIds) = ids.partition(id => md5hex(id.toString) < "c0")
+    def mk(part: Seq[Long]) = part.zipWithIndex.map { case (id, i) =>
+      if (i % 2 == 0) (id, "en", "apple banana cherry date elder fig grape")
+      else (id, "xx", "zebra yak xylophone walrus vulture umbrella tapir")
+    }
+    assert(mk(heldIds).exists(_._2 == "en") && mk(heldIds).exists(_._2 == "xx"))
+    val df = (mk(trainIds) ++ mk(heldIds)).toDF("doc_id", "lang", "text")
+    val out = graft.ops.Scoring.nbScores(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == heldIds.size, "every held-out doc must be scored")
+    // disjoint class vocabularies → decisive, correct separation
+    out.foreach { case (id, lang, lo, pred) =>
+      assert(pred == (lang == "en"), s"doc $id ($lang) misclassified: log_odds=$lo")
+      if (lang == "en") assert(lo > 1.0, s"doc $id margin too small: $lo")
+      else assert(lo < -1.0, s"doc $id margin too small: $lo")
+    }
+  }
 }
