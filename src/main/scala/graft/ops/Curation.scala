@@ -397,6 +397,71 @@ object Curation {
       .withColumn("flag", col("boiler_frac") >= BoilerFracFlag)
   }
 
+  /** q154 expected chunk length (tokens): a boundary fires when the
+    * straddling-pair hash ≡ 0 (mod CdcDivisor). Real byte-level CDC
+    * (LBFS) uses 48-byte Rabin windows and 2–8 KB targets; a 2-token
+    * window with D = 8 puts ~5 boundaries in the synthetic ~40-token
+    * docs so the operator and its robustness law actually exercise. */
+  private val CdcDivisor = 8
+
+  /** q154: content-defined chunking (Muthitacharoen, Chen & Mazières,
+    * LBFS, SOSP 2001; the FastCDC lineage) — the insertion-robust
+    * upgrade of q89's fixed chunk grid. A fixed grid re-fingerprints an
+    * ENTIRE document after a one-token insertion (every later chunk
+    * shifts); content-defined boundaries are anchored to the content
+    * itself — a chunk break falls before position j iff the md5-int of
+    * the straddling token pair (tok_{j−1}, tok_j) ≡ 0 mod `d` — so an
+    * edit perturbs only the chunks that contain it and every chunk
+    * after the next anchor fingerprints identically (the law
+    * CurationOpsSpec pins with a planted insertion). This is how
+    * storage/transfer dedup finds shared content across document
+    * versions, and the chunk-store shape incremental corpus ingestion
+    * (q91's delta discipline) wants: re-crawled pages share all but
+    * O(1) chunks with their previous version.
+    *
+    * Output: one row per chunk — dense per-doc chunk_id, 0-based
+    * start_tok, chunk_len, md5 fingerprint, and the corpus-wide
+    * occurrence count of that fingerprint (n_occ > 1 = the chunk is
+    * shared/duplicated somewhere).
+    *
+    * Scale shape: chunking is entirely map-side (one transform/filter
+    * over each doc's token array — per-doc bounded, no window); the
+    * only shuffle is the fingerprint groupBy (16-byte-hash keys), and
+    * the count join-back keys on the fingerprint with no text column
+    * in any exchange (chunk text never leaves the map side — the
+    * output carries fp, not text). */
+  def cdcChunks(spark: SparkSession, dir: String,
+                d: Int = CdcDivisor): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir), d)
+
+  private[graft] def cdcChunksOf(docs: DataFrame, d: Int): DataFrame = {
+    require(d > 0, "divisor must be positive")
+    val t = docs.select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+    // 0-based chunk starts: 0, plus every j in [1, n) whose straddling
+    // pair hashes to the anchor class
+    val startsExpr =
+      s"""concat(array(0), CASE WHEN size(toks) >= 2
+         |  THEN filter(transform(sequence(1, size(toks) - 1),
+         |    j -> IF(CAST(conv(substring(md5(concat(toks[j-1], ' ', toks[j])), 1, 15), 16, 10) AS BIGINT) % $d = 0, j, -1)),
+         |    x -> x >= 0)
+         |  ELSE CAST(array() AS array<int>) END)""".stripMargin
+    val chunks = t
+      .select(col("doc_id"), col("toks"), expr(startsExpr).as("ss"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(ss, (s, k) ->
+          |  named_struct('start_tok', CAST(s AS BIGINT),
+          |    'chunk_len', CAST((IF(k = size(ss) - 1, size(toks), element_at(ss, k + 2))) - s AS BIGINT),
+          |    'chunk_fp', md5(concat_ws(' ',
+          |      slice(toks, s + 1,
+          |        (IF(k = size(ss) - 1, size(toks), element_at(ss, k + 2))) - s)))))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.start_tok"), col("col.chunk_len"), col("col.chunk_fp"))
+    val occ = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "chunk_fp")
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("chunk_len"), col("chunk_fp"), col("n_occ"))
+  }
+
   /** q136 window/stride (tokens). Real RAG pipelines run 256/192-ish;
     * 16/12 exercises multi-chunk docs and the end-backoff on the
     * synthetic ~54-token documents. */
@@ -879,6 +944,34 @@ object Curation {
          |  coalesce(rb.kept_tok, 0) AS kept_tok,
          |  coalesce(rb.text_clean, '') AS text_clean
          |FROM t LEFT JOIN rb USING (doc_id) WHERE NOT t.ev""".stripMargin,
+    // q154: the same boundary rule re-derived list-wise — anchors from
+    // straddling-pair md5-ints, chunks via the zip-unnest idiom, counts
+    // over fingerprints.
+    "q154_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |    list_prepend(0, list_filter(range(1, len(toks)),
+         |      j -> CAST('0x' || substring(md5(toks[j] || ' ' || toks[j+1]), 1, 15) AS BIGINT) % $CdcDivisor = 0)) AS ss
+         |  FROM t),
+         |ch AS (SELECT doc_id,
+         |    unnest(range(0, len(ss))) AS chunk_id,
+         |    unnest(list_transform(range(0, len(ss)),
+         |      k -> struct_pack(
+         |        start_tok := ss[CAST(k + 1 AS INT)],
+         |        chunk_len := (CASE WHEN k = len(ss) - 1 THEN len(toks) ELSE ss[CAST(k + 2 AS INT)] END) - ss[CAST(k + 1 AS INT)],
+         |        chunk_fp := md5(array_to_string(
+         |          toks[CAST(ss[CAST(k + 1 AS INT)] + 1 AS INT) : CAST((CASE WHEN k = len(ss) - 1 THEN len(toks) ELSE ss[CAST(k + 2 AS INT)] END) AS INT)],
+         |          ' '))))) AS c
+         |  FROM st),
+         |f AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(c.start_tok AS BIGINT) AS start_tok,
+         |    CAST(c.chunk_len AS BIGINT) AS chunk_len, c.chunk_fp AS chunk_fp
+         |  FROM ch),
+         |occ AS (SELECT chunk_fp, count(*) AS n_occ FROM f GROUP BY 1)
+         |SELECT doc_id, chunk_id, start_tok, chunk_len, chunk_fp, n_occ
+         |FROM f JOIN occ USING (chunk_fp)""".stripMargin,
     "q89_chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t

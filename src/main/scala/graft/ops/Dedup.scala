@@ -409,6 +409,60 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("match_cnt"))
   }
 
+  private[graft] val BbitBits = 4
+
+  /** q153: b-bit minwise hashing audit (Li & König, "b-Bit Minwise
+    * Hashing", WWW 2010) — the storage-compression member of the
+    * signature family. Keeping only the lowest b bits of each of the k
+    * minhash values shrinks the per-doc verify payload 64/b× (b = 4:
+    * 16×4 bits = 8 B against the full store's 128 B — what a 10¹⁰-doc
+    * signature store like q149's pays per doc), at the price of random
+    * b-bit collisions: a non-matching permutation still agrees with
+    * probability ≈ 1/2^b, so the unbiased estimator inverts the
+    * mixture, ĵ_b = (m_b/k − 1/2^b)/(1 − 1/2^b). This query is the
+    * AUDIT a deployment runs before flipping to the compressed store:
+    * for every banded candidate pair it reports the full-width match
+    * count/estimate next to the b-bit ones, quantifying the estimator
+    * degradation on the actual corpus (Li–König §4: variance grows by
+    * 1/(1−1/2^b)², so k grows ~14% at b = 4 for equal error — measured
+    * here rather than assumed).
+    *
+    * Determinism: everything through m_b is exact integer arithmetic on
+    * the CW signatures both engines derive bit-identically; the
+    * estimators are dyadic-rational expressions with ONE final IEEE
+    * division each, so the 6-dp rounding is cosmetic, not load-bearing.
+    * Scale shape: identical to q149's sweep — banding + a signature-rows
+    * join; the b-bit columns are two integer ops on the mins already in
+    * hand (a deployment persists the signature store once; the spec-sf
+    * recompute is the cheap side of the plan). */
+  def bbitMinhashAudit(spark: SparkSession, dir: String,
+                       numHashes: Int = NumHashes, bandRows: Int = BandRows,
+                       b: Int = BbitBits): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must split evenly into bands")
+    require(b > 0 && b < 31, "b must be a positive bit width below the hash width")
+    val width = 1L << b
+    val cb = 1.0 / width
+    val sig = signaturesOf(shingles(spark, dir), numHashes)
+    def side(p: String) = sig.select(
+      col("doc_id").as(s"${p}_id") +:
+        (0 until numHashes).map(i => col(s"h$i").as(s"${p}h$i")): _*)
+    val mFull = (0 until numHashes)
+      .map(i => when(col(s"ah$i") === col(s"bh$i"), 1).otherwise(0)).reduce(_ + _)
+    val mB = (0 until numHashes)
+      .map(i => when(col(s"ah$i") % width === col(s"bh$i") % width, 1).otherwise(0))
+      .reduce(_ + _)
+    bandCandidates(sig, numHashes, bandRows)
+      .join(side("a"), "a_id")
+      .join(side("b"), "b_id")
+      .withColumn("m_full", mFull.cast("int"))
+      .withColumn("m_b", mB.cast("int"))
+      .withColumn("j_full", round(col("m_full") / lit(numHashes.toDouble), 6))
+      .withColumn("j_b",
+        round((col("m_b") / lit(numHashes.toDouble) - lit(cb)) / lit(1.0 - cb), 6))
+      .select(col("a_id"), col("b_id"), col("m_full"), col("m_b"),
+        col("j_full"), col("j_b"))
+  }
+
   /** SimHash near-dup, Hamming ≤ 3 over 64-bit signatures — semantics:
     * ALL doc pairs at Hamming distance ≤ 3 (the oracle states exactly
     * that, as a brute-force all-pairs SQL over sf0.01).
@@ -751,6 +805,34 @@ object Dedup {
          |LEFT JOIN ex ON ex.doc_id = d.doc_id
          |LEFT JOIN near ON near.doc_id = d.doc_id
          |WHERE md5(CAST(d.doc_id AS VARCHAR)) >= 'c0'""".stripMargin,
+    // q153: same signature/banding chain as q23; match counts are exact
+    // integers, the estimators dyadic rationals with one final division.
+    "q153_bbit_minhash" -> {
+      val mFull = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      val mB = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.h$i % ${1L << BbitBits} = sb.h$i % ${1L << BbitBits} THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS ($minhashSigSql),
+         |bk AS ($minhashBandSql),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh
+         |    AND x.doc_id < y.doc_id),
+         |m AS (
+         |  SELECT a_id, b_id,
+         |    $mFull AS m_full,
+         |    $mB AS m_b
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, CAST(m_full AS INT) AS m_full, CAST(m_b AS INT) AS m_b,
+         |  round(m_full / $NumHashes.0, 6) AS j_full,
+         |  round((m_b / $NumHashes.0 - 1.0/${1L << BbitBits})
+         |      / (1.0 - 1.0/${1L << BbitBits}), 6) AS j_b
+         |FROM m""".stripMargin
+    },
     // Brute-force statement of the semantics: ALL pairs at Hamming ≤ 3.
     // The Spark plan's triple-banding has provably exact recall for the
     // ≤3 band, so the sets are equal — the oracle checks semantics, not

@@ -358,6 +358,70 @@ class CurationOpsSpec extends SparkSpec {
       s"clean doc: ${out(trainIds(1))}")
   }
 
+  test("cdc chunks (q154): boundaries, fingerprints and counts match ground truth") {
+    val D = 8
+    val out = graft.ops.Curation.cdcChunks(spark, sf, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))
+      .toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def anchors(toks: Seq[String]): Seq[Int] =
+      0 +: (1 until toks.length).filter { j =>
+        java.lang.Long.parseLong(md5hex(s"${toks(j - 1)} ${toks(j)}").take(15), 16) % D == 0
+      }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val truth = docs.flatMap { case (id, toks) =>
+      val ss = anchors(toks)
+      ss.zipWithIndex.map { case (s, k) =>
+        val end = if (k == ss.length - 1) toks.length else ss(k + 1)
+        (id, k.toLong) -> (s.toLong, (end - s).toLong,
+          md5hex(toks.slice(s, end).mkString(" ")))
+      }
+    }.toMap
+    val fpCount = truth.values.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(out.keySet == truth.keySet, "chunk id space must match")
+    assert(truth.exists(_._2._2 > 1) && fpCount.values.exists(_ > 1),
+      "fixture must produce multi-token chunks and shared fingerprints")
+    truth.foreach { case (k, (s, len, fp)) =>
+      assert(out(k) == ((s, len, fp, fpCount(fp))), s"chunk $k: ${out(k)}")
+    }
+  }
+
+  test("cdc chunks (q154): a front insertion perturbs ONE chunk — the content-defined law") {
+    import spark.implicits._
+    val D = 8
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = (0 until 60).map(i => s"w$i")
+    def anchorCount(toks: Seq[String]) = (1 until toks.length).count { j =>
+      java.lang.Long.parseLong(md5hex(s"${toks(j - 1)} ${toks(j)}").take(15), 16) % D == 0
+    }
+    // fixture preconditions, asserted rather than assumed: the base doc
+    // has interior anchors, and the inserted token creates none (chosen
+    // by searching, since any fixed literal can anchor by md5 luck)
+    assert(anchorCount(base) >= 2, s"base doc needs >= 2 anchors, has ${anchorCount(base)}")
+    val ins = (0 until 64).map(i => s"x$i").find { t =>
+      java.lang.Long.parseLong(md5hex(s"$t ${base.head}").take(15), 16) % D != 0
+    }.get
+    val df = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (ins +: base).mkString(" "))
+    ).toDF("doc_id", "text")
+    val chunks = graft.ops.Curation.cdcChunksOf(df, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val fpsA = chunks.collect { case (1L, k, fp) => k -> fp }.sortBy(_._1).map(_._2).toSeq
+    val fpsB = chunks.collect { case (2L, k, fp) => k -> fp }.sortBy(_._1).map(_._2).toSeq
+    assert(fpsA.size == fpsB.size && fpsA.size >= 3,
+      s"same boundary structure: ${fpsA.size} vs ${fpsB.size}")
+    // every chunk except the edited first one fingerprints identically —
+    // the fixed grid (q89) would share ZERO fingerprints after the shift
+    assert(fpsA.tail == fpsB.tail, "all post-edit chunks must be content-identical")
+    assert(fpsA.head != fpsB.head, "the edited chunk must re-fingerprint")
+  }
+
   test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
     val (w, s) = (16, 12)
     val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()

@@ -66,6 +66,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("b-bit minhash audit (q153): counts recompute from signatures; compression laws hold") {
+    val out = Dedup.bbitMinhashAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.nonEmpty, "fixture must produce banded candidate pairs")
+    // independent recomputation from the collected full signatures
+    val sigs = Dedup.minhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)))
+      .toMap
+    out.foreach { case ((a, b), (mFull, mB, jFull, jB)) =>
+      assert(a < b, "pairs must be canonical a < b")
+      val (sa, sb) = (sigs(a), sigs(b))
+      val tFull = (0 until 16).count(i => sa(i) == sb(i))
+      val tB = (0 until 16).count(i => sa(i) % 16 == sb(i) % 16)
+      assert(mFull == tFull && mB == tB, s"($a,$b) counts: got ($mFull,$mB) want ($tFull,$tB)")
+      // dropping bits can only CREATE agreement, never destroy it
+      assert(mB >= mFull, s"($a,$b): b-bit matches $mB below full matches $mFull")
+      // estimators recompute from the counts (dyadic rationals, 6 dp)
+      assert(jFull == BigDecimal(mFull / 16.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(jB == BigDecimal((mB / 16.0 - 1.0 / 16) / (1.0 - 1.0 / 16))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // identical signatures are the estimator's deterministic ceiling
+      if (mFull == 16) assert(mB == 16 && jB == 1.0 && jFull == 1.0)
+    }
+    // the audit's point: the b-bit estimate tracks the full-width one
+    // within the Li-König variance inflation (loose band at k = 16)
+    out.foreach { case (p, (_, _, jFull, jB)) =>
+      assert(math.abs(jB - jFull) <= 0.5, s"$p: b-bit estimate $jB far from $jFull")
+    }
+  }
+
   test("simhash banding equals brute-force Hamming<=3 (exact-recall pigeonhole)") {
     val sig = Dedup.simhashSignatures(spark, sf)
     val brute = sig.as("a").crossJoin(sig.as("b"))

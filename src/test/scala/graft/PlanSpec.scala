@@ -422,6 +422,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q154 cdc chunks: map-side chunking, fp-keyed count join, no text in any shuffle") {
+    val df = q("q154_cdc_chunks")
+    val p = plan(df)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"chunking is per-doc map-side; the only joins key on the fingerprint:\n$p")
+    assert(p.contains("partial"),
+      s"fingerprint occurrence counts must combine map-side:\n$p")
+    // chunk text never leaves the map side — the output carries fp only
+    exchangeOutputs(df).foreach { cols =>
+      assert(!cols.exists(Set("text", "toks", "chunk_text")),
+        s"an exchange carries raw text [${cols.mkString(", ")}]:\n$p")
+    }
+  }
+
   test("q134 bpe: no window; argmax is bounded TakeOrderedAndProject; rewrite broadcasts") {
     val p = plan(graft.ops.Bpe.bpeMerges(spark, sf, rounds = 2))
     assert(!p.contains("Window"), s"no rank window anywhere in the trainer:\n$p")
