@@ -36,7 +36,9 @@ object FamilyBench {
     // round-9 second batch: SemDeDup apply (CC on the pair sliver),
     // CMS registers, Gopher rule gates, leakage-safe split
     "q140_semdedup_apply", "q141_cms_registers", "q142_gopher_rules",
-    "q143_leakage_safe_split")
+    "q143_leakage_safe_split",
+    // round-12: the q27 deployment twin (K ∝ n, coarse-probed)
+    "q155_embedding_neardup_ivf")
 
   /** Graph/agg head (round-8 trend extension): the queries whose
     * "fixed-overhead, not a scale-killer" claims had never been measured

@@ -27,22 +27,35 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark's reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-    * (legacy conf `spark.sql.legacy.parquet.nanosAsLong=true` — it is a
-    * SESSION conf, not a per-read option, so the SESSION BUILDER must set
-    * it: Verify, Bench, and the test fixture all do; a loader must never
-    * mutate session conf as a side effect) and surface a microsecond
-    * TIMESTAMP_NTZ — the same truncation DuckDB applies when casting
-    * TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact.
-    */
+  /** True when this dir's `events.ts` carries the legacy parquet
+    * TIMESTAMP(NANOS,false) encoding (surfaced as BIGINT ns under the
+    * session conf `spark.sql.legacy.parquet.nanosAsLong=true` — a
+    * SESSION conf the BUILDER must set: Verify, Bench, and the test
+    * fixture all do; loaders never mutate session conf); false when it
+    * carries TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ directly).
+    * The driver's testdata switched from NANOS to MICROS between
+    * rounds 11 and 12 — the batch loader and every stream source
+    * branch on the actual footer type (one metadata-only read) rather
+    * than assuming either encoding. */
+  private[graft] def eventsTsIsLong(spark: SparkSession, dir: String): Boolean =
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+
+  /** Surfaces `events` with a microsecond TIMESTAMP_NTZ `ts` whichever
+    * raw encoding the dir carries — for legacy NANOS that is the same
+    * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
+    * oracle comparisons stay exact. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // `ts div 1000` is integer division — ns epoch values exceed 2^53, so
-    // double division (plain `/`) would lose up to ±256 ns and shift some
-    // microseconds by one vs DuckDB's truncation.
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      // `ts div 1000` is integer division — ns epoch values exceed 2^53,
+      // so double division (plain `/`) would lose up to ±256 ns and
+      // shift some microseconds by one vs DuckDB's truncation.
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   // Short-hand single-table loaders used throughout the query modules.

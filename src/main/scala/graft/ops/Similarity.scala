@@ -378,10 +378,19 @@ object Similarity {
                        nAssign: Int = 2, minCos: Double = 0.4): DataFrame = {
     val v = scaled(spark, dir)
     val cells = assignCells(v, nAssign, k).select(col("c_id"), col("vec_id"))
+    cellPairs(cells, v, minCos)
+  }
+
+  /** Shared pair tail of the cell-scoped near-dup family (q27/q155):
+    * within-cell candidate pairs (distinct — a pair sharing both of its
+    * nAssign cells must score once), verified with the exact integer
+    * cosine and kept at ≥ minCos. The join shuffles on the cell id; the
+    * vector payload joins back only onto the candidate sliver. */
+  private def cellPairs(cells: DataFrame, v: DataFrame, minCos: Double): DataFrame = {
     val cand = cells.as("x").join(cells.as("y"), "c_id")
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct() // a pair sharing both cells must score once
+      .distinct()
     cand
       .join(v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"),
         col("n2").as("a_n2")), "a_id")
@@ -535,6 +544,119 @@ object Similarity {
     embeddingNearDup(spark, dir,
       k = nearDupAutoK(Tables.embeddings(spark, dir).count()),
       nAssign = nAssign, minCos = minCos)
+
+  /** K ∝ n for q155's cells — the LINEAR-pair choice (§8.1's 100 TB
+    * row): K = n/16 pins the expected cell population at 2n/K = 32
+    * vectors (2-way assignment), so within-cell pair enumeration is
+    * Θ(n·32) at ANY corpus size — the term that made q27's balanced
+    * K = 2√n grow as n^1.5 is gone. The assignment cost that K ∝ n
+    * would naively re-inflate to n·K is what the coarse probe of
+    * [[embeddingNearDupIvf]] prunes. Floor NearDupK keeps the tiny
+    * spec corpora on q27's configuration (at n ≤ 1024 both formulas
+    * give 64, so the q27↔q155 recall contract compares like for
+    * like). */
+  private[graft] def nearDupIvfAutoK(n: Long): Int =
+    math.max(NearDupK.toLong, n / 16L).toInt
+
+  /** q155: the DEPLOYMENT path for q27's embedding near-dup — same
+    * semantics (candidate pairs share ≥1 of their nAssign nearest
+    * md5-sampled cells by cosine; exact integer-cosine verify at
+    * ≥ minCos), re-knobbed and pruned for 100 TB:
+    *
+    *  - K ∝ n ([[nearDupIvfAutoK]]): cells hold ~32 vectors at any
+    *    corpus size, so the pair stage is Θ(n), not q27's Θ(n^1.5)
+    *    (measured 53.9×/decade at sf10 — the round-11 `weak` grade).
+    *  - Coarse-probed assignment (the q139/[[KMeans.finalAssignIvf]]
+    *    treatment, cosine metric): the ⌈√K⌉ smallest-md5 centroids are
+    *    COARSE centers; every centroid files under its nearest coarse
+    *    center (ties → lower c_id); a vector ranks only the non-empty
+    *    coarse cells, probes its `nprobe` best, and takes its nAssign
+    *    cells from those cells' member centroids — ~(1+nprobe)·√K
+    *    cosines per vector instead of K, all map-side under one
+    *    broadcast of the coarse-grouped centroid frame.
+    *
+    * Deterministically APPROXIMATE vs the exact-assignment form (a
+    * vector whose true nearest cell files under an unprobed coarse
+    * center mis-assigns — the standard IVF trade): with nprobe ≥ the
+    * non-empty coarse-cell count the candidate union is every
+    * centroid, so q155 ≡ [[embeddingNearDup]] at the same K exactly
+    * (SimilaritySpec pins that law, plus the default-knob recall floor
+    * vs q27 and exact-cosine precision). The oracle replays the
+    * identical pruning, so the gate stays exact row-for-row.
+    *
+    * Knobs (SURVEY §8.1): pair work ≈ n·(2·16)²/2 per §8.1's fixed
+    * cell-size row; assignment ≈ n·(1+nprobe)·√K cosines — the one
+    * residual √K term, with centimeter constants (√K = 112 at 200k
+    * vectors vs K = 12500); nprobe trades cross-coarse-cell recall
+    * linearly. Like q118/q139, the centroid frame is K rows — bounded
+    * by §8.1's K ≈ 10⁶–10⁷ broadcastability row at extreme scale. */
+  def embeddingNearDupIvf(spark: SparkSession, dir: String,
+                          nAssign: Int = 2, minCos: Double = 0.4,
+                          nprobe: Int = 2): DataFrame =
+    embeddingNearDupIvfK(spark, dir,
+      k = nearDupIvfAutoK(Tables.embeddings(spark, dir).count()),
+      nAssign = nAssign, minCos = minCos, nprobe = nprobe)
+
+  /** Parametric q155 body (k explicit — the spec's handle for the
+    * nprobe-covers-everything ≡ q27 law). */
+  private[graft] def embeddingNearDupIvfK(spark: SparkSession, dir: String,
+                                          k: Int, nAssign: Int, minCos: Double,
+                                          nprobe: Int): DataFrame = {
+    require(k >= 1 && nAssign >= 1 && nprobe >= 1)
+    val v = scaled(spark, dir)
+    val nc = math.ceil(math.sqrt(k.toDouble)).toInt
+    // the coarse set is the nc-prefix of the SAME md5 order that picks
+    // the K centroids — centroids(v, nc) ⊆ centroids(v, k), no rank
+    // column needed on either engine
+    val coarr = centroids(v, nc)
+      .agg(sort_array(collect_list(struct(col("c_id"), col("c_ai"), col("c_n2"))))
+        .as("coarr"))
+    // centroid filing — distributed over the K centroid rows, map-side
+    // under the nc-row coarse broadcast; argmax cosine via struct min
+    // over (-cos, cell): ties break to the lower coarse c_id, matching
+    // the oracle's ORDER BY cos DESC, cell
+    val fm = centroids(v, k).crossJoin(broadcast(coarr))
+      .withColumn("best", expr(
+        """array_min(transform(coarr, g -> struct(
+          |  -(CAST(dot_long(c_ai, g.c_ai) AS DOUBLE)
+          |    / (sqrt(CAST(g.c_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE)))) AS nd,
+          |  g.c_id AS cell, g.c_ai AS cc_ai, g.c_n2 AS cc_n2)))""".stripMargin))
+      .select(col("best.cell").as("cell"), col("best.cc_ai").as("cc_ai"),
+        col("best.cc_n2").as("cc_n2"), col("c_id"), col("c_ai"), col("c_n2"))
+    // coarse-grouped one-row broadcast frame [cgrp: array<struct<cell,
+    // cc_ai, cc_n2, fines>>] — empty coarse cells (a center whose own
+    // filing went to a duplicate twin) simply never appear, so the
+    // vector probe ranks non-empty cells by construction (the
+    // KMeans.assignIvf empty-twin lesson, free here)
+    val cgrp = fm
+      .groupBy(col("cell"))
+      .agg(first(col("cc_ai")).as("cc_ai"), first(col("cc_n2")).as("cc_n2"),
+        sort_array(collect_list(struct(col("c_id"), col("c_ai"), col("c_n2"))))
+          .as("fines"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cc_ai"),
+        col("cc_n2"), col("fines")))).as("cgrp"))
+      .localCheckpoint(true)
+    // pruned assignment: rank coarse cells by cosine (ties → lower
+    // cell id), probe the best nprobe, rank their member centroids
+    // (ties → lower c_id), keep nAssign — TopKAgg's (score DESC, id
+    // ASC) total order, expressed as struct sorts so the whole thing
+    // is one map-side expression per vector
+    val cells = v.crossJoin(broadcast(cgrp))
+      .withColumn("probed", expr(
+        s"""slice(array_sort(transform(cgrp, g -> struct(
+           |  -(CAST(dot_long(ai, g.cc_ai) AS DOUBLE)
+           |    / (sqrt(CAST(g.cc_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS nd,
+           |  g.cell AS cell, g.fines AS fines))), 1, $nprobe)""".stripMargin))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(slice(array_sort(flatten(transform(probed, p ->
+           |  transform(p.fines, f -> struct(
+           |    -(CAST(dot_long(ai, f.c_ai) AS DOUBLE)
+           |      / (sqrt(CAST(f.c_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS nd,
+           |    f.c_id AS c_id))))), 1, $nAssign), x -> x.c_id)""".stripMargin))
+        .as("c_id"))
+      .select(col("c_id"), col("vec_id"))
+    cellPairs(cells, v, minCos)
+  }
 
   def semDedup(spark: SparkSession, dir: String, k: Int = 8,
                iters: Int = 3, cosT: Double = 0.4): DataFrame = {
@@ -791,6 +913,57 @@ object Similarity {
          |  CASE WHEN coalesce(c.comp, v.vec_id) = v.vec_id
          |       THEN 'keep' ELSE 'drop' END AS action
          |FROM v LEFT JOIN comp c ON c.node = v.vec_id""".stripMargin,
+    // q155: the oracle replays the coarse-probed pruning exactly —
+    // same md5-prefix coarse set, same filing / probe / top-nAssign
+    // tie-breaks (cos DESC, id ASC), same scalar-subquery auto-K — so
+    // the gate is exact row-for-row despite the operator being
+    // deterministically approximate vs exact assignment. CTEs are
+    // MATERIALIZED: each is referenced more than once and DuckDB's
+    // default inlining re-expands the chain multiplicatively (the q134
+    // lesson, via q139).
+    "q155_embedding_neardup_ivf" -> {
+      val kSql = "(SELECT greatest(64, count(*) // 16) FROM v)"
+      val ncSql = "(SELECT CAST(ceil(sqrt(greatest(64, count(*) // 16))) AS BIGINT) FROM v)"
+      def cosSql(a: String, an2: String, b: String, bn2: String) =
+        s"""CAST(list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1])) AS DOUBLE)
+           |        / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, ai,
+         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |  FROM ($scaledSql)),
+         |c AS MATERIALIZED (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v
+         |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSql),
+         |co AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
+         |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ncSql),
+         |fm AS MATERIALIZED (
+         |  SELECT c_id, c_ai, c_n2, cell FROM (
+         |    SELECT c.c_id, c.c_ai, c.c_n2, co.cell,
+         |      row_number() OVER (PARTITION BY c.c_id ORDER BY
+         |        ${cosSql("c.c_ai", "c.c_n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
+         |    FROM c, co) WHERE rn = 1),
+         |pr AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, co.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosSql("v.ai", "v.n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
+         |    FROM v, co
+         |    WHERE co.cell IN (SELECT DISTINCT cell FROM fm)) WHERE rn <= 2),
+         |assign AS MATERIALIZED (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT v.vec_id, f.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosSql("v.ai", "v.n2", "f.c_ai", "f.c_n2")} DESC, f.c_id) AS rn
+         |    FROM v JOIN pr p ON p.vec_id = v.vec_id JOIN fm f ON f.cell = p.cell)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    ${cosSql("a.ai", "a.n2", "b.ai", "b.n2")} AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id)
+         |WHERE cos >= 0.4""".stripMargin
+    },
     "q27_embedding_neardup" ->
       s"""WITH ${assignSql(2, s"(SELECT greatest($NearDupK, 2 * CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM v)")},
          |cand AS (

@@ -163,24 +163,15 @@ object StatefulSessions {
         col("n_events"), col("sum_value"))
   }
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** q47: the same state function as a Structured Streaming query over
-    * the events file source, AvailableNow, memory sink. */
+    * the events file source, AvailableNow, memory sink. The shared
+    * source ([[StreamingEvents.eventsStream]]) absorbs the raw ts
+    * encoding branch (legacy BIGINT ns vs TIMESTAMP(MICROS)). */
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = StreamingEvents.eventsStream(spark, dir)
       .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType).as("ts"),
+        col("ts").cast(TimestampNTZType).as("ts"),
         col("value"))
       .as[SessionEvent]
     val sessions = events

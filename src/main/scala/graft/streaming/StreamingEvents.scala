@@ -18,15 +18,36 @@ import org.apache.spark.sql.types._
   */
 object StreamingEvents {
 
-  /** Schema of events.parquet as the stream source sees it (ts read as
-    * raw nanos — the legacy conf applies to streaming reads too). */
-  private val rawSchema = StructType(Seq(
+  /** Schema of events.parquet as the stream source sees it — file
+    * stream sources require an EXPLICIT schema, which must match the
+    * dir's raw encoding: legacy TIMESTAMP(NANOS) surfaces as BIGINT ns
+    * (the nanosAsLong session conf applies to streaming reads too),
+    * TIMESTAMP(MICROS) as TIMESTAMP_NTZ (the driver's encoding since
+    * round 12; `Tables.eventsTsIsLong` reads the footer). */
+  private def rawSchema(tsLong: Boolean) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", if (tsLong) LongType else TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The events file-stream source with `ts` surfaced as a
+    * watermark-able TIMESTAMP (not NTZ; the session tz is UTC so the
+    * wall-clock is identical — callers cast back to NTZ on output for
+    * oracle parity) whichever raw encoding the dir carries. */
+  private[streaming] def eventsStream(ss: SparkSession, dir: String): DataFrame = {
+    val tsLong = graft.Tables.eventsTsIsLong(ss, dir)
+    ss.readStream
+      .schema(rawSchema(tsLong))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      // legacy ns → `div 1000` integer division (ns epochs exceed 2^53;
+      // double division would shift some microseconds vs truncation)
+      .withColumn("ts",
+        if (tsLong) timestamp_micros(expr("ts div 1000"))
+        else col("ts").cast(TimestampType))
+  }
 
   /** Runs the tumbling aggregation as a streaming query over the events
     * file source and returns the final result table. Blocking — intended
@@ -34,14 +55,7 @@ object StreamingEvents {
   def tumblingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     // nanosAsLong comes from the session builder (Tables.scala's rule:
     // loaders never mutate session conf)
-    // file stream sources take a directory; glob-filter to the events table
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
-      // wall-clock is identical — cast back to NTZ on output for parity.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventsStream(spark, dir)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -91,14 +105,11 @@ object StreamingEvents {
     // the library rule is that operators don't mutate the caller's conf.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    def side(kind: String, prefix: String) = ss.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(kind: String, prefix: String) = eventsStream(ss, dir)
       .filter(col("event_type") === kind)
       .select(col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"),
-        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+        col("ts").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
     val joined = side("click", "click").join(side("purchase", "purchase"),
       expr("""click_user = purchase_user AND
@@ -133,10 +144,7 @@ object StreamingEvents {
     * variant's re-delivery/expiry semantics are pinned in
     * StreamingDedupSpec. */
   def streamDistinctKeys(spark: SparkSession, dir: String): DataFrame = {
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
     val name = s"stream_dedup_${System.nanoTime()}"
     val q = events.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -160,10 +168,7 @@ object StreamingEvents {
     * stream never shuffles for the join). Under AvailableNow the result
     * provably equals the batch join+aggregate, which is the oracle. */
   def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = eventsStream(spark, dir)
     val dim = graft.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = events.join(broadcast(dim), col("user_id") === col("c_custkey"))
