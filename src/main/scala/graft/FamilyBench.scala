@@ -65,9 +65,13 @@ object FamilyBench {
         qs
       } else Family
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the r11 verdict's environment-constant question (linear q21 at
+    // 13.7×/decade): shuffle partitioning is the suspect — let the
+    // diagnosis runs vary it independently of parallelism
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -97,7 +101,7 @@ object FamilyBench {
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shuffle,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

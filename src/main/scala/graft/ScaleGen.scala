@@ -26,6 +26,9 @@ object ScaleGen {
     val src = args(0)
     val out = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
+    // "docs" mode: synthesize documents+embeddings only — the doc-family
+    // third-decade runs don't need 600M lineitem rows on disk
+    val docsOnly = args.length > 3 && args(3) == "docs"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,6 +65,12 @@ object ScaleGen {
     }.reduce(_.unionByName(_))
     docsN.write.mode("overwrite").parquet(s"$out/documents.parquet")
     embN.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (docsOnly) {
+      println(s"WROTE $out docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
+        s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()} (docs-only)")
+      spark.stop()
+      return
+    }
     // graph/agg-family tables (round-8 trend extension): replicas offset
     // every KEY column (order, customer, event, user) so the node/user
     // spaces grow with volume — a 10× corpus means 10× graph nodes and

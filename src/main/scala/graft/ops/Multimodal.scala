@@ -164,12 +164,14 @@ object Multimodal {
     * half — the distributed part — is exactly this code path. */
   private[graft] val DhashSegments = 57
 
-  /** doc_id → 56-bit dHash of the payload byte stream (BIGINT, top 8
-    * bits clear). Segment s covers 1-based char positions
+  /** (doc_id, ints) — the 57 per-segment ascii-sum intensities of each
+    * payload, one map-side pass (shared by batch q148 and the q158
+    * streaming signature store, whose state folds these by element-wise
+    * sum). Segment s covers 1-based char positions
     * [1 + s·len/57, (s+1)·len/57]; empty segments (len < 57) sum to 0. */
-  private[graft] def dhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def intensitiesOf(docs: DataFrame): DataFrame = {
     val n = DhashSegments
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .select(col("doc_id"), expr(
         s"""transform(sequence(0, $n - 1), s ->
@@ -179,12 +181,22 @@ object Multimodal {
            |           CAST(0 AS BIGINT),
            |           (acc, i) -> acc + ascii(substring(text, i, 1)))
            |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("ints"))
-      .select(col("doc_id"), expr(
-        s"""aggregate(sequence(0, ${n - 2}), CAST(0 AS BIGINT), (acc, s) ->
-           |  acc + CASE WHEN ints[s] > ints[s + 1]
-           |    THEN shiftleft(CAST(1 AS BIGINT), ${n - 2} - s)
-           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("sig"))
   }
+
+  /** Gradient-sign bit packing of an `ints` column into the 56-bit
+    * BIGINT signature (top 8 bits clear) — the other shared half. */
+  private[graft] val packSigExpr: String = {
+    val n = DhashSegments
+    s"""aggregate(sequence(0, ${n - 2}), CAST(0 AS BIGINT), (acc, s) ->
+       |  acc + CASE WHEN ints[s] > ints[s + 1]
+       |    THEN shiftleft(CAST(1 AS BIGINT), ${n - 2} - s)
+       |    ELSE CAST(0 AS BIGINT) END)""".stripMargin
+  }
+
+  /** doc_id → 56-bit dHash of the payload byte stream. */
+  private[graft] def dhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    intensitiesOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), expr(packSigExpr).as("sig"))
 
   /** q148: (a_id, b_id, hamming) media near-dup pairs at Hamming ≤ 3. */
   def mediaNearDup(spark: SparkSession, dir: String,

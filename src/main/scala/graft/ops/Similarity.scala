@@ -598,63 +598,66 @@ object Similarity {
       nAssign = nAssign, minCos = minCos, nprobe = nprobe)
 
   /** Parametric q155 body (k explicit — the spec's handle for the
-    * nprobe-covers-everything ≡ q27 law). */
+    * nprobe-covers-everything ≡ q27 law). Every scoring stage is the
+    * q27 assignCells idiom — crossJoin a broadcast candidate set,
+    * CODEGEN'd dot_long cosine, bounded top-k via partial aggregation
+    * — never a per-row HOF lambda: the first cut probed through
+    * interpreted array expressions and measured 20×/decade where this
+    * shape's dots are whole-stage-codegen'd (§8.3). */
   private[graft] def embeddingNearDupIvfK(spark: SparkSession, dir: String,
                                           k: Int, nAssign: Int, minCos: Double,
                                           nprobe: Int): DataFrame = {
     require(k >= 1 && nAssign >= 1 && nprobe >= 1)
     val v = scaled(spark, dir)
     val nc = math.ceil(math.sqrt(k.toDouble)).toInt
-    // the coarse set is the nc-prefix of the SAME md5 order that picks
-    // the K centroids — centroids(v, nc) ⊆ centroids(v, k), no rank
-    // column needed on either engine
-    val coarr = centroids(v, nc)
-      .agg(sort_array(collect_list(struct(col("c_id"), col("c_ai"), col("c_n2"))))
-        .as("coarr"))
-    // centroid filing — distributed over the K centroid rows, map-side
-    // under the nc-row coarse broadcast; argmax cosine via struct min
-    // over (-cos, cell): ties break to the lower coarse c_id, matching
-    // the oracle's ORDER BY cos DESC, cell
-    val fm = centroids(v, k).crossJoin(broadcast(coarr))
-      .withColumn("best", expr(
-        """array_min(transform(coarr, g -> struct(
-          |  -(CAST(dot_long(c_ai, g.c_ai) AS DOUBLE)
-          |    / (sqrt(CAST(g.c_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE)))) AS nd,
-          |  g.c_id AS cell, g.c_ai AS cc_ai, g.c_n2 AS cc_n2)))""".stripMargin))
-      .select(col("best.cell").as("cell"), col("best.cc_ai").as("cc_ai"),
-        col("best.cc_n2").as("cc_n2"), col("c_id"), col("c_ai"), col("c_n2"))
-    // coarse-grouped one-row broadcast frame [cgrp: array<struct<cell,
-    // cc_ai, cc_n2, fines>>] — empty coarse cells (a center whose own
-    // filing went to a duplicate twin) simply never appear, so the
-    // vector probe ranks non-empty cells by construction (the
-    // KMeans.assignIvf empty-twin lesson, free here)
-    val cgrp = fm
-      .groupBy(col("cell"))
-      .agg(first(col("cc_ai")).as("cc_ai"), first(col("cc_n2")).as("cc_n2"),
-        sort_array(collect_list(struct(col("c_id"), col("c_ai"), col("c_n2"))))
-          .as("fines"))
-      .agg(sort_array(collect_list(struct(col("cell"), col("cc_ai"),
-        col("cc_n2"), col("fines")))).as("cgrp"))
+    // centroid filing: each of the K centroids files under its nearest
+    // of the nc COARSE centers (the nc-prefix of the SAME md5 order
+    // that picks the K centroids — centroids(v, nc) ⊆ centroids(v, k));
+    // argmax cosine via struct-min over (-cos, cell): ties break to
+    // the lower coarse c_id, matching the oracle's ORDER BY cos DESC,
+    // cell. K×nc rows through codegen, one K-group hash-agg.
+    val coarse = centroids(v, nc).select(col("c_id").as("cell"),
+      col("c_ai").as("cc_ai"), col("c_n2").as("cc_n2"))
+    val fm = centroids(v, k).crossJoin(broadcast(coarse))
+      .withColumn("nd", negate(
+        expr("dot_long(c_ai, cc_ai)").cast("double") /
+          (sqrt(col("cc_n2").cast("double")) * sqrt(col("c_n2").cast("double")))))
+      .groupBy(col("c_id"))
+      .agg(min(struct(col("nd"), col("cell"), col("cc_ai"), col("cc_n2"))).as("b"),
+        first(col("c_ai")).as("c_ai"), first(col("c_n2")).as("c_n2"))
+      .select(col("b.cell").as("cell"), col("b.cc_ai").as("cc_ai"),
+        col("b.cc_n2").as("cc_n2"), col("c_id"), col("c_ai"), col("c_n2"))
       .localCheckpoint(true)
-    // pruned assignment: rank coarse cells by cosine (ties → lower
-    // cell id), probe the best nprobe, rank their member centroids
-    // (ties → lower c_id), keep nAssign — TopKAgg's (score DESC, id
-    // ASC) total order, expressed as struct sorts so the whole thing
-    // is one map-side expression per vector
-    val cells = v.crossJoin(broadcast(cgrp))
-      .withColumn("probed", expr(
-        s"""slice(array_sort(transform(cgrp, g -> struct(
-           |  -(CAST(dot_long(ai, g.cc_ai) AS DOUBLE)
-           |    / (sqrt(CAST(g.cc_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS nd,
-           |  g.cell AS cell, g.fines AS fines))), 1, $nprobe)""".stripMargin))
-      .select(col("vec_id"), explode(expr(
-        s"""transform(slice(array_sort(flatten(transform(probed, p ->
-           |  transform(p.fines, f -> struct(
-           |    -(CAST(dot_long(ai, f.c_ai) AS DOUBLE)
-           |      / (sqrt(CAST(f.c_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS nd,
-           |    f.c_id AS c_id))))), 1, $nAssign), x -> x.c_id)""".stripMargin))
-        .as("c_id"))
-      .select(col("c_id"), col("vec_id"))
+    // vector probe: rank the NON-EMPTY coarse cells (exactly the cells
+    // centroids filed under — the KMeans.assignIvf empty-twin lesson;
+    // a duplicate coarse twin's empty cell never burns probe budget)
+    // by cosine, keep nprobe per vector — bounded TopKAgg, map-side
+    // partials, ties (score DESC, cell ASC) ≡ the oracle's window
+    val occupied = fm.groupBy(col("cell"))
+      .agg(first(col("cc_ai")).as("cc_ai"), first(col("cc_n2")).as("cc_n2"))
+    val topProbe = udaf(new graft.functions.TopKAgg(nprobe))
+    val probes = v.crossJoin(broadcast(occupied))
+      .withColumn("cos",
+        expr("dot_long(ai, cc_ai)").cast("double") /
+          (sqrt(col("cc_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .groupBy(col("vec_id"))
+      .agg(first(col("ai")).as("ai"), first(col("n2")).as("n2"),
+        topProbe(col("cos"), col("cell")).as("top"))
+      .select(col("vec_id"), col("ai"), col("n2"),
+        explode(expr("transform(top, x -> x._2)")).as("cell"))
+    // fine assignment: score only the probed cells' member centroids
+    // (the fm broadcast keyed by cell — ~nprobe·√K candidates per
+    // vector instead of K), keep nAssign — same bounded shape
+    val topAssign = udaf(new graft.functions.TopKAgg(nAssign))
+    val cells = probes
+      .join(broadcast(fm.select(col("cell"), col("c_id"), col("c_ai"), col("c_n2"))),
+        Seq("cell"))
+      .withColumn("cos",
+        expr("dot_long(ai, c_ai)").cast("double") /
+          (sqrt(col("c_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .groupBy(col("vec_id"))
+      .agg(topAssign(col("cos"), col("c_id")).as("top"))
+      .select(explode(expr("transform(top, x -> x._2)")).as("c_id"), col("vec_id"))
     cellPairs(cells, v, minCos)
   }
 

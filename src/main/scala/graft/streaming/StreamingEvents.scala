@@ -274,10 +274,69 @@ object StreamingEvents {
   def streamMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.estimatedPairsOf(streamMinhashSignatures(spark, dir))
 
+  /** q158: STREAMING media signature store — q149's ingest/sweep split
+    * applied to q148's perceptual hash (VERDICT r11 item 6):
+    *
+    *  - Ingest reduces every arriving payload row MAP-SIDE to its 57
+    *    segment-intensity sums ([[graft.ops.Multimodal.intensitiesOf]],
+    *    the code path batch q148 uses) and DISCARDS the payload; the
+    *    stateful aggregation folds intensities per doc by element-wise
+    *    SUM (VectorSumAgg — an algebraic aggregate, so chunked or late
+    *    rows of a doc re-sum correctly: the additive analogue of
+    *    q149's min-fold; no watermark, a doc's state must stay
+    *    updatable forever). State = one 57-long vector per doc — the
+    *    store never holds media bytes.
+    *  - Signatures pack from the state ([[graft.ops.Multimodal
+    *    .packSigExpr]], shared) and the pair sweep is the periodic
+    *    batch banded Hamming join (q148's machinery, q24 pigeonhole).
+    *
+    * Under AvailableNow the final state provably equals batch
+    * [[graft.ops.Multimodal.dhashSignatures]] (one payload row per doc
+    * ⇒ the sum is that row's vector; multi-row arrivals fold by the
+    * same algebra) — StreamingSpec pins the state law and the
+    * multi-batch fold; the oracle is q148's, identical — the point. */
+  private[graft] def streamDhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val name = s"stream_dhash_${System.nanoTime()}"
+    val q = dhashFold(docs).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freeze(spark, name)
+  }
+
+  /** The shared q158 fold: map-side intensities → per-doc vector-sum
+    * state → packed 56-bit signature (works on batch and streaming
+    * frames alike — StreamingSpec's multi-batch law reuses it). */
+  private[graft] def dhashFold(docs: DataFrame): DataFrame = {
+    val vecSum = udaf(new graft.functions.VectorSumAgg(
+      graft.ops.Multimodal.DhashSegments))
+    graft.ops.Multimodal.intensitiesOf(docs)
+      .groupBy(col("doc_id"))
+      .agg(vecSum(col("ints")).as("ints"))
+      .select(col("doc_id"),
+        expr(graft.ops.Multimodal.packSigExpr).as("sig"))
+  }
+
+  /** q158: (a_id, b_id, hamming) media near-dup pairs swept from the
+    * streamed signature store. */
+  def streamMediaPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.hammingBandPairs(streamDhashSignatures(spark, dir),
+      chunkBits = 7, maxHamming = 3)
+
   /** Oracle: identical to the batch queries — the point. */
   val oracle: Map[String, String] = Map(
     // q144 ≡ q141: the stream's final state is the batch sketch
     "q144_stream_cms" -> graft.ops.Sketches.oracle("q141_cms_registers"),
+    // q158 ≡ q148: the streamed signature store's final state is the
+    // batch dHash table, so the sweep equals the batch statement
+    "q158_stream_media_sigs" -> graft.ops.Multimodal.oracle("q148_media_neardup"),
     // q149: the streamed signature store's final state is the batch
     // signature table, so the sweep equals this all-batch statement —
     // q23's banding CTEs + the signature-estimate verify

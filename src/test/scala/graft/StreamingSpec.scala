@@ -277,5 +277,39 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("streaming dHash signature store equals the batch signature table (q158)") {
+    val streamed = graft.streaming.StreamingEvents.streamDhashSignatures(spark, sf)
+    assert(streamed.count() > 0)
+    assertSameRows(streamed, graft.ops.Multimodal.dhashSignatures(spark, sf))
+  }
+
+  test("streaming dHash folds across micro-batches: per-file triggers, same final state") {
+    // two files, maxFilesPerTrigger = 1 → the intensity-sum state must
+    // fold incrementally (element-wise sum is commutative/associative),
+    // landing on the batch table regardless of arrival slicing
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("stream_dhash_mb").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sig = graft.streaming.StreamingEvents.dhashFold(stream)
+    val name = s"mb_dhash_${System.nanoTime()}"
+    val q = sig.writeStream.outputMode("complete").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the fold must have seen at least two non-empty micro-batches")
+    assertSameRows(spark.table(name), graft.ops.Multimodal.dhashSignatures(spark, sf))
+  }
+
+  test("streaming dHash pairs equal the batch q148 sweep (q158 end-to-end)") {
+    val streamed = graft.streaming.StreamingEvents.streamMediaPairs(spark, sf)
+    val batch = graft.ops.Multimodal.mediaNearDup(spark, sf)
+    assert(streamed.count() > 0, "sf0.001 plants near-dups — the sweep must find them")
+    assertSameRows(streamed, batch)
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
