@@ -713,6 +713,28 @@ object Similarity {
         when(col("vec_id") === col("canonical_id"), "keep").otherwise("drop"))
   }
 
+  /** q159: embedding near-dup APPLY — q140's keep/drop end step over
+    * the q155 deployment pairs (the same composition class: near-dup
+    * pairs only become actionable once clustered). The q155 pair list
+    * clusters transitively via star-contraction connected components;
+    * the kept member is the component's canonical (minimum) vec_id;
+    * singletons keep themselves. Output: one row per corpus vector.
+    *
+    * Scale shape: CC runs on the PAIR sliver (≪ n); the final labeling
+    * is one left join of the corpus against it — identical to q140,
+    * with q155's linear pair stage underneath instead of q139's. */
+  def embeddingNearDupApply(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingNearDupIvf(spark, dir).select(col("a_id"), col("b_id"))
+    val comps = Clusters.connectedComponents(pairs)
+    scaled(spark, dir).select(col("vec_id"))
+      .join(comps.select(col("node").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("canonical_id"))
+      .withColumn("action",
+        when(col("vec_id") === col("canonical_id"), "keep").otherwise("drop"))
+  }
+
   /** Shared SemDeDup pair stage: norms computed once per VECTOR, not
     * per pair, and the assignment materialized once — it feeds both
     * join sides; the join shuffles on the cluster id only. */
@@ -744,6 +766,56 @@ object Similarity {
       |         * sqrt(CAST(list_sum(list_transform(range(0, 64), i -> b.ai[i+1] * b.ai[i+1])) AS DOUBLE))) AS cos
       |    FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id)
       |  WHERE cos >= 0.4)""".stripMargin
+
+  /** The q155 oracle's WITH body, ending in CTE `ivfpairs` (a_id <
+    * b_id, cos ≥ τ) — shared by q159's apply chain. CTEs are
+    * MATERIALIZED: each is referenced more than once and DuckDB's
+    * default inlining re-expands the chain multiplicatively (the q134
+    * lesson, via q139). */
+  private def neardupIvfChainSql: String = {
+    val kSql = "(SELECT greatest(64, count(*) // 16) FROM v)"
+    val ncSql = "(SELECT CAST(ceil(sqrt(greatest(64, count(*) // 16))) AS BIGINT) FROM v)"
+    def cosSql(a: String, an2: String, b: String, bn2: String) =
+      s"""CAST(list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1])) AS DOUBLE)
+         |        / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
+    s"""v AS MATERIALIZED (
+       |  SELECT vec_id, ai,
+       |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+       |  FROM ($scaledSql)),
+       |c AS MATERIALIZED (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v
+       |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSql),
+       |co AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
+       |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ncSql),
+       |fm AS MATERIALIZED (
+       |  SELECT c_id, c_ai, c_n2, cell FROM (
+       |    SELECT c.c_id, c.c_ai, c.c_n2, co.cell,
+       |      row_number() OVER (PARTITION BY c.c_id ORDER BY
+       |        ${cosSql("c.c_ai", "c.c_n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
+       |    FROM c, co) WHERE rn = 1),
+       |pr AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, co.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${cosSql("v.ai", "v.n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
+       |    FROM v, co
+       |    WHERE co.cell IN (SELECT DISTINCT cell FROM fm)) WHERE rn <= 2),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, f.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${cosSql("v.ai", "v.n2", "f.c_ai", "f.c_n2")} DESC, f.c_id) AS rn
+       |    FROM v JOIN pr p ON p.vec_id = v.vec_id JOIN fm f ON f.cell = p.cell)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id),
+       |ivfpairs AS MATERIALIZED (
+       |  SELECT a_id, b_id, cos FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      ${cosSql("a.ai", "a.n2", "b.ai", "b.n2")} AS cos
+       |    FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id)
+       |  WHERE cos >= 0.4)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q106_hard_negatives" ->
@@ -920,53 +992,26 @@ object Similarity {
     // same md5-prefix coarse set, same filing / probe / top-nAssign
     // tie-breaks (cos DESC, id ASC), same scalar-subquery auto-K — so
     // the gate is exact row-for-row despite the operator being
-    // deterministically approximate vs exact assignment. CTEs are
-    // MATERIALIZED: each is referenced more than once and DuckDB's
-    // default inlining re-expands the chain multiplicatively (the q134
-    // lesson, via q139).
-    "q155_embedding_neardup_ivf" -> {
-      val kSql = "(SELECT greatest(64, count(*) // 16) FROM v)"
-      val ncSql = "(SELECT CAST(ceil(sqrt(greatest(64, count(*) // 16))) AS BIGINT) FROM v)"
-      def cosSql(a: String, an2: String, b: String, bn2: String) =
-        s"""CAST(list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1])) AS DOUBLE)
-           |        / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
-      s"""WITH v AS MATERIALIZED (
-         |  SELECT vec_id, ai,
-         |    list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
-         |  FROM ($scaledSql)),
-         |c AS MATERIALIZED (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v
-         |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSql),
-         |co AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
-         |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ncSql),
-         |fm AS MATERIALIZED (
-         |  SELECT c_id, c_ai, c_n2, cell FROM (
-         |    SELECT c.c_id, c.c_ai, c.c_n2, co.cell,
-         |      row_number() OVER (PARTITION BY c.c_id ORDER BY
-         |        ${cosSql("c.c_ai", "c.c_n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
-         |    FROM c, co) WHERE rn = 1),
-         |pr AS MATERIALIZED (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT v.vec_id, co.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        ${cosSql("v.ai", "v.n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
-         |    FROM v, co
-         |    WHERE co.cell IN (SELECT DISTINCT cell FROM fm)) WHERE rn <= 2),
-         |assign AS MATERIALIZED (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT v.vec_id, f.c_id,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        ${cosSql("v.ai", "v.n2", "f.c_ai", "f.c_n2")} DESC, f.c_id) AS rn
-         |    FROM v JOIN pr p ON p.vec_id = v.vec_id JOIN fm f ON f.cell = p.cell)
-         |  WHERE rn <= 2),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-         |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
-         |SELECT a_id, b_id, cos FROM (
-         |  SELECT c.a_id, c.b_id,
-         |    ${cosSql("a.ai", "a.n2", "b.ai", "b.n2")} AS cos
-         |  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id)
-         |WHERE cos >= 0.4""".stripMargin
-    },
+    // deterministically approximate vs exact assignment.
+    "q155_embedding_neardup_ivf" ->
+      s"""WITH $neardupIvfChainSql
+         |SELECT a_id, b_id, cos FROM ivfpairs""".stripMargin,
+    // q159: the q155 chain continued with recursive-CTE reachability —
+    // q140's tail verbatim (component id = min member, keep rule
+    // vec_id = canonical_id, singletons keep themselves).
+    "q159_embedding_dedup_apply" ->
+      s"""WITH RECURSIVE $neardupIvfChainSql,
+         |und AS (SELECT a_id AS src, b_id AS dst FROM ivfpairs
+         |        UNION ALL SELECT b_id, a_id FROM ivfpairs),
+         |walk(node, lbl) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.node),
+         |comp AS (SELECT node, min(lbl) AS comp FROM walk GROUP BY node)
+         |SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS canonical_id,
+         |  CASE WHEN coalesce(c.comp, v.vec_id) = v.vec_id
+         |       THEN 'keep' ELSE 'drop' END AS action
+         |FROM v LEFT JOIN comp c ON c.node = v.vec_id""".stripMargin,
     "q27_embedding_neardup" ->
       s"""WITH ${assignSql(2, s"(SELECT greatest($NearDupK, 2 * CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM v)")},
          |cand AS (

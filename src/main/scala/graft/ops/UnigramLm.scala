@@ -199,6 +199,34 @@ object UnigramLm {
           .as("enc"))
   }
 
+  /** q160: unigram-LM tokenizer fertility by language — q145's report
+    * (symbols/word, chars/symbol) over the q157 encode, column-for-
+    * column, so the BPE and unigram tokenizers compare row-for-row on
+    * the same corpus: THE metric a tokenizer choice is made on
+    * (fertility ↓ = fewer pieces per word = cheaper training tokens).
+    * Same scale shape as q145: one broadcast codebook join, then a
+    * groupBy over the ~handful of languages with map-side partials. */
+  def unigramFertility(spark: SparkSession, dir: String,
+                       rounds: Int = EmRounds): DataFrame = {
+    val (vocab, w) = train(spark, dir, rounds)
+    val cb = viterbi(w, vocab)
+      .select(col("w").as("tok"), size(col("pieces")).cast("long").as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "" && length(col("tok")) <= MaxWordLen)
+      .join(broadcast(cb), Seq("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_sym"),
+        sum(length(col("tok"))).cast("long").as("n_chars"))
+      .withColumn("fertility",
+        col("n_sym").cast("double") / col("n_words"))
+      .withColumn("chars_per_sym",
+        col("n_chars").cast("double") / col("n_sym"))
+  }
+
   // ----------------------------------------------------------------
   // DuckDB oracle: the identical chain, DP unrolled position-by-
   // position as generated MATERIALIZED CTEs (the q139/oracleChainIvf
@@ -307,5 +335,24 @@ object UnigramLm {
          |  string_agg(enc, ' ' ORDER BY pos) AS enc
          |FROM inst JOIN cb USING (tok) WHERE tok <> '' AND len(tok) <= $MaxWordLen
          |GROUP BY doc_id""".stripMargin,
+    // q160: the q157 chain with lang carried through and the per-doc
+    // collapse replaced by the per-language report (q145's shape).
+    "q160_unigram_fertility" ->
+      s"""WITH RECURSIVE ${chainSql(EmRounds)},
+         |${roundSql(EmRounds)},
+         |cb AS (SELECT w AS tok, CAST(count(*) AS BIGINT) AS n_sym
+         |  FROM wk$EmRounds GROUP BY w),
+         |inst AS (SELECT doc_id, lang, unnest(toks) AS tok
+         |  FROM (SELECT doc_id, lang,
+         |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |    FROM documents))
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_sym,
+         |  CAST(sum(len(tok)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_sym) AS DOUBLE) / count(*) AS fertility,
+         |  CAST(sum(len(tok)) AS DOUBLE) / sum(n_sym) AS chars_per_sym
+         |FROM inst JOIN cb USING (tok) WHERE tok <> '' AND len(tok) <= $MaxWordLen
+         |GROUP BY lang""".stripMargin,
   )
 }

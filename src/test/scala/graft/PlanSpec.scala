@@ -324,6 +324,33 @@ class PlanSpec extends SparkSpec {
       s"the pair join must be an equi join keyed on cluster only:\n$p")
   }
 
+  test("q155 pruned near-dup: broadcast scoring stages, no window, cell-keyed pair join") {
+    val p = plan(q("q155_embedding_neardup_ivf"))
+    assert(!p.contains("Window"),
+      s"probe/assign must be bounded TopKAgg partials, not row_number windows:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"coarse/fine candidate sets must broadcast, not go cartesian:\n$p")
+    assert(p.contains("partial"),
+      "the top-k buffers must combine map-side before any shuffle")
+    assert(p.contains("hashpartitioning(c_id") || p.contains("BroadcastHashJoin [c_id"),
+      s"the pair join must be an equi join keyed on the cell id only:\n$p")
+  }
+
+  test("q156 unigram train: Viterbi is a map-side fold — no window, no cartesian") {
+    val p = plan(q("q156_unigram_train"))
+    assert(!p.contains("Window"),
+      s"the DP must be a per-word expression fold, not a positions window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the piece table must broadcast into the occurrence join:\n$p")
+  }
+
+  test("q157 unigram encode: broadcast codebook join, partial doc collapse, no window") {
+    val p = plan(q("q157_unigram_encode"))
+    assert(!p.contains("Window"), s"token order via sorted-struct collapse:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial"), "the per-doc aggregation must combine map-side")
+  }
+
   test("q138 substring apply: positions-only collect, map-side rebuild, no window") {
     val p = plan(q("q138_substring_apply"))
     assert(!p.contains("Window"),

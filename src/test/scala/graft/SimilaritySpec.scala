@@ -322,6 +322,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"q155 recall vs q27 $recall below the 0.4 floor")
   }
 
+  test("q159 embedding dedup apply: canonical = min of transitive closure, keeps one per group") {
+    val pairs = Similarity.embeddingNearDupIvf(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val truth = members.map(m => m -> members.filter(x => find(x) == find(m)).min).toMap
+    val out = Similarity.embeddingNearDupApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.size == n, "one row per corpus vector")
+    out.foreach { case (id, (canon, action)) =>
+      assert(canon == truth.getOrElse(id, id), s"vec $id canonical")
+      assert(action == (if (canon == id) "keep" else "drop"), s"vec $id action")
+    }
+    assert(out.count(_._2._2 == "keep") == n - members.length + truth.values.toSet.size)
+  }
+
   test("q155 auto-K pins cell size ∝ corpus and the auto entry matches explicit K") {
     import Similarity.nearDupIvfAutoK
     // floor at the spec-corpus constant; K = n/16 keeps 2n/K = 32

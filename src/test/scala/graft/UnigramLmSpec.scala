@@ -137,6 +137,33 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("q160: fertility report equals the per-doc encode rollup") {
+    val langOf = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val charsOf = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val toks = r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+          .filter(w => w.nonEmpty && w.length <= UnigramLm.MaxWordLen)
+        r.getLong(0) -> toks.map(_.length.toLong).sum
+      }.toMap
+    val enc = UnigramLm.unigramEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byLang = enc.groupBy(e => langOf(e._1))
+    val got = UnigramLm.unigramFertility(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == byLang.keySet, "one report row per language")
+    byLang.foreach { case (lang, docs) =>
+      val (nDocs, nWords, nSym) =
+        (docs.length.toLong, docs.map(_._2).sum, docs.map(_._3).sum)
+      val nChars = docs.map(d => charsOf(d._1)).sum
+      val want = (nDocs, nWords, nSym, nChars,
+        nSym.toDouble / nWords, nChars.toDouble / nSym)
+      assert(got(lang) == want, s"lang $lang: ${got(lang)} vs $want")
+    }
+  }
+
   test("q157: per-word segmentations are the reference Viterbi's") {
     val vocab = refTrain(UnigramLm.EmRounds)
     val out = UnigramLm.unigramEncode(spark, sf).collect()
