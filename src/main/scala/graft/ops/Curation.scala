@@ -505,7 +505,7 @@ object Curation {
 
   /** Default shard count for q90 (a knob; real deployments size shards
     * to ~1 GB of tokens each). */
-  private val NumShards = 64
+  private[ops] val NumShards = 64
 
   /** q90: deterministic corpus sharding — the last step of every corpus
     * build, turning the curated document set into fixed, reproducible
@@ -546,7 +546,7 @@ object Curation {
   /** Token budget per packed training sequence (q93). A power of two, so
     * fill_ratio = n_tokens / capacity is exact in binary floating point —
     * no cross-engine rounding risk in the oracle compare. */
-  private val PackCapacity = 2048L
+  private[ops] val PackCapacity = 2048L
 
   /** q93: sequence packing — the step between sharding (q90) and the
     * trainer: concatenate documents in deterministic shard order into
@@ -564,11 +564,20 @@ object Curation {
     * consumes. */
   def sequencePacking(spark: SparkSession, dir: String,
                       nShards: Int = NumShards,
-                      capacity: Long = PackCapacity): DataFrame = {
+                      capacity: Long = PackCapacity): DataFrame =
+    packBy(shardKeys(spark, dir, nShards), capacity)
+
+  /** Shared pack-assignment tail of the packing family (q93 whitespace
+    * tokens, q161 unigram-LM pieces): `keyed` carries (doc_id, n_tok,
+    * ord, shard_id) under SOME tokenizer's count — the window, pack
+    * arithmetic, and manifest shape are tokenizer-independent, so every
+    * packing variant shares q93's conservation/exact-fill laws by
+    * construction. */
+  private[ops] def packBy(keyed: DataFrame, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard_id")).orderBy(col("ord"))
-    shardKeys(spark, dir, nShards)
+    keyed
       .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("pack_id", floor(col("before") / capacity))
       .groupBy(col("shard_id"), col("pack_id"))
@@ -576,6 +585,18 @@ object Curation {
         sum(col("n_tok")).as("n_tokens"),
         min_by(col("doc_id"), col("ord")).as("first_doc_id"))
       .withColumn("fill_ratio", col("n_tokens").cast("double") / capacity)
+  }
+
+  /** The q90/q93 shard/order keys over an arbitrary per-doc token
+    * count `counts` = (doc_id, n_tok) — md5 shuffle key and shard
+    * assignment identical to [[shardKeys]], so a tokenizer swap changes
+    * pack BOUNDARIES only, never which shard or order a doc has. */
+  private[ops] def shardKeysBy(counts: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, "shard count must be positive")
+    counts
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("shard_id",
+        expr(s"CAST(conv(substring(ord, 1, 15), 16, 10) AS BIGINT) % $nShards"))
   }
 
   /** Per-domain reservoir size for q98. */

@@ -545,6 +545,15 @@ object Similarity {
       k = nearDupAutoK(Tables.embeddings(spark, dir).count()),
       nAssign = nAssign, minCos = minCos)
 
+  /** Ceiling on the auto-derived K: §8.1's broadcastability row (the
+    * centroid frame is K rows of 64 BIGINTs ≈ 530 B — 2²³ rows ≈ 4 GB,
+    * the practical broadcast limit). Beyond n = 16·2²³ ≈ 1.3e8 vectors
+    * the clamp holds K flat, so cell population grows ∝ n past that
+    * point — callers at that scale shard the corpus or pass k
+    * explicitly via [[embeddingNearDupIvfK]]. Without the clamp the
+    * Int conversion would silently wrap at n > ~3.4e10. */
+  private[graft] val MaxAutoIvfK = 1 << 23
+
   /** K ∝ n for q155's cells — the LINEAR-pair choice (§8.1's 100 TB
     * row): K = n/16 pins the expected cell population at 2n/K = 32
     * vectors (2-way assignment), so within-cell pair enumeration is
@@ -554,9 +563,38 @@ object Similarity {
     * [[embeddingNearDupIvf]] prunes. Floor NearDupK keeps the tiny
     * spec corpora on q27's configuration (at n ≤ 1024 both formulas
     * give 64, so the q27↔q155 recall contract compares like for
-    * like). */
+    * like); ceiling [[MaxAutoIvfK]] keeps the centroid frame
+    * broadcastable instead of wrapping the Int. */
   private[graft] def nearDupIvfAutoK(n: Long): Int =
-    math.max(NearDupK.toLong, n / 16L).toInt
+    math.max(NearDupK.toLong, math.min(MaxAutoIvfK.toLong, n / 16L)).toInt
+
+  /** Parent-level sizes of the q155 coarse HIERARCHY, bottom-up
+    * (SURVEY §8.3's "each level √ the one below", generalized to the
+    * equal-fanout form that actually bounds per-vector work):
+    *
+    *  - depth d = max(2, ⌈log₂log₂K⌉) — computed integer-only as the
+    *    smallest d ≥ 2 with 2^(2^d) ≥ K, so Spark and the SQL oracle
+    *    can derive it without floating logs (d ≤ 5 for any Int K).
+    *  - branching b = the smallest integer with b^d ≥ K (integer
+    *    scan — engine-portable, no float pow).
+    *  - level i (above the K centroids at level 0) holds the
+    *    ⌈K/bⁱ⌉-prefix of the SAME md5 centroid order, i = 1..d-1.
+    *
+    * Every fanout is ≈ b ≈ K^(1/d), so a top-down probe costs
+    * ~b + (d-1)·nprobe·b cosines per vector — O(d·K^(1/d)) = O(log K),
+    * vs the depth-2 form's √K (measured 25.4×/decade at sf100, the one
+    * super-linear stage left in the repo; FAMILY_r12_sf100). At the
+    * gate corpus (K = 64): d = 3, b = 4, levels 64 → 16 → 4. */
+  private[graft] def ivfLevelSizes(k: Int): Seq[Int] = {
+    require(k >= 1)
+    var d = 2
+    while (d < 5 && (1L << (1 << d)) < k) d += 1
+    def pw(x: Long, e: Int): Long =
+      (1 to e).foldLeft(1L)((r, _) => math.min(r * x, 1L << 40))
+    var b = 2L
+    while (pw(b, d) < k) b += 1
+    (1 until d).map(i => ((k + pw(b, i) - 1) / pw(b, i)).toInt)
+  }
 
   /** q155: the DEPLOYMENT path for q27's embedding near-dup — same
     * semantics (candidate pairs share ≥1 of their nAssign nearest
@@ -566,40 +604,41 @@ object Similarity {
     *  - K ∝ n ([[nearDupIvfAutoK]]): cells hold ~32 vectors at any
     *    corpus size, so the pair stage is Θ(n), not q27's Θ(n^1.5)
     *    (measured 53.9×/decade at sf10 — the round-11 `weak` grade).
-    *  - Coarse-probed assignment (the q139/[[KMeans.finalAssignIvf]]
-    *    treatment, cosine metric): the ⌈√K⌉ smallest-md5 centroids are
-    *    COARSE centers; every centroid files under its nearest coarse
-    *    center (ties → lower c_id); a vector ranks only the non-empty
-    *    coarse cells, probes its `nprobe` best, and takes its nAssign
-    *    cells from those cells' member centroids — ~(1+nprobe)·√K
-    *    cosines per vector instead of K, all map-side under one
-    *    broadcast of the coarse-grouped centroid frame.
+    *  - RECURSIVE coarse hierarchy ([[ivfLevelSizes]], auto-depth from
+    *    K): the centroids themselves file under ⌈K/b⌉ coarser centers,
+    *    those under ⌈K/b²⌉, … (each a prefix of the same md5 order); a
+    *    vector ranks the occupied TOP-level cells, keeps its `nprobe`
+    *    best, then descends — at each level scoring only the probed
+    *    cells' member nodes — and takes nAssign centroids at the
+    *    bottom. Per-vector work ~d·nprobe·K^(1/d) = O(log K) cosines,
+    *    vs K for exact assignment and √K for the round-12 depth-2 form
+    *    (whose 25.4×/decade at sf100 was the last super-linear stage).
     *
     * Deterministically APPROXIMATE vs the exact-assignment form (a
     * vector whose true nearest cell files under an unprobed coarse
-    * center mis-assigns — the standard IVF trade): with nprobe ≥ the
-    * non-empty coarse-cell count the candidate union is every
-    * centroid, so q155 ≡ [[embeddingNearDup]] at the same K exactly
-    * (SimilaritySpec pins that law, plus the default-knob recall floor
-    * vs q27 and exact-cosine precision). The oracle replays the
-    * identical pruning, so the gate stays exact row-for-row.
+    * branch mis-assigns — the standard IVF trade, now paid per level):
+    * with nprobe ≥ the occupied-cell count at every level the probed
+    * union is the whole centroid set, so q155 ≡ [[embeddingNearDup]]
+    * at the same K exactly (SimilaritySpec pins that law at depth 3,
+    * plus the default-knob recall floor vs q27 and exact-cosine
+    * precision). The oracle replays the identical d=3 pruning chain,
+    * so the gate stays exact row-for-row.
     *
     * Knobs (SURVEY §8.1): pair work ≈ n·(2·16)²/2 per §8.1's fixed
-    * cell-size row; assignment ≈ n·(1+nprobe)·√K cosines — the one
-    * residual √K term, with centimeter constants (√K = 112 at 200k
-    * vectors vs K = 12500); nprobe trades cross-coarse-cell recall
-    * linearly. Like q118/q139, the centroid frame is K rows — bounded
-    * by §8.1's K ≈ 10⁶–10⁷ broadcastability row at extreme scale. */
+    * cell-size row; assignment ≈ n·d·nprobe·K^(1/d) cosines — no
+    * residual polynomial term; nprobe trades cross-branch recall.
+    * Like q118/q139, the bottom filing frame is K rows — bounded by
+    * §8.1's K ≈ 10⁶–10⁷ broadcastability row ([[MaxAutoIvfK]]). */
   def embeddingNearDupIvf(spark: SparkSession, dir: String,
                           nAssign: Int = 2, minCos: Double = 0.4,
-                          nprobe: Int = 2): DataFrame =
+                          nprobe: Int = 3): DataFrame =
     embeddingNearDupIvfK(spark, dir,
       k = nearDupIvfAutoK(Tables.embeddings(spark, dir).count()),
       nAssign = nAssign, minCos = minCos, nprobe = nprobe)
 
   /** Parametric q155 body (k explicit — the spec's handle for the
     * nprobe-covers-everything ≡ q27 law). Every scoring stage is the
-    * q27 assignCells idiom — crossJoin a broadcast candidate set,
+    * q27 assignCells idiom — crossJoin/join a broadcast candidate set,
     * CODEGEN'd dot_long cosine, bounded top-k via partial aggregation
     * — never a per-row HOF lambda: the first cut probed through
     * interpreted array expressions and measured 20×/decade where this
@@ -609,34 +648,45 @@ object Similarity {
                                           nprobe: Int): DataFrame = {
     require(k >= 1 && nAssign >= 1 && nprobe >= 1)
     val v = scaled(spark, dir)
-    val nc = math.ceil(math.sqrt(k.toDouble)).toInt
-    // centroid filing: each of the K centroids files under its nearest
-    // of the nc COARSE centers (the nc-prefix of the SAME md5 order
-    // that picks the K centroids — centroids(v, nc) ⊆ centroids(v, k));
-    // argmax cosine via struct-min over (-cos, cell): ties break to
-    // the lower coarse c_id, matching the oracle's ORDER BY cos DESC,
-    // cell. K×nc rows through codegen, one K-group hash-agg.
-    val coarse = centroids(v, nc).select(col("c_id").as("cell"),
+    val sizes = ivfLevelSizes(k)
+    // FILING pass, bottom-up: level 0 = the K centroids; each OCCUPIED
+    // level-i node files under its nearest level-(i+1) center. Argmax
+    // cosine via struct-min over (-cos, cell): ties break to the lower
+    // parent id, matching the oracle's ORDER BY cos DESC, cell. Only
+    // occupied parents (≥1 filed child) carry upward — the
+    // KMeans.assignIvf empty-twin lesson: a childless cell must never
+    // burn probe budget. Each filing is ≤K rows through codegen + one
+    // hash-agg, checkpointed (it feeds both the descent join and the
+    // next filing).
+    var members = centroids(v, k)
+    val filings = sizes.map { li =>
+      val parents = centroids(v, li).select(col("c_id").as("cell"),
+        col("c_ai").as("cc_ai"), col("c_n2").as("cc_n2"))
+      val fm = members.crossJoin(broadcast(parents))
+        .withColumn("nd", negate(
+          expr("dot_long(c_ai, cc_ai)").cast("double") /
+            (sqrt(col("cc_n2").cast("double")) * sqrt(col("c_n2").cast("double")))))
+        .groupBy(col("c_id"))
+        .agg(min(struct(col("nd"), col("cell"))).as("m"),
+          first(col("c_ai")).as("c_ai"), first(col("c_n2")).as("c_n2"))
+        .select(col("m.cell").as("cell"), col("c_id"), col("c_ai"), col("c_n2"))
+        .localCheckpoint(true)
+      members = fm.select(col("cell")).distinct()
+        .join(parents, Seq("cell"))
+        .select(col("cell").as("c_id"), col("cc_ai").as("c_ai"),
+          col("cc_n2").as("c_n2"))
+      fm
+    }
+    // PROBE pass, top-down: rank ALL occupied top-level cells (there
+    // are ~b of them), keep nprobe; at each lower level score only the
+    // probed cells' member nodes (broadcast filing keyed by cell) and
+    // keep nprobe — nAssign at the bottom. Bounded TopKAgg with
+    // map-side partials at every step; ties (score DESC, cell ASC) ≡
+    // the oracle's window order.
+    val topRoot = members.select(col("c_id").as("cell"),
       col("c_ai").as("cc_ai"), col("c_n2").as("cc_n2"))
-    val fm = centroids(v, k).crossJoin(broadcast(coarse))
-      .withColumn("nd", negate(
-        expr("dot_long(c_ai, cc_ai)").cast("double") /
-          (sqrt(col("cc_n2").cast("double")) * sqrt(col("c_n2").cast("double")))))
-      .groupBy(col("c_id"))
-      .agg(min(struct(col("nd"), col("cell"), col("cc_ai"), col("cc_n2"))).as("b"),
-        first(col("c_ai")).as("c_ai"), first(col("c_n2")).as("c_n2"))
-      .select(col("b.cell").as("cell"), col("b.cc_ai").as("cc_ai"),
-        col("b.cc_n2").as("cc_n2"), col("c_id"), col("c_ai"), col("c_n2"))
-      .localCheckpoint(true)
-    // vector probe: rank the NON-EMPTY coarse cells (exactly the cells
-    // centroids filed under — the KMeans.assignIvf empty-twin lesson;
-    // a duplicate coarse twin's empty cell never burns probe budget)
-    // by cosine, keep nprobe per vector — bounded TopKAgg, map-side
-    // partials, ties (score DESC, cell ASC) ≡ the oracle's window
-    val occupied = fm.groupBy(col("cell"))
-      .agg(first(col("cc_ai")).as("cc_ai"), first(col("cc_n2")).as("cc_n2"))
     val topProbe = udaf(new graft.functions.TopKAgg(nprobe))
-    val probes = v.crossJoin(broadcast(occupied))
+    val root = v.crossJoin(broadcast(topRoot))
       .withColumn("cos",
         expr("dot_long(ai, cc_ai)").cast("double") /
           (sqrt(col("cc_n2").cast("double")) * sqrt(col("n2").cast("double"))))
@@ -645,19 +695,21 @@ object Similarity {
         topProbe(col("cos"), col("cell")).as("top"))
       .select(col("vec_id"), col("ai"), col("n2"),
         explode(expr("transform(top, x -> x._2)")).as("cell"))
-    // fine assignment: score only the probed cells' member centroids
-    // (the fm broadcast keyed by cell — ~nprobe·√K candidates per
-    // vector instead of K), keep nAssign — same bounded shape
-    val topAssign = udaf(new graft.functions.TopKAgg(nAssign))
-    val cells = probes
-      .join(broadcast(fm.select(col("cell"), col("c_id"), col("c_ai"), col("c_n2"))),
-        Seq("cell"))
-      .withColumn("cos",
-        expr("dot_long(ai, c_ai)").cast("double") /
-          (sqrt(col("c_n2").cast("double")) * sqrt(col("n2").cast("double"))))
-      .groupBy(col("vec_id"))
-      .agg(topAssign(col("cos"), col("c_id")).as("top"))
-      .select(explode(expr("transform(top, x -> x._2)")).as("c_id"), col("vec_id"))
+    val descended = filings.zipWithIndex.reverse.foldLeft(root) {
+      case (cur, (fm, level)) =>
+        val topn = udaf(new graft.functions.TopKAgg(
+          if (level == 0) nAssign else nprobe))
+        cur.join(broadcast(fm), Seq("cell"))
+          .withColumn("cos",
+            expr("dot_long(ai, c_ai)").cast("double") /
+              (sqrt(col("c_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .groupBy(col("vec_id"))
+          .agg(first(col("ai")).as("ai"), first(col("n2")).as("n2"),
+            topn(col("cos"), col("c_id")).as("top"))
+          .select(col("vec_id"), col("ai"), col("n2"),
+            explode(expr("transform(top, x -> x._2)")).as("cell"))
+    }
+    val cells = descended.select(col("cell").as("c_id"), col("vec_id"))
     cellPairs(cells, v, minCos)
   }
 
@@ -768,13 +820,21 @@ object Similarity {
       |  WHERE cos >= 0.4)""".stripMargin
 
   /** The q155 oracle's WITH body, ending in CTE `ivfpairs` (a_id <
-    * b_id, cos ≥ τ) — shared by q159's apply chain. CTEs are
-    * MATERIALIZED: each is referenced more than once and DuckDB's
-    * default inlining re-expands the chain multiplicatively (the q134
-    * lesson, via q139). */
+    * b_id, cos ≥ τ) — shared by q159's apply chain. Replays the
+    * [[ivfLevelSizes]] depth-3 hierarchy UNROLLED (valid for
+    * 17 ≤ K ≤ 256 ⇔ n ≤ 4096, which covers the sf0.01 gate corpus at
+    * K = 64 → b = 4, levels 64 → 16 → 4; the Spark side derives the
+    * same depth from the same integer formula, so the chains agree).
+    * The branching b is the smallest integer with b³ ≥ K — an integer
+    * range scan, engine-portable where a float pow() would not be.
+    * CTEs are MATERIALIZED: each is referenced more than once and
+    * DuckDB's default inlining re-expands the chain multiplicatively
+    * (the q134 lesson, via q139). */
   private def neardupIvfChainSql: String = {
     val kSql = "(SELECT greatest(64, count(*) // 16) FROM v)"
-    val ncSql = "(SELECT CAST(ceil(sqrt(greatest(64, count(*) // 16))) AS BIGINT) FROM v)"
+    val bSql = s"(SELECT min(i) FROM range(2, 4097) t(i) WHERE i*i*i >= $kSql)"
+    val l1Sql = s"(SELECT (k + b - 1) // b FROM (SELECT $kSql AS k, $bSql AS b))"
+    val l2Sql = s"(SELECT (k + b*b - 1) // (b*b) FROM (SELECT $kSql AS k, $bSql AS b))"
     def cosSql(a: String, an2: String, b: String, bn2: String) =
       s"""CAST(list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1])) AS DOUBLE)
          |        / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
@@ -784,27 +844,45 @@ object Similarity {
        |  FROM ($scaledSql)),
        |c AS MATERIALIZED (SELECT vec_id AS c_id, ai AS c_ai, n2 AS c_n2 FROM v
        |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSql),
-       |co AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
-       |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ncSql),
-       |fm AS MATERIALIZED (
+       |l1 AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
+       |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $l1Sql),
+       |l2 AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
+       |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $l2Sql),
+       |fm0 AS MATERIALIZED (
        |  SELECT c_id, c_ai, c_n2, cell FROM (
-       |    SELECT c.c_id, c.c_ai, c.c_n2, co.cell,
+       |    SELECT c.c_id, c.c_ai, c.c_n2, l1.cell,
        |      row_number() OVER (PARTITION BY c.c_id ORDER BY
-       |        ${cosSql("c.c_ai", "c.c_n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
-       |    FROM c, co) WHERE rn = 1),
-       |pr AS MATERIALIZED (
+       |        ${cosSql("c.c_ai", "c.c_n2", "l1.cc_ai", "l1.cc_n2")} DESC, l1.cell) AS rn
+       |    FROM c, l1) WHERE rn = 1),
+       |occ1 AS MATERIALIZED (SELECT * FROM l1
+       |  WHERE cell IN (SELECT DISTINCT cell FROM fm0)),
+       |fm1 AS MATERIALIZED (
+       |  SELECT m_id, m_ai, m_n2, cell FROM (
+       |    SELECT o.cell AS m_id, o.cc_ai AS m_ai, o.cc_n2 AS m_n2, l2.cell,
+       |      row_number() OVER (PARTITION BY o.cell ORDER BY
+       |        ${cosSql("o.cc_ai", "o.cc_n2", "l2.cc_ai", "l2.cc_n2")} DESC, l2.cell) AS rn
+       |    FROM occ1 o, l2) WHERE rn = 1),
+       |occ2 AS MATERIALIZED (SELECT * FROM l2
+       |  WHERE cell IN (SELECT DISTINCT cell FROM fm1)),
+       |pr2 AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
-       |    SELECT v.vec_id, co.cell,
+       |    SELECT v.vec_id, o.cell,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |        ${cosSql("v.ai", "v.n2", "co.cc_ai", "co.cc_n2")} DESC, co.cell) AS rn
-       |    FROM v, co
-       |    WHERE co.cell IN (SELECT DISTINCT cell FROM fm)) WHERE rn <= 2),
+       |        ${cosSql("v.ai", "v.n2", "o.cc_ai", "o.cc_n2")} DESC, o.cell) AS rn
+       |    FROM v, occ2 o) WHERE rn <= 3),
+       |pr1 AS MATERIALIZED (
+       |  SELECT vec_id, m_id FROM (
+       |    SELECT v.vec_id, f.m_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${cosSql("v.ai", "v.n2", "f.m_ai", "f.m_n2")} DESC, f.m_id) AS rn
+       |    FROM v JOIN pr2 p ON p.vec_id = v.vec_id JOIN fm1 f ON f.cell = p.cell)
+       |  WHERE rn <= 3),
        |assign AS MATERIALIZED (
        |  SELECT vec_id, c_id FROM (
        |    SELECT v.vec_id, f.c_id,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        ${cosSql("v.ai", "v.n2", "f.c_ai", "f.c_n2")} DESC, f.c_id) AS rn
-       |    FROM v JOIN pr p ON p.vec_id = v.vec_id JOIN fm f ON f.cell = p.cell)
+       |    FROM v JOIN pr1 p ON p.vec_id = v.vec_id JOIN fm0 f ON f.cell = p.m_id)
        |  WHERE rn <= 2),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id

@@ -93,7 +93,14 @@ object UnigramLm {
 
   /** Attach the fixed-point log-probability: lp = round(ln(c/N)·10⁴)
     * over the table's own total N (exact integer counts in, one ln +
-    * one rounding out — see the determinism note above). */
+    * one rounding out — see the determinism note above). One
+    * refinement to that note: Spark's Round on DOUBLE rounds the
+    * shortest-decimal rendering (BigDecimal.valueOf) while DuckDB
+    * rounds the exact binary value, so the cross-engine divergence
+    * window at a 10⁻⁴-grid midpoint is one ULP of the double —
+    * marginally wider than the ~1e-15 true-value analysis above, still
+    * vanishing for these integer-count ratios (and any flip would trip
+    * the hash gate loudly, not corrupt silently). */
   private def withLp(vocab: DataFrame): DataFrame = {
     val tot = vocab.agg(sum(col("c")).as("n"))
     vocab.crossJoin(broadcast(tot))
@@ -197,6 +204,34 @@ object UnigramLm {
         concat_ws(" ",
           expr("transform(array_sort(collect_list(struct(pos, enc))), x -> x.enc)"))
           .as("enc"))
+  }
+
+  /** q161: sequence packing under the UNIGRAM-LM tokenizer — the
+    * consumer step VERDICT r12 item 6 names: q93's packs count
+    * whitespace tokens, but a trainer's loader fills sequences with
+    * TOKENIZER pieces, so pack boundaries must come from the same
+    * tokenizer the corpus will be encoded with. Per-doc piece counts
+    * are the q157 encode's n_piece (docs whose every word exceeds
+    * MaxWordLen count 0 — they still occupy their shard slot, a LEFT
+    * join, so doc conservation holds); shard assignment and
+    * within-shard order are IDENTICAL to q90/q93 (md5 of doc_id — a
+    * tokenizer swap moves pack boundaries, never shard membership),
+    * and the window/pack arithmetic is [[Curation.packBy]], shared
+    * with q93, so the conservation/contiguity/exact-fill laws hold by
+    * construction (CurationSpec pins both variants).
+    *
+    * Scale shape: the q157 encode chain (corpus touched once,
+    * vocabulary-sized EM, broadcast codebook) plus q93's one
+    * per-shard prefix-sum window — nothing new shuffles. */
+  def unigramPacking(spark: SparkSession, dir: String,
+                     rounds: Int = EmRounds,
+                     nShards: Int = Curation.NumShards,
+                     capacity: Long = Curation.PackCapacity): DataFrame = {
+    val counts = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(unigramEncode(spark, dir, rounds).select(col("doc_id"), col("n_piece")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_piece"), lit(0L)).as("n_tok"))
+    Curation.packBy(Curation.shardKeysBy(counts, nShards), capacity)
   }
 
   /** q160: unigram-LM tokenizer fertility by language — q145's report
@@ -335,6 +370,35 @@ object UnigramLm {
          |  string_agg(enc, ' ' ORDER BY pos) AS enc
          |FROM inst JOIN cb USING (tok) WHERE tok <> '' AND len(tok) <= $MaxWordLen
          |GROUP BY doc_id""".stripMargin,
+    // q161: the q157 chain's per-doc piece counts (LEFT-joined so
+    // uncounted docs pack at 0 tokens), then q93's pack CTEs verbatim.
+    "q161_unigram_packing" ->
+      s"""WITH RECURSIVE ${chainSql(EmRounds)},
+         |${roundSql(EmRounds)},
+         |cb AS (SELECT w AS tok, CAST(count(*) AS BIGINT) AS n_piece
+         |  FROM wk$EmRounds GROUP BY w),
+         |inst AS (SELECT doc_id, unnest(toks) AS tok
+         |  FROM (SELECT doc_id,
+         |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |    FROM documents)),
+         |pc AS (SELECT doc_id, CAST(sum(n_piece) AS BIGINT) AS n_piece
+         |  FROM inst JOIN cb USING (tok) WHERE tok <> '' AND len(tok) <= $MaxWordLen
+         |  GROUP BY doc_id),
+         |k AS (SELECT d.doc_id, coalesce(pc.n_piece, 0) AS n_tok,
+         |    md5(CAST(d.doc_id AS VARCHAR)) AS ord
+         |  FROM documents d LEFT JOIN pc ON pc.doc_id = d.doc_id),
+         |s AS (SELECT doc_id, n_tok, ord,
+         |    CAST('0x' || substring(ord, 1, 15) AS BIGINT) % ${Curation.NumShards} AS shard_id
+         |  FROM k),
+         |p AS (SELECT shard_id, doc_id, n_tok, ord,
+         |    CAST(floor((sum(n_tok) OVER (PARTITION BY shard_id ORDER BY ord
+         |      ROWS UNBOUNDED PRECEDING) - n_tok) / ${Curation.PackCapacity}) AS BIGINT) AS pack_id
+         |  FROM s)
+         |SELECT shard_id, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  arg_min(doc_id, ord) AS first_doc_id,
+         |  CAST(sum(n_tok) AS DOUBLE) / ${Curation.PackCapacity} AS fill_ratio
+         |FROM p GROUP BY 1, 2""".stripMargin,
     // q160: the q157 chain with lang carried through and the per-doc
     // collapse replaced by the per-language report (q145's shape).
     "q160_unigram_fertility" ->

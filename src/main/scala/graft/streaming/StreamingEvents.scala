@@ -281,10 +281,16 @@ object StreamingEvents {
     *    segment-intensity sums ([[graft.ops.Multimodal.intensitiesOf]],
     *    the code path batch q148 uses) and DISCARDS the payload; the
     *    stateful aggregation folds intensities per doc by element-wise
-    *    SUM (VectorSumAgg — an algebraic aggregate, so chunked or late
-    *    rows of a doc re-sum correctly: the additive analogue of
-    *    q149's min-fold; no watermark, a doc's state must stay
-    *    updatable forever). State = one 57-long vector per doc — the
+    *    SUM (VectorSumAgg — an algebraic aggregate, so late or
+    *    re-delivered WHOLE-payload rows of a doc fold to the same
+    *    state as one batch row: the additive analogue of q149's
+    *    min-fold; no watermark, a doc's state must stay updatable
+    *    forever). Scope note: the additive law holds for whole-payload
+    *    rows — segment boundaries are computed per ROW from that row's
+    *    own length, so a payload physically split across rows matches
+    *    batch only if the split lands on segment boundaries; arbitrary
+    *    chunking is out of contract (StreamingSpec pins exactly the
+    *    whole-payload laws). State = one 57-long vector per doc — the
     *    store never holds media bytes.
     *  - Signatures pack from the state ([[graft.ops.Multimodal
     *    .packSigExpr]], shared) and the pair sweep is the periodic

@@ -100,6 +100,42 @@ class CurationSpec extends SparkSpec {
     p.unpersist()
   }
 
+  /** q161 = q93's laws under the unigram-LM token count: same shard
+    * membership and within-shard order (md5 keys are tokenizer-
+    * independent), conservation, pack contiguity, exact fill — plus
+    * the cross-variant invariants: total packed tokens equal the q157
+    * encode's corpus piece total, and each doc's shard is identical to
+    * its q93 shard. */
+  test("unigram packing: q93 laws hold and totals match the q157 encode") {
+    val p = graft.ops.UnigramLm.unigramPacking(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(p.agg(sum("n_docs")).head.getLong(0) == docs, "every doc lands in a pack")
+    val gaps = p.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), (max("pack_id") + 1).as("expect"))
+      .filter(col("n") =!= col("expect")).count()
+    assert(gaps == 0, "no shard has a pack-id gap")
+    p.collect().foreach { r =>
+      assert(r.getAs[Double]("fill_ratio") ==
+        r.getAs[Long]("n_tokens").toDouble / 2048, "fill ratio is exact")
+    }
+    // token conservation vs the tokenizer itself: packed totals are the
+    // corpus piece count, not the whitespace token count
+    val pieces = graft.ops.UnigramLm.unigramEncode(spark, sf)
+      .agg(sum("n_piece")).head.getLong(0)
+    assert(p.agg(sum("n_tokens")).head.getLong(0) == pieces,
+      "packed tokens must conserve the q157 corpus piece total")
+    // shard membership is tokenizer-independent (same md5 keys as q93)
+    val s93 = Curation.sequencePacking(spark, sf)
+      .groupBy("shard_id").agg(sum("n_docs").as("d93"))
+    val s161 = p.groupBy("shard_id").agg(sum("n_docs").as("d161"))
+    assert(s93.join(s161, Seq("shard_id"), "full")
+      .filter(col("d93") =!= col("d161") ||
+        col("d93").isNull || col("d161").isNull).count() == 0,
+      "per-shard doc counts must be identical across tokenizers")
+    assertSameRows(p, graft.ops.UnigramLm.unigramPacking(spark, sf))
+    p.unpersist()
+  }
+
   test("chunk dedup: first doc is untouched; totals conserve") {
     val out = Curation.chunkDedup(spark, sf).cache()
     val first = out.orderBy("doc_id").limit(1).head()

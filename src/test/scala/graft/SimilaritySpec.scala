@@ -278,16 +278,43 @@ class SimilaritySpec extends SparkSpec {
     assert(autoNd == explNd)
   }
 
-  /** q155 ≡ q27 when the probe budget covers every coarse cell: with
-    * nprobe ≥ the non-empty coarse-cell count the probed fines union is
-    * the whole centroid set, so the pruned assignment degenerates to the
-    * exact one — the KMeansSpec nprobe-covers-everything law, cosine
-    * flavor. nprobe = k trivially covers (there are ≤ ⌈√k⌉ cells). */
+  /** q155 ≡ q27 when the probe budget covers every cell at EVERY level
+    * of the coarse hierarchy: with nprobe ≥ the occupied-cell count at
+    * each level the probed union is the whole centroid set, so the
+    * pruned assignment degenerates to the exact one — the KMeansSpec
+    * nprobe-covers-everything law, cosine flavor, extended to depth > 2
+    * (k = 64 derives the depth-3 hierarchy 64 → 16 → 4, so this law
+    * exercises a genuine two-stage descent; nprobe = k trivially covers
+    * every level). */
   test("q155 with a covering probe budget equals the exact-assignment q27 form") {
+    assert(Similarity.ivfLevelSizes(64) == Seq(16, 4), "law must run at depth 3")
     assertSameRows(
       Similarity.embeddingNearDupIvfK(spark, sf, k = 64, nAssign = 2,
         minCos = 0.4, nprobe = 64),
       Similarity.embeddingNearDup(spark, sf, k = 64))
+  }
+
+  /** The hierarchy-shape formula behind q155's assignment: depth
+    * d = max(2, ⌈log₂log₂K⌉), branching b = min integer with b^d ≥ K,
+    * level i = ⌈K/bⁱ⌉ — every fanout ≈ K^(1/d), so per-vector probe
+    * work is O(d·K^(1/d)) = O(log K) (the fix for the depth-2 form's
+    * √K term, 25.4×/decade at sf100 per FAMILY_r12_sf100). */
+  test("q155 level sizes: auto depth, equal fanout, boundary Ks") {
+    import Similarity.ivfLevelSizes
+    assert(ivfLevelSizes(16) == Seq(4))              // d=2 floor (tiny explicit k)
+    assert(ivfLevelSizes(17) == Seq(6, 2))           // d jumps to 3, b=3
+    assert(ivfLevelSizes(64) == Seq(16, 4))          // gate corpus: b=4
+    assert(ivfLevelSizes(125) == Seq(25, 5))         // sf0.1: K=125, b=5
+    assert(ivfLevelSizes(256) == Seq(37, 6))         // d=3 ceiling: b=7 (7³=343)
+    assert(ivfLevelSizes(257) == Seq(52, 11, 3))     // d jumps to 4: b=5 (5⁴=625)
+    assert(ivfLevelSizes(12500) == Seq(1137, 104, 10))   // sf10: d=4, b=11
+    assert(ivfLevelSizes(125000) == Seq(11364, 1034, 94, 9)) // sf100: d=5, b=11
+    // the top level stays small (≈b) and every size is ⌈K/bⁱ⌉
+    Seq(64, 125, 12500, 125000, Similarity.MaxAutoIvfK).foreach { k =>
+      val s = ivfLevelSizes(k)
+      assert(s.head < k && s.last <= s.head, s"sizes must descend for k=$k")
+      assert(s.zip(s.tail).forall { case (a, b) => b < a }, s"strictly descending for k=$k")
+    }
   }
 
   /** The q155 deployment contract at default knobs: precision is total
@@ -295,8 +322,11 @@ class SimilaritySpec extends SparkSpec {
     * pruning can only drop candidates, never corrupt scores), and the
     * recall trade vs q27's exact assignment is bounded on the spec
     * corpus. 0.4 is the measured floor on this nearly-unclustered
-    * synthetic data (10/22 at nprobe=2 of 8 coarse cells on sf0.001;
-    * 16/29 on sf0.01; a covering probe recovers 22/22 per the law
+    * synthetic data (10/22 at the default nprobe=3 beam through the
+    * depth-3 hierarchy 64→16→4 on sf0.001 — the same 10/22 the
+    * round-12 depth-2 form measured at nprobe=2, at comparable
+    * per-vector cost; nprobe=2 at depth 3 cuts to 7/22, which is why
+    * the default widened; a covering probe recovers 22/22 per the law
     * above) — real near-dup corpora cluster far more tightly, but the
     * spec pins what THIS fixture guarantees. */
   test("q155 precision total, exact cosines, recall floor vs q27") {
@@ -319,6 +349,7 @@ class SimilaritySpec extends SparkSpec {
     val q27 = Similarity.embeddingNearDupAuto(spark, sf)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (got.map(_._1).toSet & q27).size.toDouble / q27.size
+    info(f"q155 recall vs q27 at sf0.001: ${(got.map(_._1).toSet & q27).size}/${q27.size} = $recall%.3f")
     assert(recall >= 0.4, s"q155 recall vs q27 $recall below the 0.4 floor")
   }
 
@@ -358,6 +389,6 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(
       Similarity.embeddingNearDupIvf(spark, sf),
       Similarity.embeddingNearDupIvfK(spark, sf, k = nearDupIvfAutoK(n),
-        nAssign = 2, minCos = 0.4, nprobe = 2))
+        nAssign = 2, minCos = 0.4, nprobe = 3))
   }
 }
