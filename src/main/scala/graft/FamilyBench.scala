@@ -69,9 +69,14 @@ object FamilyBench {
     // 13.7×/decade): shuffle partitioning is the suspect — let the
     // diagnosis runs vary it independently of parallelism
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // the r13 width-probe protocol's third axis (SURVEY §8.3): AQE's
+    // pre-coalesce width, independent of the reducer target — the
+    // "32-reducers/128-initial" config of the probe matrix
+    val aqeInitial = sys.env.getOrElse("SPARK_GRAFT_AQE_INITIAL", shuffle)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", aqeInitial)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -97,11 +102,23 @@ object FamilyBench {
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // on-disk input volume (all parquet under sfDir) — the artifact's
+    // scale points become self-describing instead of relying on the
+    // sfDir name matching a ScaleGen rep count
+    val inputMib = {
+      val root = java.nio.file.Paths.get(sfDir)
+      val s = java.nio.file.Files.walk(root)
+      try {
+        s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+          .mapToLong(java.nio.file.Files.size).sum / (1024.0 * 1024.0)
+      } finally s.close()
+    }
     val metric =
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shuffle,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()
