@@ -124,6 +124,67 @@ object Scoring {
         round(avg(-log((col("c") + lit(1.0)) / (col("cu") + col("v")))), 6).as("xent"))
   }
 
+  /** q162: CCNet's perplexity-bucket split (Wenzek et al., LREC 2020,
+    * §4.3) — per LANGUAGE, documents fall into head / middle / tail
+    * terciles of the q95 cross-entropy distribution (low xent = fluent
+    * under the corpus LM = head; CCNet trains downstream models on
+    * head+middle and drops tail). Output: one row per (lang, bucket)
+    * with the doc count and mean xent — the corpus-audit report a
+    * curation run reads before choosing its keep set.
+    *
+    * Tercile boundaries come from the q116 dyadic-grid sketch GROUPED
+    * BY LANGUAGE, not an ntile window: an exact per-lang ntile sorts
+    * every doc of a language inside one window partition (the O(n)
+    * task §8.2 bans), while the grid needs one (lang, bucket) count
+    * aggregate — ≤ langs×1024 rows however large the corpus — plus a
+    * map-side bucket assignment against broadcast per-lang bounds.
+    * Bucket LABELS then compare integer grid indices (b ≤ b1), never
+    * re-derived float cutpoints, so the tercile split is exactly as
+    * deterministic as the grid itself. Docs with no bigram (length <
+    * 2 tokens) carry no xent and are out of scope, as in q95. */
+  def ccnetBuckets(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big = bigramsOf(spark, dir).select(col("doc_id"), col("lang"), col("bg"),
+      split(col("bg"), " ").getItem(0).as("u"))
+    val cnt = big.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val uc = big.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val vocab = toksOf(spark, dir).agg(count_distinct(col("tok")).as("v"))
+    val xent = big.join(cnt, "bg")
+      .join(uc, "u")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(-log((col("c") + lit(1.0)) / (col("cu") + col("v")))), 6).as("xent"))
+    val bounds = xent.groupBy(col("lang"))
+      .agg(min(col("xent")).as("lo"), max(col("xent")).as("hi"), count(lit(1)).as("n"))
+    val bucketed = xent.join(broadcast(bounds), "lang")
+      .withColumn("b", least(
+        when(col("hi") === col("lo"), lit(0.0))
+          .otherwise(floor((col("xent") - col("lo")) / (col("hi") - col("lo")) * buckets)),
+        lit((buckets - 1).toDouble)).cast("int"))
+      .select(col("lang"), col("xent"), col("b"))
+    val counts = bucketed.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("cnt"))
+    // the window runs over ≤ langs × buckets COUNT rows, never docs
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("b"))))
+    val cuts = bounds.select(col("lang"), col("n"),
+        explode(array(lit(1), lit(2))).as("t"))
+      .withColumn("target", ceil(col("t") * col("n") / lit(3.0)).cast("long"))
+      .join(cum, Seq("lang"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("lang"), col("t"))
+      .agg(min(col("b")).as("cb"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("t") === 1, col("cb"))).as("b1"),
+        min(when(col("t") === 2, col("cb"))).as("b2"))
+    bucketed.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("b") <= col("b1"), lit("head"))
+          .when(col("b") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("xent")), 6).as("avg_xent"))
+  }
+
   /** Per-doc trigram instances as (w1, w2, w3) columns — the q95 bigram
     * stream one order higher. Map-side: transform/explode, no shuffle. */
   private def trigramsOf(spark: SparkSession, dir: String): DataFrame =
@@ -458,6 +519,51 @@ object Scoring {
          |JOIN uc ON uc.u = split_part(b.bg, ' ', 1)
          |CROSS JOIN vocab
          |GROUP BY b.doc_id""".stripMargin,
+    "q162_ccnet_buckets" ->
+      s"""WITH big AS ($bigramSql),
+         |toks AS (
+         |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks WHERE tok <> ''),
+         |cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY 1),
+         |uc AS (SELECT split_part(bg, ' ', 1) AS u, count(*) AS cu FROM big GROUP BY 1),
+         |xent AS (
+         |  SELECT b.doc_id, b.lang,
+         |    round(avg(-ln((c + 1.0)/(cu + v))), 6) AS xent
+         |  FROM big b JOIN cnt ON cnt.bg = b.bg
+         |  JOIN uc ON uc.u = split_part(b.bg, ' ', 1)
+         |  CROSS JOIN vocab
+         |  GROUP BY 1, 2),
+         |bounds AS (SELECT lang, min(xent) AS lo, max(xent) AS hi, count(*) AS n
+         |           FROM xent GROUP BY 1),
+         |bucketed AS (
+         |  SELECT x.lang, x.xent,
+         |    CAST(least(CASE WHEN hi = lo THEN 0.0e0
+         |                    ELSE floor((xent - lo) / (hi - lo) * 1024) END,
+         |               1023.0e0) AS INT) AS b
+         |  FROM xent x JOIN bounds USING (lang)),
+         |counts AS (SELECT lang, b, count(*) AS cnt FROM bucketed GROUP BY 1, 2),
+         |cum AS (SELECT lang, b, sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum
+         |        FROM counts),
+         |cuts AS (
+         |  SELECT lang,
+         |    min(CASE WHEN t = 1 THEN cb END) AS b1,
+         |    min(CASE WHEN t = 2 THEN cb END) AS b2
+         |  FROM (
+         |    SELECT c.lang, t.t, min(c.b) AS cb
+         |    FROM cum c
+         |    JOIN bounds bo USING (lang)
+         |    CROSS JOIN (SELECT unnest([1, 2]) AS t) t
+         |    WHERE c.cum >= CAST(ceil(t.t * bo.n / 3.0) AS BIGINT)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT b.lang,
+         |  CASE WHEN b.b <= b1 THEN 'head'
+         |       WHEN b.b <= b2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, round(avg(xent), 6) AS avg_xent
+         |FROM bucketed b JOIN cuts USING (lang)
+         |GROUP BY 1, 2""".stripMargin,
     "q150_trigram_backoff" ->
       s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
          |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t

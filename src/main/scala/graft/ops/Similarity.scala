@@ -74,7 +74,7 @@ object Similarity {
     * no row_number window materializing n×K rows). `first(...)` carries
     * the group-constant payload columns (ai/n2/label are functionally
     * dependent on vec_id). */
-  private def assignCells(v: DataFrame, nAssign: Int, k: Int): DataFrame = {
+  private[graft] def assignCells(v: DataFrame, nAssign: Int, k: Int): DataFrame = {
     val topn = udaf(new graft.functions.TopKAgg(nAssign))
     v.crossJoin(broadcast(centroids(v, k)))
       .withColumn("cos",
@@ -787,6 +787,110 @@ object Similarity {
         when(col("vec_id") === col("canonical_id"), "keep").otherwise("drop"))
   }
 
+  /** q163: margin-based paraphrase/bitext-style pair MINING (Artetxe &
+    * Schwenk, "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings", ACL 2019, ratio margin) — the selection rule
+    * modern parallel-data pipelines (CCMatrix, NLLB) use instead of a
+    * raw cosine threshold: score(x,y) = cos(x,y) / mean of the two
+    * sides' top-k neighbor cosines, so a pair only survives if it is
+    * distinctly closer than each side's OTHER neighbors (kills hub
+    * vectors that cosine-threshold mining floods on).
+    *
+    * Candidates come from q27's shared-cell structure (never all-pairs);
+    * per-vector k-NN stats accumulate in the bounded TopKAgg (map-side
+    * partial agg — no window over candidates); the mutual-kNN gate and
+    * margin are then one self-join of the ≤k-row-per-vector kNN frame.
+    * The denominator sums the top array in its sorted order (foldLeft
+    * over ≤k elements, post-aggregation — off the hot path), so the
+    * double summation order is deterministic and engine-portable; the
+    * margin is 6-dp rounded before the threshold compare, the q49
+    * rule for ln/÷-derived scores.
+    *
+    * 100 TB shape: cells bound candidates exactly as q27/q155 (swap in
+    * the q155 hierarchy for the assignment at deployment K); everything
+    * downstream is linear in the candidate count with ≤k rows per
+    * vector in every shuffle. */
+  def marginMining(spark: SparkSession, dir: String, k: Int = 4,
+                   nAssign: Int = 2, cells: Int = NearDupK,
+                   minMargin: Double = 1.05): DataFrame = {
+    val v = scaled(spark, dir)
+    val cellsDf = assignCells(v, nAssign, cells).select(col("c_id"), col("vec_id"))
+    val cand = cellsDf.as("x").join(cellsDf.as("y"), "c_id")
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val scored = cand
+      .join(v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"),
+        col("n2").as("a_n2")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("ai"),
+        col("n2").as("b_n2")), "b_id")
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))))
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .localCheckpoint(true) // feeds the kNN build AND the final join
+    val directed = scored.select(col("a_id").as("x"), col("b_id").as("y"), col("cos"))
+      .unionByName(scored.select(col("b_id").as("x"), col("a_id").as("y"), col("cos")))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    val stats = directed.groupBy(col("x"))
+      .agg(topk(col("cos"), col("y")).as("top"))
+      .select(col("x"),
+        expr("aggregate(top, 0D, (a, p) -> a + p._1) / size(top)").as("avgk"),
+        expr("transform(top, p -> p._2)").as("nbrs"))
+    scored
+      .join(stats.select(col("x").as("a_id"), col("avgk").as("ka"),
+        col("nbrs").as("na")), "a_id")
+      .join(stats.select(col("x").as("b_id"), col("avgk").as("kb"),
+        col("nbrs").as("nb")), "b_id")
+      .filter(array_contains(col("na"), col("b_id")) &&
+        array_contains(col("nb"), col("a_id")))
+      .withColumn("margin", round(col("cos") / ((col("ka") + col("kb")) / 2), 6))
+      .filter(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+  }
+
+  /** q165: SEMANTIC decontamination — the embedding-space complement of
+    * the exact n-gram decontamination family (q79/q88/q152): training
+    * vectors whose cosine to ANY held-out/eval vector exceeds τ are
+    * flagged (the contamination class n-gram matching misses —
+    * paraphrased or lightly re-worded benchmark text; cf. the
+    * contamination analyses of GPT-3 §8 / PaLM and SemDeDup's cross-set
+    * variant). The eval side is the deterministic md5-free hash split
+    * `vec_id % 17 = 3` (≈6% of the corpus), standing in for a real
+    * benchmark embedding table.
+    *
+    * Candidates are CROSS-SIDE only, scoped by q27's shared cells (the
+    * q91 delta-vs-corpus idiom): eval and train memberships join on the
+    * cell id, so no train×train or eval×eval pair is ever enumerated
+    * and the per-cell work is |evalᵢ|·|trainᵢ|, not (evalᵢ+trainᵢ)².
+    * Output is one row per flagged train vector (hit count + max
+    * cosine) — the keep/drop input for a q140-style apply.
+    *
+    * 100 TB shape: the eval side of a real run is benchmark-sized
+    * (≤10⁶ rows) — its cell memberships broadcast, making the
+    * candidate join map-side; here both sides flow through the same
+    * shuffle join, which AQE converts when the eval sliver fits. */
+  def semanticDecontam(spark: SparkSession, dir: String, k: Int = NearDupK,
+                       nAssign: Int = 2, cosT: Double = 0.4): DataFrame = {
+    val v = scaled(spark, dir)
+    val cells = assignCells(v, nAssign, k).select(col("c_id"), col("vec_id"))
+    val isEval = col("vec_id") % 17 === 3
+    val ev = cells.filter(isEval).select(col("c_id"), col("vec_id").as("e_id"))
+    val tr = cells.filter(!isEval).select(col("c_id"), col("vec_id").as("t_id"))
+    val cand = ev.join(tr, "c_id").select(col("e_id"), col("t_id")).distinct()
+    cand
+      .join(v.select(col("vec_id").as("e_id"), col("ai").as("q_ai"),
+        col("n2").as("e_n2")), "e_id")
+      .join(v.select(col("vec_id").as("t_id"), col("ai"),
+        col("n2").as("t_n2")), "t_id")
+      .withColumn("cos",
+        expr(dotExpr).cast("double") /
+          (sqrt(col("e_n2").cast("double")) * sqrt(col("t_n2").cast("double"))))
+      .filter(col("cos") >= cosT)
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+  }
+
   /** Shared SemDeDup pair stage: norms computed once per VECTOR, not
     * per pair, and the assignment materialized once — it feeds both
     * join sides; the join shuffles on the cluster id only. */
@@ -1101,5 +1205,49 @@ object Similarity {
          |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
          |  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id)
          |WHERE cos >= 0.4""".stripMargin,
+    "q163_margin_mining" ->
+      s"""WITH ${assignSql(2, NearDupK)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM assign x JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id),
+         |scored AS MATERIALIZED (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> a.ai[i+1] * b.ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id),
+         |directed AS (
+         |  SELECT a_id AS x, b_id AS y, cos FROM scored
+         |  UNION ALL SELECT b_id AS x, a_id AS y, cos FROM scored),
+         |knn AS MATERIALIZED (
+         |  SELECT x, y, cos FROM (
+         |    SELECT x, y, cos,
+         |      row_number() OVER (PARTITION BY x ORDER BY cos DESC, y) AS rn
+         |    FROM directed)
+         |  WHERE rn <= 4),
+         |stats AS MATERIALIZED (
+         |  SELECT x, list_sum(list(cos ORDER BY cos DESC, y)) / count(*) AS avgk
+         |  FROM knn GROUP BY x)
+         |SELECT a_id, b_id, cos, margin FROM (
+         |  SELECT s.a_id, s.b_id, s.cos,
+         |    round(s.cos / ((sa.avgk + sb.avgk) / 2), 6) AS margin
+         |  FROM scored s
+         |  JOIN knn kab ON kab.x = s.a_id AND kab.y = s.b_id
+         |  JOIN knn kba ON kba.x = s.b_id AND kba.y = s.a_id
+         |  JOIN stats sa ON sa.x = s.a_id
+         |  JOIN stats sb ON sb.x = s.b_id)
+         |WHERE margin >= 1.05""".stripMargin,
+    "q165_semantic_decontam" ->
+      s"""WITH ${assignSql(2, NearDupK)},
+         |ev AS (SELECT c_id, vec_id AS e_id FROM assign WHERE vec_id % 17 = 3),
+         |tr AS (SELECT c_id, vec_id AS t_id FROM assign WHERE vec_id % 17 <> 3),
+         |cand AS (
+         |  SELECT DISTINCT e_id, t_id FROM ev JOIN tr USING (c_id))
+         |SELECT t_id, count(*) AS n_eval_hits, max(cos) AS max_cos FROM (
+         |  SELECT c.t_id,
+         |    CAST(list_sum(list_transform(range(0, 64), i -> e.ai[i+1] * t.ai[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(e.n2 AS DOUBLE)) * sqrt(CAST(t.n2 AS DOUBLE))) AS cos
+         |  FROM cand c JOIN v e ON e.vec_id = c.e_id JOIN v t ON t.vec_id = c.t_id)
+         |WHERE cos >= 0.4
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -493,7 +493,82 @@ object TextAnalysis {
       .withColumn("drifted", col("chi2") > chi2Cut)
   }
 
+  /** q164: positional inverted index + exact PHRASE query — the
+    * index-side primitive under corpus search/audit tooling (and the
+    * substrate BM25-style retrieval (q94) lacks: q94 ranks bags of
+    * words, this matches exact token SEQUENCES, e.g. auditing how often
+    * a fixed boilerplate phrase or benchmark prompt appears and where).
+    * The queried phrase is data-derived and deterministic: the corpus's
+    * most frequent token trigram (ties → lexicographically smallest),
+    * so the operator self-demonstrates on any corpus.
+    *
+    * Shape: postings (tok, doc, pos) are one map-side posexplode; the
+    * phrase plan is the classic intersect-postings-with-offset — each
+    * phrase word's postings are a broadcast-filtered sliver of the
+    * index (the 1-row phrase frame broadcast onto the token stream),
+    * then two equi-joins on (doc, pos±i) stitch adjacency. Work is
+    * proportional to the matched words' posting lists, never the
+    * corpus; no window, no regex over text. At 100 TB the postings
+    * frame is the thing you'd persist bucketed by token; the query
+    * side of this plan is unchanged by corpus size for a fixed phrase
+    * frequency. */
+  def phraseIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+    val post = d.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    // top corpus trigram: one agg + bounded top-1 (TakeOrderedAndProject)
+    val tri = d.select(explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(0, size(toks)-3),
+          |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+          |  ELSE array() END""".stripMargin)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cg"))
+      .orderBy(desc("cg"), asc("g")).limit(1)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"),
+        split(col("g"), " ").getItem(2).as("w3"))
+    val p1 = post.join(broadcast(tri), col("tok") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val p2 = post.join(broadcast(tri), col("tok") === col("w2"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    val p3 = post.join(broadcast(tri), col("tok") === col("w3"))
+      .select(col("doc_id").as("d3"), col("pos").as("pos3"))
+    p1.join(p2, col("d2") === col("doc_id") && col("pos2") === col("pos") + 1)
+      .join(p3, col("d3") === col("doc_id") && col("pos3") === col("pos") + 2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q164_phrase_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |post AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(toks))) AS i)
+        |  WHERE toks[i + 1] <> ''),
+        |tri AS (
+        |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+        |    string_split(g, ' ')[3] AS w3
+        |  FROM (
+        |    SELECT g, count(*) AS cg FROM (
+        |      SELECT unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+        |      FROM d)
+        |    GROUP BY 1)
+        |  ORDER BY cg DESC, g LIMIT 1)
+        |SELECT doc_id, count(*) AS n_hits, min(pos) AS first_pos FROM (
+        |  SELECT p1.doc_id, p1.pos
+        |  FROM tri t
+        |  JOIN post p1 ON p1.tok = t.w1
+        |  JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |    AND p2.tok = t.w2
+        |  JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+        |    AND p3.tok = t.w3)
+        |GROUP BY 1""".stripMargin,
     "q142_gopher_rules" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |f AS (SELECT doc_id,

@@ -158,6 +158,39 @@ object StreamingEvents {
     freeze(spark, name)
   }
 
+  /** q166: BOUNDED-STATE streaming dedup — q92's distinct-key stream
+    * through `dropDuplicatesWithinWatermark`, the operator a continuous
+    * deployment actually runs: plain `dropDuplicates` state grows with
+    * the distinct-key count forever, while the within-watermark variant
+    * expires a key's state once the watermark passes its event time +
+    * delay, so state is bounded by the key arrival rate × delay window
+    * regardless of how long the stream runs — the only viable shape at
+    * 100 TB/day ingest. The trade: a key re-delivered AFTER its state
+    * expired is emitted again (re-delivery semantics pinned in
+    * StreamingSpec with a short delay); here the delay (3650 days)
+    * exceeds the bounded backlog's whole event-time span, so nothing
+    * expires mid-run and the emitted key set provably equals the batch
+    * DISTINCT — which is the oracle, same as q92.
+    *
+    * The watermark column must still be present at the dedup (expiry is
+    * keyed by each row's event time); keys project AFTER the operator. */
+  def streamDedupTtl(spark: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(spark, dir)
+    val name = s"stream_dedup_ttl_${System.nanoTime()}"
+    val q = events
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freeze(spark, name)
+  }
+
   /** q102: stream-STATIC enrichment join — the remaining Structured
     * Streaming join class (q86 covers stream-stream): each micro-batch
     * of events joins the static customer dimension on user_id, then
@@ -370,6 +403,9 @@ object StreamingEvents {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1, 2""".stripMargin,
     "q92_stream_dedup" ->
+      "SELECT user_id, event_type FROM events GROUP BY 1, 2",
+    // q166: delay > backlog span ⇒ no state expiry ⇒ ≡ batch DISTINCT
+    "q166_stream_dedup_ttl" ->
       "SELECT user_id, event_type FROM events GROUP BY 1, 2",
     "q34_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,

@@ -514,4 +514,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.values.exists(_._4) && out.values.exists(!_._4),
       "fixture must produce both flagged and clean documents")
   }
+
+  test("phrase index (q164): equals a pure-Scala sliding-window scan") {
+    // independent reference: normalize + tokenize in plain Scala, find the
+    // top trigram (count desc, lexical asc), then scan every doc with a
+    // 3-token sliding window — no Spark joins, no posting lists
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+    val triCounts = scala.collection.mutable.Map.empty[Seq[String], Long]
+    docs.foreach { case (_, toks) =>
+      toks.sliding(3).filter(_.length == 3)
+        .foreach(g => triCounts(g) = triCounts.getOrElse(g, 0L) + 1) }
+    val phrase = triCounts.toSeq
+      .minBy { case (g, c) => (-c, g.mkString(" ")) }._1
+    val expected = docs.flatMap { case (id, toks) =>
+      val hits = toks.sliding(3).zipWithIndex
+        .collect { case (g, i) if g == phrase => i }.toSeq
+      if (hits.isEmpty) None else Some(id -> (hits.size.toLong, hits.min))
+    }.toMap
+    val got = TextAnalysis.phraseIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(got.keySet == expected.keySet, "matched doc sets agree")
+    expected.foreach { case (id, (n, first)) =>
+      assert(got(id)._1 == n && got(id)._2 == first, s"doc $id hits/first_pos")
+    }
+    assert(got.nonEmpty, "the top trigram must occur somewhere")
+  }
 }

@@ -223,4 +223,38 @@ class ScoringSpec extends SparkSpec {
       else assert(lo < -1.0, s"doc $id margin too small: $lo")
     }
   }
+
+  test("ccnet buckets (q162): per-lang partition of scored docs, ordered and tercile-bounded") {
+    val rows = Scoring.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // ground truth: per-lang count of docs that carry an xent (>= 2 tokens)
+    val scoredPerLang = Scoring.lmCrossEntropy(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = rows.groupBy(_._1)
+    assert(perLang.keySet == scoredPerLang.keySet, "every scored language bucketized")
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    perLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._2).distinct.length == bs.length, s"$lang: bucket labels unique")
+      assert(bs.forall(b => order.contains(b._2)), s"$lang: only head/middle/tail")
+      assert(bs.map(_._3).sum == scoredPerLang(lang), s"$lang: doc counts partition")
+      // buckets are xent-ordered: mean xent must rise head -> middle -> tail
+      val byOrder = bs.sortBy(b => order(b._2))
+      byOrder.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._4 <= hi._4,
+          s"$lang: avg_xent must be monotone (${lo._2}=${lo._4} vs ${hi._2}=${hi._4})")
+        case _ =>
+      }
+      // grid-tercile law: the head holds at least its target third, and
+      // head+middle at least two thirds (cut buckets overshoot, never undershoot)
+      val n = scoredPerLang(lang)
+      val cnt = bs.map(b => b._2 -> b._3).toMap
+      assert(cnt.getOrElse("head", 0L) >= math.ceil(n / 3.0).toLong,
+        s"$lang: head >= ceil(n/3)")
+      if (cnt.size == 3)
+        assert(cnt("head") + cnt("middle") >= math.ceil(2 * n / 3.0).toLong,
+          s"$lang: head+middle >= ceil(2n/3)")
+    }
+  }
 }

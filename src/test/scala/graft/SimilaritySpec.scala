@@ -391,4 +391,90 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embeddingNearDupIvfK(spark, sf, k = nearDupIvfAutoK(n),
         nAssign = 2, minCos = 0.4, nprobe = 3))
   }
+
+  test("q163 margin mining equals the window-function reimplementation") {
+    // the candidate frame with ALL cosines is q27 at minCos = -1 (cos ≥ -1
+    // always holds) — same cells, same pairs, no threshold
+    val scored = Similarity.embeddingNearDup(spark, sf, minCos = -1.0)
+    val directed = scored.select(col("a_id").as("x"), col("b_id").as("y"), col("cos"))
+      .unionByName(scored.select(col("b_id").as("x"), col("a_id").as("y"), col("cos")))
+    val ranked = directed.withColumn("rn", row_number().over(
+        Window.partitionBy(col("x")).orderBy(desc("cos"), asc("y"))))
+      .filter(col("rn") <= 4)
+    // denominator summed in the same desc-cos order as the TopKAgg buffer
+    // (negate → asc struct sort → negate back; IEEE negation is exact)
+    val stats = ranked.groupBy(col("x"))
+      .agg(expr("sort_array(collect_list(struct(-cos AS nc, y AS y)))").as("s"))
+      .select(col("x"),
+        expr("-aggregate(s, 0D, (a, p) -> a + p.nc) / size(s)").as("avgk"))
+    val expected = scored
+      .join(ranked.select(col("x").as("a_id"), col("y").as("b_id")), Seq("a_id", "b_id"))
+      .join(ranked.select(col("x").as("b_id"), col("y").as("a_id")), Seq("a_id", "b_id"))
+      .join(stats.select(col("x").as("a_id"), col("avgk").as("ka")), "a_id")
+      .join(stats.select(col("x").as("b_id"), col("avgk").as("kb")), "b_id")
+      .withColumn("margin", round(col("cos") / ((col("ka") + col("kb")) / 2), 6))
+      .filter(col("margin") >= 1.05)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+    val mined = Similarity.marginMining(spark, sf)
+    assertSameRows(mined, expected)
+    assert(mined.count() > 0, "margin mining must find pairs on the spec corpus")
+  }
+
+  test("q163 margin mining suppresses pairs a raw cosine cut keeps") {
+    // every mined pair survives a plain threshold at its own cosine, but
+    // not vice versa: mining must be a STRICT subset of cosine-threshold
+    // pairs at the mined set's weakest cosine (the hub-suppression point)
+    val mined = Similarity.marginMining(spark, sf)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minCos = Similarity.marginMining(spark, sf).agg(min(col("cos")))
+      .head.getDouble(0)
+    val threshold = Similarity.embeddingNearDup(spark, sf, minCos = minCos)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined.subsetOf(threshold), "mined pairs are candidate pairs above the cut")
+    assert(threshold.size > mined.size,
+      s"margin gate must reject some threshold pairs (thr=${threshold.size}, mined=${mined.size})")
+  }
+
+  test("q165 semantic decontam: train-only, cell-scoped recall total, cosine-exact") {
+    val flagged = Similarity.semanticDecontam(spark, sf)
+    assert(flagged.filter(col("t_id") % 17 === 3).count() == 0, "no eval ids in output")
+    assert(flagged.count() > 0, "decontam must flag on the spec corpus")
+    // independent aggregation path over the same cell assignment: per
+    // train vector, hits = distinct eval partners sharing a cell at ≥ τ
+    val v = Similarity.scaled(spark, sf)
+    val cells = Similarity.assignCells(v, 2, Similarity.NearDupK)
+      .select(col("c_id"), col("vec_id"))
+    val ev = cells.filter(col("vec_id") % 17 === 3)
+      .select(col("c_id"), col("vec_id").as("e_id"))
+    val tr = cells.filter(col("vec_id") % 17 =!= 3)
+      .select(col("c_id"), col("vec_id").as("t_id"))
+    val expected = ev.join(tr, "c_id").select(col("e_id"), col("t_id")).distinct()
+      .join(v.select(col("vec_id").as("e_id"), col("ai").as("q_ai"),
+        col("n2").as("e_n2")), "e_id")
+      .join(v.select(col("vec_id").as("t_id"), col("ai"),
+        col("n2").as("t_n2")), "t_id")
+      .withColumn("cos", expr("dot_long(q_ai, ai)").cast("double") /
+        (sqrt(col("e_n2").cast("double")) * sqrt(col("t_n2").cast("double"))))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+    assertSameRows(flagged, expected)
+    // pruning-only law vs ALL cross-side pairs: flagged hits never exceed
+    // the brute-force cross-side hit count for the same vector
+    val brute = v.filter(col("vec_id") % 17 === 3)
+      .select(col("ai").as("q_ai"), col("n2").as("e_n2"))
+      .crossJoin(v.filter(col("vec_id") % 17 =!= 3)
+        .select(col("vec_id").as("t_id"), col("ai"), col("n2").as("t_n2")))
+      .withColumn("cos", expr("dot_long(q_ai, ai)").cast("double") /
+        (sqrt(col("e_n2").cast("double")) * sqrt(col("t_n2").cast("double"))))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("t_id")).agg(count(lit(1)).as("bn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flagged.collect().foreach { r =>
+      assert(r.getLong(1) <= brute(r.getLong(0)),
+        s"cell scoping may only PRUNE cross-side pairs (t_id=${r.getLong(0)})")
+    }
+  }
 }

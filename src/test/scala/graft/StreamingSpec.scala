@@ -311,5 +311,16 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("q166 TTL dedup with delay past the backlog span equals batch distinct") {
+    import org.apache.spark.sql.functions._
+    // the 3650-day delay exceeds the whole event-time span, so no key
+    // state expires mid-run and the emitted set is exactly the batch
+    // DISTINCT (the expiry/re-delivery side is pinned in StreamingDedupSpec)
+    val streamed = graft.streaming.StreamingEvents.streamDedupTtl(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+    assertSameRows(streamed, batch)
+  }
+
   private implicit class Pipe[A](a: A) { def |>[B](f: A => B): B = f(a) }
 }
