@@ -463,6 +463,40 @@ object Similarity {
     scaled(spark, dir).select(col("vec_id") +: col("label") +: cols: _*)
   }
 
+  /** q168: int8 scalar-quantization audit of the embedding corpus — the
+    * asymmetric per-dimension linear scheme every vector store ships
+    * (code = round(255·(x−mn)/range)), evaluated entirely in INTEGER
+    * arithmetic over the 10⁻⁶ fixed-point components ([[scaled]]) so
+    * codes and reconstruction errors are exact cross-engine:
+    * qv = (510·(x−mn) + range) div (2·range) is round-half-up by
+    * construction, err255 = |255·(x−mn) − qv·range| is the absolute
+    * reconstruction error in 1/(255·10⁶) original units, and
+    * Σ err255 is an exact (aggregation-order-free) BIGINT. Two corpus
+    * passes: a 64-group min/max aggregate (map-side partials, 64-row
+    * broadcast back), then the error aggregate — no corpus-sized
+    * shuffle at any scale. mean_abs_err = Σerr255/(n·255·10⁶) is one
+    * exact-integer ratio, identical in both engines. */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val d = scaled(spark, dir)
+      .select(col("vec_id"), posexplode(col("ai")).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+    val st = d.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("rng", col("mx") - col("mn"))
+    d.join(broadcast(st), "dim")
+      .withColumn("qv", when(col("rng") > 0,
+        expr("(510 * (x - mn) + rng) DIV (2 * rng)")).otherwise(lit(0L)))
+      .withColumn("err255",
+        abs(lit(255L) * (col("x") - col("mn")) - col("qv") * col("rng")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"),
+        min(col("qv")).as("q_min"), max(col("qv")).as("q_max"),
+        sum(col("err255")).as("sum_err255"))
+      .withColumn("mean_abs_err",
+        col("sum_err255").cast("double") / (col("n").cast("double") * 255000000.0))
+  }
+
   private val scaledSql =
     """SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ai
@@ -572,23 +606,32 @@ object Similarity {
     * (SURVEY §8.3's "each level √ the one below", generalized to the
     * equal-fanout form that actually bounds per-vector work):
     *
-    *  - depth d = max(2, ⌈log₂log₂K⌉) — computed integer-only as the
-    *    smallest d ≥ 2 with 2^(2^d) ≥ K, so Spark and the SQL oracle
-    *    can derive it without floating logs (d ≤ 5 for any Int K).
+    *  - depth d = the smallest d ≥ 2 with K ≤ 128^d (= 2^(7d) —
+    *    integer-only, engine-portable, d ≤ 5 for any Int K). The 128
+    *    FANOUT CAP is the measured stage-cost tradeoff: every extra
+    *    level costs a fixed filing + descent stage (~2 Spark jobs), so
+    *    depth must grow only once the depth-(d−1) fanout K^(1/(d−1))
+    *    exceeds the point where those stages repay their cost in saved
+    *    cosines. The r12 rule d = ⌈log₂log₂K⌉ over-deepened at small K
+    *    (d = 4 at K = 12 500, 110 cosines/vector across FIVE chained
+    *    stages) and measured 20.9 s / 99.8 s at sf1/sf10 where the
+    *    depth-2 form runs 3.1 s / 18.0 s (§8.3 r13 note) — stage
+    *    overhead dominated everything the extra levels saved.
     *  - branching b = the smallest integer with b^d ≥ K (integer
     *    scan — engine-portable, no float pow).
     *  - level i (above the K centroids at level 0) holds the
     *    ⌈K/bⁱ⌉-prefix of the SAME md5 centroid order, i = 1..d-1.
     *
-    * Every fanout is ≈ b ≈ K^(1/d), so a top-down probe costs
-    * ~b + (d-1)·nprobe·b cosines per vector — O(d·K^(1/d)) = O(log K),
-    * vs the depth-2 form's √K (measured 25.4×/decade at sf100, the one
-    * super-linear stage left in the repo; FAMILY_r12_sf100). At the
-    * gate corpus (K = 64): d = 3, b = 4, levels 64 → 16 → 4. */
+    * Per-vector probe cost ~b + (d-1)·nprobe·b = O(d·K^(1/d)), with
+    * d = 2 (the r12 shape, √K ≤ 128 cosines) up to K = 16 384, d = 3
+    * (K^(1/3) ≤ 128) up to K = 2²¹ — covering sf100's K = 125 000 with
+    * b = 50, the point where depth-2's √K = 354 measured 25.4×/decade
+    * (FAMILY_r12_sf100) — and d = 4 through [[MaxAutoIvfK]]. At the
+    * gate corpus (K = 64): d = 2, b = 8, levels 64 → 8. */
   private[graft] def ivfLevelSizes(k: Int): Seq[Int] = {
     require(k >= 1)
     var d = 2
-    while (d < 5 && (1L << (1 << d)) < k) d += 1
+    while (d < 6 && (1L << (7 * d)) < k) d += 1
     def pw(x: Long, e: Int): Long =
       (1 to e).foldLeft(1L)((r, _) => math.min(r * x, 1L << 40))
     var b = 2L
@@ -610,19 +653,22 @@ object Similarity {
     *    vector ranks the occupied TOP-level cells, keeps its `nprobe`
     *    best, then descends — at each level scoring only the probed
     *    cells' member nodes — and takes nAssign centroids at the
-    *    bottom. Per-vector work ~d·nprobe·K^(1/d) = O(log K) cosines,
-    *    vs K for exact assignment and √K for the round-12 depth-2 form
-    *    (whose 25.4×/decade at sf100 was the last super-linear stage).
+    *    bottom. Per-vector work ~d·nprobe·K^(1/d) cosines, with depth
+    *    chosen by [[ivfLevelSizes]]'s fanout cap: d = 2 (the bare
+    *    coarse probe) until √K > 128, d = 3 through sf100's
+    *    K = 125 000 — where depth-2's √K = 354 measured 25.4×/decade
+    *    (FAMILY_r12_sf100) — and deeper only past K = 2²¹.
     *
     * Deterministically APPROXIMATE vs the exact-assignment form (a
     * vector whose true nearest cell files under an unprobed coarse
     * branch mis-assigns — the standard IVF trade, now paid per level):
     * with nprobe ≥ the occupied-cell count at every level the probed
     * union is the whole centroid set, so q155 ≡ [[embeddingNearDup]]
-    * at the same K exactly (SimilaritySpec pins that law at depth 3,
-    * plus the default-knob recall floor vs q27 and exact-cosine
-    * precision). The oracle replays the identical d=3 pruning chain,
-    * so the gate stays exact row-for-row.
+    * at the same K exactly (SimilaritySpec pins that law at the gate's
+    * derived d = 2 and at an explicit-k d = 3, plus the default-knob
+    * recall floor vs q27 and exact-cosine precision). The oracle
+    * replays the identical pruning chain at the gate corpus's derived
+    * depth, so the gate stays exact row-for-row.
     *
     * Knobs (SURVEY §8.1): pair work ≈ n·(2·16)²/2 per §8.1's fixed
     * cell-size row; assignment ≈ n·d·nprobe·K^(1/d) cosines — no
@@ -925,20 +971,20 @@ object Similarity {
 
   /** The q155 oracle's WITH body, ending in CTE `ivfpairs` (a_id <
     * b_id, cos ≥ τ) — shared by q159's apply chain. Replays the
-    * [[ivfLevelSizes]] depth-3 hierarchy UNROLLED (valid for
-    * 17 ≤ K ≤ 256 ⇔ n ≤ 4096, which covers the sf0.01 gate corpus at
-    * K = 64 → b = 4, levels 64 → 16 → 4; the Spark side derives the
-    * same depth from the same integer formula, so the chains agree).
-    * The branching b is the smallest integer with b³ ≥ K — an integer
+    * [[ivfLevelSizes]] depth-2 hierarchy UNROLLED (valid while
+    * K ≤ 128² = 16 384 ⇔ n ≤ 262 144, which covers the sf0.01 gate
+    * corpus at K = 64 → b = 8, one coarse level of 8; the Spark side
+    * derives the same depth from the same integer fanout-cap formula,
+    * so the chains agree).
+    * The branching b is the smallest integer with b² ≥ K — an integer
     * range scan, engine-portable where a float pow() would not be.
     * CTEs are MATERIALIZED: each is referenced more than once and
     * DuckDB's default inlining re-expands the chain multiplicatively
     * (the q134 lesson, via q139). */
   private def neardupIvfChainSql: String = {
     val kSql = "(SELECT greatest(64, count(*) // 16) FROM v)"
-    val bSql = s"(SELECT min(i) FROM range(2, 4097) t(i) WHERE i*i*i >= $kSql)"
+    val bSql = s"(SELECT min(i) FROM range(2, 4097) t(i) WHERE i*i >= $kSql)"
     val l1Sql = s"(SELECT (k + b - 1) // b FROM (SELECT $kSql AS k, $bSql AS b))"
-    val l2Sql = s"(SELECT (k + b*b - 1) // (b*b) FROM (SELECT $kSql AS k, $bSql AS b))"
     def cosSql(a: String, an2: String, b: String, bn2: String) =
       s"""CAST(list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1])) AS DOUBLE)
          |        / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
@@ -950,8 +996,6 @@ object Similarity {
        |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSql),
        |l1 AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
        |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $l1Sql),
-       |l2 AS MATERIALIZED (SELECT vec_id AS cell, ai AS cc_ai, n2 AS cc_n2 FROM v
-       |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $l2Sql),
        |fm0 AS MATERIALIZED (
        |  SELECT c_id, c_ai, c_n2, cell FROM (
        |    SELECT c.c_id, c.c_ai, c.c_n2, l1.cell,
@@ -960,33 +1004,18 @@ object Similarity {
        |    FROM c, l1) WHERE rn = 1),
        |occ1 AS MATERIALIZED (SELECT * FROM l1
        |  WHERE cell IN (SELECT DISTINCT cell FROM fm0)),
-       |fm1 AS MATERIALIZED (
-       |  SELECT m_id, m_ai, m_n2, cell FROM (
-       |    SELECT o.cell AS m_id, o.cc_ai AS m_ai, o.cc_n2 AS m_n2, l2.cell,
-       |      row_number() OVER (PARTITION BY o.cell ORDER BY
-       |        ${cosSql("o.cc_ai", "o.cc_n2", "l2.cc_ai", "l2.cc_n2")} DESC, l2.cell) AS rn
-       |    FROM occ1 o, l2) WHERE rn = 1),
-       |occ2 AS MATERIALIZED (SELECT * FROM l2
-       |  WHERE cell IN (SELECT DISTINCT cell FROM fm1)),
-       |pr2 AS MATERIALIZED (
+       |pr1 AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT v.vec_id, o.cell,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        ${cosSql("v.ai", "v.n2", "o.cc_ai", "o.cc_n2")} DESC, o.cell) AS rn
-       |    FROM v, occ2 o) WHERE rn <= 3),
-       |pr1 AS MATERIALIZED (
-       |  SELECT vec_id, m_id FROM (
-       |    SELECT v.vec_id, f.m_id,
-       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |        ${cosSql("v.ai", "v.n2", "f.m_ai", "f.m_n2")} DESC, f.m_id) AS rn
-       |    FROM v JOIN pr2 p ON p.vec_id = v.vec_id JOIN fm1 f ON f.cell = p.cell)
-       |  WHERE rn <= 3),
+       |    FROM v, occ1 o) WHERE rn <= 3),
        |assign AS MATERIALIZED (
        |  SELECT vec_id, c_id FROM (
        |    SELECT v.vec_id, f.c_id,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        ${cosSql("v.ai", "v.n2", "f.c_ai", "f.c_n2")} DESC, f.c_id) AS rn
-       |    FROM v JOIN pr1 p ON p.vec_id = v.vec_id JOIN fm0 f ON f.cell = p.m_id)
+       |    FROM v JOIN pr1 p ON p.vec_id = v.vec_id JOIN fm0 f ON f.cell = p.cell)
        |  WHERE rn <= 2),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -1249,5 +1278,26 @@ object Similarity {
          |  FROM cand c JOIN v e ON e.vec_id = c.e_id JOIN v t ON t.vec_id = c.t_id)
          |WHERE cos >= 0.4
          |GROUP BY 1""".stripMargin,
+    // q168: the oracle replays the identical integer-arithmetic
+    // quantizer over the same fixed-point components — `//` is DuckDB's
+    // integer floor division, matching Spark's DIV on the nonnegative
+    // operands here.
+    "q168_int8_quantize" ->
+      s"""WITH v AS (SELECT vec_id, ai FROM ($scaledSql)),
+         |d AS (SELECT vec_id, i AS dim, ai[i+1] AS x
+         |      FROM v, (SELECT unnest(range(0, 64)) AS i)),
+         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx, max(x) - min(x) AS rng
+         |       FROM d GROUP BY 1),
+         |qn AS (SELECT d.dim, d.x, st.mn, st.mx, st.rng,
+         |         CASE WHEN st.rng > 0
+         |           THEN (510 * (d.x - st.mn) + st.rng) // (2 * st.rng)
+         |           ELSE 0 END AS qv
+         |       FROM d JOIN st USING (dim)),
+         |e AS (SELECT dim, x, qv, abs(255 * (x - mn) - qv * rng) AS err255 FROM qn)
+         |SELECT dim, count(*) AS n, min(x) AS mn, max(x) AS mx,
+         |  min(qv) AS q_min, max(qv) AS q_max,
+         |  CAST(sum(err255) AS BIGINT) AS sum_err255,
+         |  CAST(sum(err255) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 255000000.0) AS mean_abs_err
+         |FROM e GROUP BY 1""".stripMargin,
   )
 }

@@ -292,6 +292,117 @@ object TextAnalysis {
         sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L)).as("kept_toks"))
   }
 
+  /** Temperature-based language sampling (q167; the α-exponent mixing
+    * rule of multilingual corpus builds — Conneau & Lample NeurIPS 2019
+    * §3.1, mC4/Xue et al. NAACL 2021 §3.2 — at the canonical α = 0.3):
+    * sampling probability p_i ∝ c_i^α flattens the language-size
+    * distribution so low-resource languages are up-weighted relative to
+    * their raw share (vs q78's balance-to-minimum rule, which is the
+    * α = 0 extreme). target_i = round(p_i·N), keep_frac_i =
+    * min(1, target_i/c_i), applied per document as q78's
+    * content-independent md5 threshold — deterministic and re-runnable.
+    *
+    * Cross-engine determinism: each language weight c^α is snapped to a
+    * 10⁻⁶ fixed-point LONG before the Σ (an integer sum is
+    * aggregation-order-free; a double Σ would not be), so p_i is one
+    * exact-long ratio; the two emitted ratios are 6-dp rounded.
+    * Plan = q78's shape: a per-lang count (map-side partials, ≤ langs
+    * rows), two tiny broadcast-back joins, and a map-side keep decision
+    * — no corpus-sized shuffle at any scale. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        round(pow(col("n_docs").cast("double"), lit(0.3)) * 1e6).cast("long"))
+    val tot = perLang.agg(sum(col("w_fp")).as("w_tot"), sum(col("n_docs")).as("n_tot"))
+    val frac = perLang.crossJoin(broadcast(tot))
+      .withColumn("p_temp", col("w_fp").cast("double") / col("w_tot"))
+      .withColumn("target_docs", round(col("p_temp") * col("n_tot")).cast("long"))
+      .withColumn("keep_frac",
+        least(lit(1.0), col("target_docs").cast("double") / col("n_docs")))
+      .select(col("lang"), col("n_docs"), col("p_temp"), col("target_docs"),
+        col("keep_frac"))
+    docs.join(broadcast(frac), "lang")
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("kept", col("h").cast("double") < col("keep_frac") * 4294967296.0)
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        round(max(col("p_temp")), 6).as("p_temp"),
+        max(col("target_docs")).as("target_docs"),
+        round(max(col("keep_frac")), 6).as("keep_frac"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+  }
+
+  /** Fuzzy n-gram-overlap decontamination (q169): q79 flags a train doc
+    * on ANY shared eval shingle; the overlap-FRACTION variant (the
+    * fuzzy/benchmark-decontamination rule of the GPT-3 appx-C /
+    * PaLM-style audits) scores each (train, eval) candidate pair by
+    * |sh(train) ∩ sh(eval)| / |sh(eval)| and keeps each train doc's
+    * worst (max) overlap. Candidates come from the shingle posting-list
+    * join — work Σ_s df_train(s)·df_eval(s), never all-pairs; the
+    * runtime bloom filter prunes the train probe side — the per-pair
+    * intersection count is one aggregate over that join, and the final
+    * argmax window runs over the candidate-PAIR sliver only, never the
+    * corpus. The eval-size join stays a shuffle join (the md5 eval
+    * split is ~10% of the corpus here — not broadcastable by design;
+    * a real pipeline's fixed eval suite would broadcast).
+    * Output: one row per train doc with ≥ 1 shared shingle — best_eval
+    * is the argmax (min e_id tiebreak), overlap an exact int/int ratio
+    * 6-dp rounded, is_cont at τ = 0.5. */
+  def overlapDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shinglesOf(Tables.documents(spark, dir))
+    val train = sh.filter(!isEval(col("doc_id")))
+      .select(col("doc_id").as("t_id"), col("shingle"))
+    val ev = sh.filter(isEval(col("doc_id")))
+      .select(col("doc_id").as("e_id"), col("shingle"))
+    val evSize = ev.groupBy(col("e_id")).agg(count(lit(1)).as("e_sh"))
+    val inter = train.join(ev, "shingle")
+      .groupBy(col("t_id"), col("e_id")).agg(count(lit(1)).as("n_inter"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t_id")).orderBy(col("overlap").desc, col("e_id"))
+    inter.join(evSize, "e_id")
+      .withColumn("overlap", round(col("n_inter").cast("double") / col("e_sh"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("t_id").as("doc_id"), col("e_id").as("best_eval"),
+        col("n_inter"), col("e_sh"), col("overlap"),
+        (col("overlap") >= 0.5).as("is_cont"))
+  }
+
+  /** Feature-hashed document embeddings (q170; the hashing trick —
+    * Weinberger et al. ICML 2009): every token lands in dimension
+    * uint32(md5(tok)[0:8]) mod 16 with a ± sign from the 9th hex digit,
+    * summed per dimension — a fixed-width bag-of-words sketch that
+    * bridges `documents` into the vector family (q25/q111 consumers)
+    * with no trained vocabulary and no feature dictionary to ship.
+    * The whole computation is within-row higher-order functions: the
+    * plan has NO Exchange at any corpus size (PlanSpec-pinned) — the
+    * 100 TB cost is exactly one map pass over the corpus (the HOF
+    * lambdas evaluate interpreted — Spark codegen stops at the lambda
+    * boundary — but per-row and allocation-light; nothing shuffles).
+    * Components are exact signed integer counts (cross-engine stable);
+    * the one derived double, the L2 norm √(Σv²) of exact ints, is
+    * emitted 10⁻⁶-fixed-point. vec serializes space-joined (the driver
+    * compare rejects array cells). */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(Dedup.normText(col("text")), " "))
+      .withColumn("hs", expr(
+        """transform(toks, t -> named_struct(
+          |  'd', CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 16,
+          |  's', CASE WHEN substring(md5(t), 9, 1) < '8' THEN 1 ELSE -1 END))"""
+          .stripMargin))
+      .withColumn("v", expr(
+        """transform(sequence(0, 15), j ->
+          |  CAST(size(filter(hs, p -> p.d = j AND p.s = 1))
+          |     - size(filter(hs, p -> p.d = j AND p.s = -1)) AS BIGINT))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', transform(v, x -> CAST(x AS STRING)))").as("vec"),
+        expr("CAST(round(sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("l2_fp"))
+
   /** Repetition/boilerplate scoring (the Gopher-style within-document
     * duplicate-n-gram gate, Rae et al. 2021): fraction of repeated
     * 2-grams per document. Pure map-side — the dedup family's
@@ -847,5 +958,56 @@ object TextAnalysis {
         |  list_min(list_transform(range(0, greatest(len(toks)-2, 0)),
         |    i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS min_shingle_fp
         |FROM t""".stripMargin,
+    "q167_temperature_mix" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(round(pow(CAST(n_docs AS DOUBLE), 0.3) * 1e6) AS BIGINT) AS w_fp
+        |      FROM pl),
+        |t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot,
+        |        CAST(sum(n_docs) AS BIGINT) AS n_tot FROM w),
+        |f AS (SELECT lang, n_docs,
+        |        CAST(w_fp AS DOUBLE) / w_tot AS p_temp,
+        |        CAST(round(CAST(w_fp AS DOUBLE) / w_tot * n_tot) AS BIGINT) AS target_docs
+        |      FROM w, t),
+        |g AS (SELECT lang, n_docs, p_temp, target_docs,
+        |        least(1.0, CAST(target_docs AS DOUBLE) / n_docs) AS keep_frac FROM f),
+        |k AS (SELECT d.lang, g.n_docs, g.p_temp, g.target_docs, g.keep_frac,
+        |        CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |      FROM documents d JOIN g USING (lang))
+        |SELECT lang, max(n_docs) AS n_docs, round(max(p_temp), 6) AS p_temp,
+        |  max(target_docs) AS target_docs, round(max(keep_frac), 6) AS keep_frac,
+        |  CAST(sum(CASE WHEN CAST(h AS DOUBLE) < keep_frac * 4294967296.0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+        |FROM k GROUP BY 1""".stripMargin,
+    "q169_overlap_decontam" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(t)-2, 0)),
+         |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |tr AS (SELECT doc_id AS t_id, shingle FROM sh WHERE md5(CAST(doc_id AS VARCHAR)) < 'e6'),
+         |ev AS (SELECT doc_id AS e_id, shingle FROM sh WHERE md5(CAST(doc_id AS VARCHAR)) >= 'e6'),
+         |es AS (SELECT e_id, count(*) AS e_sh FROM ev GROUP BY 1),
+         |it AS (SELECT t_id, e_id, count(*) AS n_inter FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+         |sc AS (SELECT t_id, e_id, n_inter, e_sh,
+         |         round(CAST(n_inter AS DOUBLE) / e_sh, 6) AS overlap
+         |       FROM it JOIN es USING (e_id))
+         |SELECT t_id AS doc_id, e_id AS best_eval, n_inter, e_sh, overlap,
+         |  overlap >= 0.5 AS is_cont
+         |FROM (SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY overlap DESC, e_id) AS rn
+         |      FROM sc)
+         |WHERE rn = 1""".stripMargin,
+    "q170_hash_embed" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform($toksSql, t ->
+         |    {'d': CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 16,
+         |     's': CASE WHEN substring(md5(t), 9, 1) < '8' THEN 1 ELSE -1 END}) AS hs
+         |  FROM documents),
+         |v AS (SELECT doc_id, list_transform(range(0, 16), j ->
+         |        CAST(len(list_filter(hs, p -> p.d = j AND p.s = 1))
+         |           - len(list_filter(hs, p -> p.d = j AND p.s = -1)) AS BIGINT)) AS v
+         |      FROM h)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(v, x -> CAST(x AS VARCHAR)), ' ') AS vec,
+         |  CAST(round(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) * 1e6) AS BIGINT) AS l2_fp
+         |FROM v""".stripMargin,
   )
 }

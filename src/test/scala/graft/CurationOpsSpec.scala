@@ -542,4 +542,87 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(got.nonEmpty, "the top trigram must occur somewhere")
   }
+
+  test("q167 temperature mix: exact fixed-point weight chain and α-flattening laws") {
+    val rows = TextAnalysis.temperatureMix(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("p_temp"), r.getAs[Long]("target_docs"),
+        r.getAs[Double]("keep_frac"), r.getAs[Long]("kept_docs")))
+    assert(rows.nonEmpty)
+    // independent recompute of the fixed-point weight chain (same JVM pow)
+    val wfp = rows.map { case (lang, n, _, _, _, _) =>
+      lang -> math.round(math.pow(n.toDouble, 0.3) * 1e6)
+    }.toMap
+    val wTot = wfp.values.sum
+    val nTot = rows.map(_._2).sum
+    rows.foreach { case (lang, n, p, target, frac, kept) =>
+      val pExp = wfp(lang).toDouble / wTot
+      assert(math.abs(p - pExp) < 1e-6, s"$lang p_temp $p vs $pExp")
+      assert(target == math.round(pExp * nTot), s"$lang target_docs")
+      assert(math.abs(frac - math.min(1.0, target.toDouble / n)) < 1e-6, s"$lang keep_frac")
+      assert(kept <= n, s"$lang kept > n_docs")
+    }
+    // α < 1 flattening: the largest language is cut hardest, the smallest kept most
+    val byN = rows.sortBy(_._2)
+    assert(byN.last._5 == rows.map(_._5).min, "largest lang must have min keep_frac")
+    assert(byN.head._5 == rows.map(_._5).max, "smallest lang must have max keep_frac")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "p_temp must sum to ~1")
+  }
+
+  test("q169 overlap decontam ≡ brute-force cross-join argmax; doc set ≡ q79's") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+          |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+          |  ELSE array() END""".stripMargin).as("sh"))
+    val tr = docs.filter(md5(col("doc_id").cast("string")) < "e6")
+      .select(col("doc_id").as("t_id"), col("sh").as("t_sh"))
+    val ev = docs.filter(md5(col("doc_id").cast("string")) >= "e6")
+      .select(col("doc_id").as("e_id"), col("sh").as("e_arr"))
+    val pairs = tr.crossJoin(ev)
+      .select(col("t_id"), col("e_id"),
+        expr("size(array_intersect(t_sh, e_arr))").cast("long").as("n_inter"),
+        expr("size(e_arr)").cast("long").as("e_sh"))
+      .filter(col("n_inter") >= 1)
+      .withColumn("overlap", round(col("n_inter").cast("double") / col("e_sh"), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("t_id"))
+      .orderBy(col("overlap").desc, col("e_id"))
+    val expected = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("t_id").as("doc_id"), col("e_id").as("best_eval"),
+        col("n_inter"), col("e_sh"), col("overlap"),
+        (col("overlap") >= 0.5).as("is_cont"))
+    val got = TextAnalysis.overlapDecontam(spark, sf)
+    assertSameRows(got, expected)
+    // the scored-doc set is exactly q79's any-shared-shingle contaminated set
+    val q79Set = Dedup.shingles(spark, sf)
+      .filter(md5(col("doc_id").cast("string")) < "e6")
+      .join(Dedup.shingles(spark, sf)
+        .filter(md5(col("doc_id").cast("string")) >= "e6")
+        .select("shingle").distinct(), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == q79Set)
+  }
+
+  test("q170 hash embed ≡ explode/groupBy reference with exact L2 fixed-point") {
+    val ref = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(Dedup.normText(col("text")), " ")).as("t"))
+      .withColumn("d", expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 16"))
+      .withColumn("s", expr("CASE WHEN substring(md5(t), 9, 1) < '8' THEN 1L ELSE -1L END"))
+      .groupBy(col("doc_id"), col("d")).agg(sum(col("s")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val got = TextAnalysis.hashEmbed(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val vals = r.getAs[String]("vec").split(" ").map(_.toLong)
+      assert(vals.length == 16, s"doc $id must emit 16 dims")
+      vals.zipWithIndex.foreach { case (v, j) =>
+        assert(v == ref.getOrElse((id, j), 0L), s"doc $id dim $j")
+      }
+      val l2 = math.round(math.sqrt(vals.map(v => v * v).sum.toDouble) * 1e6)
+      assert(r.getAs[Long]("l2_fp") == l2, s"doc $id l2_fp")
+    }
+  }
 }

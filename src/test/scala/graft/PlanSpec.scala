@@ -37,6 +37,16 @@ class PlanSpec extends SparkSpec {
       "customer scan must not read unselected columns")
   }
 
+  test("q170 hash embed is map-only: no Exchange anywhere in the plan") {
+    val p = plan(q("q170_hash_embed"))
+    assert(!p.contains("Exchange"), s"hash-embed must not shuffle:\n$p")
+    // HOF lambdas evaluate interpreted (Spark codegen stops at the
+    // lambda boundary) — the scale claim here is ZERO exchange, plus
+    // the scan pruning to the two consumed columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to doc_id+text")
+  }
+
   test("q25 top-k has no per-query window over the corpus") {
     val p = plan(q("q25_cosine_topk"))
     assert(!p.contains("Window"), "bounded aggregator, not row_number window")

@@ -282,34 +282,47 @@ class SimilaritySpec extends SparkSpec {
     * of the coarse hierarchy: with nprobe ≥ the occupied-cell count at
     * each level the probed union is the whole centroid set, so the
     * pruned assignment degenerates to the exact one — the KMeansSpec
-    * nprobe-covers-everything law, cosine flavor, extended to depth > 2
-    * (k = 64 derives the depth-3 hierarchy 64 → 16 → 4, so this law
-    * exercises a genuine two-stage descent; nprobe = k trivially covers
-    * every level). */
+    * nprobe-covers-everything law, cosine flavor. Pinned at BOTH
+    * derived depths: k = 64 (the gate shape, d = 2, levels 64 → 8) and
+    * an explicit k past the 128² fanout-cap boundary (d = 3, a genuine
+    * two-stage descent over the occupied prefix of the 500-vector
+    * corpus); nprobe = k trivially covers every level. */
   test("q155 with a covering probe budget equals the exact-assignment q27 form") {
-    assert(Similarity.ivfLevelSizes(64) == Seq(16, 4), "law must run at depth 3")
+    assert(Similarity.ivfLevelSizes(64) == Seq(8), "gate shape must be depth 2")
     assertSameRows(
       Similarity.embeddingNearDupIvfK(spark, sf, k = 64, nAssign = 2,
         minCos = 0.4, nprobe = 64),
       Similarity.embeddingNearDup(spark, sf, k = 64))
+    assert(Similarity.ivfLevelSizes(16385).length == 2, "law must also run at depth 3")
+    assertSameRows(
+      Similarity.embeddingNearDupIvfK(spark, sf, k = 16385, nAssign = 2,
+        minCos = 0.4, nprobe = 16385),
+      Similarity.embeddingNearDup(spark, sf, k = 16385))
   }
 
   /** The hierarchy-shape formula behind q155's assignment: depth
-    * d = max(2, ⌈log₂log₂K⌉), branching b = min integer with b^d ≥ K,
-    * level i = ⌈K/bⁱ⌉ — every fanout ≈ K^(1/d), so per-vector probe
-    * work is O(d·K^(1/d)) = O(log K) (the fix for the depth-2 form's
-    * √K term, 25.4×/decade at sf100 per FAMILY_r12_sf100). */
+    * d = smallest ≥ 2 with K ≤ 128^d (the fanout cap — an extra level
+    * only pays once the shallower form's fanout exceeds ~128, §8.3 r13
+    * note), branching b = min integer with b^d ≥ K, level i = ⌈K/bⁱ⌉ —
+    * every fanout ≈ K^(1/d) ≤ 128, so per-vector probe work is
+    * O(d·K^(1/d)) (the fix for the depth-2 form's unbounded √K term,
+    * 25.4×/decade at sf100 per FAMILY_r12_sf100, without the
+    * stage-overhead over-deepening the r12 ⌈log₂log₂K⌉ rule showed at
+    * sf1/sf10). */
   test("q155 level sizes: auto depth, equal fanout, boundary Ks") {
     import Similarity.ivfLevelSizes
-    assert(ivfLevelSizes(16) == Seq(4))              // d=2 floor (tiny explicit k)
-    assert(ivfLevelSizes(17) == Seq(6, 2))           // d jumps to 3, b=3
-    assert(ivfLevelSizes(64) == Seq(16, 4))          // gate corpus: b=4
-    assert(ivfLevelSizes(125) == Seq(25, 5))         // sf0.1: K=125, b=5
-    assert(ivfLevelSizes(256) == Seq(37, 6))         // d=3 ceiling: b=7 (7³=343)
-    assert(ivfLevelSizes(257) == Seq(52, 11, 3))     // d jumps to 4: b=5 (5⁴=625)
-    assert(ivfLevelSizes(12500) == Seq(1137, 104, 10))   // sf10: d=4, b=11
-    assert(ivfLevelSizes(125000) == Seq(11364, 1034, 94, 9)) // sf100: d=5, b=11
-    // the top level stays small (≈b) and every size is ⌈K/bⁱ⌉
+    assert(ivfLevelSizes(16) == Seq(4))              // tiny k: d=2, b=4
+    assert(ivfLevelSizes(64) == Seq(8))              // gate corpus: d=2, b=8
+    assert(ivfLevelSizes(125) == Seq(11))            // sf0.1: K=125, b=12
+    assert(ivfLevelSizes(1250) == Seq(35))           // sf1: d=2, b=36
+    assert(ivfLevelSizes(12500) == Seq(112))         // sf10: d=2, b=112
+    assert(ivfLevelSizes(16384) == Seq(128))         // d=2 ceiling: b=128
+    assert(ivfLevelSizes(16385) == Seq(631, 25))     // d jumps to 3, b=26
+    assert(ivfLevelSizes(125000) == Seq(2500, 50))   // sf100: d=3, b=50
+    assert(ivfLevelSizes(1 << 21).length == 2)       // d=3 ceiling
+    assert(ivfLevelSizes((1 << 21) + 1).length == 3) // d jumps to 4
+    assert(ivfLevelSizes(Similarity.MaxAutoIvfK).length == 3) // K=2²³: d=4, b=54
+    // the top level stays ≲ b ≤ 128-ish and every size is ⌈K/bⁱ⌉
     Seq(64, 125, 12500, 125000, Similarity.MaxAutoIvfK).foreach { k =>
       val s = ivfLevelSizes(k)
       assert(s.head < k && s.last <= s.head, s"sizes must descend for k=$k")
@@ -476,5 +489,37 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(1) <= brute(r.getLong(0)),
         s"cell scoping may only PRUNE cross-side pairs (t_id=${r.getLong(0)})")
     }
+  }
+
+  test("q168 int8 quantization: attained code extremes and the half-step error bound") {
+    val rows = Similarity.int8Quantize(spark, sf).collect()
+    assert(rows.length == 64, "one row per embedding dimension")
+    rows.foreach { r =>
+      val dim = r.getAs[Long]("dim")
+      val rng = r.getAs[Long]("mx") - r.getAs[Long]("mn")
+      if (rng > 0) {
+        // min/max are corpus-attained, so codes 0 and 255 must both appear
+        assert(r.getAs[Long]("q_min") == 0L, s"dim $dim: q_min")
+        assert(r.getAs[Long]("q_max") == 255L, s"dim $dim: q_max")
+      } else {
+        assert(r.getAs[Long]("q_min") == 0L && r.getAs[Long]("q_max") == 0L)
+        assert(r.getAs[Long]("sum_err255") == 0L, s"constant dim $dim must be lossless")
+      }
+      // nearest-code law: per-element err255 ≤ rng/2 ⇒ mean ≤ rng/(2·255·1e6)
+      assert(r.getAs[Double]("mean_abs_err") <= rng / 2.0 / 255e6 + 1e-12,
+        s"dim $dim: mean_abs_err exceeds the half-step bound")
+    }
+    // exact-integer accounting: re-derive one dimension's sum_err255 brute-force
+    val d0 = Similarity.scaled(spark, sf)
+      .select(expr("element_at(ai, 1)").as("x")).collect().map(_.getLong(0))
+    val (mn, mx) = (d0.min, d0.max)
+    val rng = mx - mn
+    val expSum = d0.map { x =>
+      val qv = if (rng > 0) (510L * (x - mn) + rng) / (2L * rng) else 0L
+      math.abs(255L * (x - mn) - qv * rng)
+    }.sum
+    val row0 = rows.find(_.getAs[Long]("dim") == 0L).get
+    assert(row0.getAs[Long]("sum_err255") == expSum, "dim 0 exact error accounting")
+    assert(row0.getAs[Long]("mn") == mn && row0.getAs[Long]("mx") == mx)
   }
 }
