@@ -477,6 +477,48 @@ object Scoring {
        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
        |  GROUP BY doc_id)""".stripMargin
 
+  /** q171: interpolated Kneser–Ney bigram cross-entropy — the smoothing
+    * the production CCNet/KenLM perplexity filter actually uses (Chen &
+    * Goodman 1999 eq. 4.26; Heafield KenLM 2011), where q95 is the
+    * add-one strawman and q150 the stupid-backoff middle ground:
+    *
+    *   p_KN(w|u) = max(c(u,w) − D, 0)/c(u)
+    *             + D·N1+(u,·)/c(u) · N1+(·,w)/|bigram types|
+    *
+    * with the canonical D = 0.75 (exactly representable in binary, so
+    * the per-bigram probability is one deterministic expression over
+    * exact integer counts — both engines evaluate the identical tree).
+    * Self-scoring over the training corpus means every scored bigram
+    * has c ≥ 1; the continuation term still redistributes mass exactly
+    * as at inference. xent = avg(−ln p) per doc, 6-dp (q95's shape).
+    *
+    * Scale shape = q95's: four count aggregates keyed on bigram/token
+    * (map-side partials), the type-total as a 1-row broadcast, then
+    * per-doc aggregation — no window, no cartesian, nothing beyond
+    * token-keyed shuffles at any corpus size. */
+  def knXent(spark: SparkSession, dir: String): DataFrame = {
+    val big = bigramsOf(spark, dir).select(col("doc_id"), col("bg"),
+      split(col("bg"), " ").getItem(0).as("u"),
+      split(col("bg"), " ").getItem(1).as("w"))
+    val cnt = big.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val cu = big.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val typ = cnt.select(col("bg"),
+      split(col("bg"), " ").getItem(0).as("u"),
+      split(col("bg"), " ").getItem(1).as("w"))
+    val fol = typ.groupBy(col("u")).agg(count(lit(1)).as("fol"))
+    val pre = typ.groupBy(col("w")).agg(count(lit(1)).as("pre"))
+    val nbt = cnt.agg(count(lit(1)).as("nbt"))
+    big.join(cnt, "bg").join(cu, "u").join(fol, "u").join(pre, "w")
+      .crossJoin(broadcast(nbt))
+      .withColumn("p",
+        greatest(col("c") - lit(0.75), lit(0.0)) / col("cu") +
+          lit(0.75) * col("fol") / col("cu") *
+            (col("pre").cast("double") / col("nbt")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("xent_kn"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q94_bm25" ->
       s"""WITH $bm25ScoresSql
@@ -505,6 +547,23 @@ object Scoring {
          |      + coalesce(CAST(1 AS DOUBLE)/(rc + $RrfK), 0), 6) AS rrf
          |FROM bmleg FULL OUTER JOIN cosleg USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT $FusionTopN""".stripMargin,
+    "q171_kn_xent" ->
+      s"""WITH big AS ($bigramSql),
+         |cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY 1),
+         |uc AS (SELECT split_part(bg, ' ', 1) AS u, count(*) AS cu FROM big GROUP BY 1),
+         |fol AS (SELECT split_part(bg, ' ', 1) AS u, count(*) AS fol FROM cnt GROUP BY 1),
+         |pre AS (SELECT split_part(bg, ' ', 2) AS w, count(*) AS pre FROM cnt GROUP BY 1),
+         |nbt AS (SELECT count(*) AS nbt FROM cnt)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln(
+         |    greatest(c - 0.75, 0.0) / cu
+         |      + 0.75 * fol / cu * (CAST(pre AS DOUBLE) / nbt))), 6) AS xent_kn
+         |FROM big b JOIN cnt ON cnt.bg = b.bg
+         |JOIN uc ON uc.u = split_part(b.bg, ' ', 1)
+         |JOIN fol ON fol.u = split_part(b.bg, ' ', 1)
+         |JOIN pre ON pre.w = split_part(b.bg, ' ', 2)
+         |CROSS JOIN nbt
+         |GROUP BY b.doc_id""".stripMargin,
     "q95_lm_xent" ->
       s"""WITH big AS ($bigramSql),
          |toks AS (

@@ -403,6 +403,79 @@ object TextAnalysis {
         expr("CAST(round(sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1e6) AS BIGINT)")
           .as("l2_fp"))
 
+  /** Token-entropy quality gate (q172): Shannon entropy of the
+    * within-document token distribution — the classic spam/boilerplate
+    * signal (machine-generated keyword stuffing and template pages
+    * collapse to low entropy; natural prose for these lengths sits
+    * higher), complementing q80's repeated-bigram ratio with a
+    * distribution-shape measure. Entirely within-row HOFs over the
+    * q170 idiom — NO Exchange at any corpus size.
+    *
+    * Cross-engine determinism: −p·ln p is summed as per-TYPE 10⁻⁹
+    * fixed-point LONGs (each term rounded, then integer-summed over
+    * array_distinct order-FREE — the float Σ would depend on term
+    * order, which the two engines don't share); `ent` is then one
+    * exact long→double division. */
+  def entropyGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks0", split(Dedup.normText(col("text")), " "))
+      .withColumn("toks", expr("filter(toks0, x -> x <> '')"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("ent_fp", expr(
+        """aggregate(array_distinct(toks), CAST(0 AS BIGINT), (a, t) ->
+          |  a + CAST(round(-(size(filter(toks, x -> x = t)) / CAST(n AS DOUBLE))
+          |        * ln(size(filter(toks, x -> x = t)) / CAST(n AS DOUBLE)) * 1e9)
+          |      AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), col("lang"),
+        col("n").cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        col("ent_fp"),
+        (col("ent_fp").cast("double") / 1e9).as("ent"),
+        (col("ent_fp") < 2500000000L).as("is_low_entropy"))
+
+  /** PPMI co-occurrence associations (q173; Church & Hanks 1990 /
+    * Levy & Goldberg 2014's PPMI baseline): ordered skip-bigram pairs
+    * within a ±2 token window, positive pointwise mutual information
+    * ln(c_ab·N/(c_a·c_b)) clamped at 0, top-3 collocates per focus
+    * word among pairs seen ≥ 3 times — the distributional-association
+    * table feeding phrase detection and embedding sanity checks.
+    *
+    * Scale shape: pair extraction is map-side (two fixed offsets per
+    * position); counts are token-keyed aggregates with map-side
+    * partials; the ranking window runs over the ≥3-support PAIR-TYPE
+    * sliver (≪ corpus — bounded by distinct co-occurring pairs), the
+    * q49 idiom, ordered by the 6-dp-rounded score so rank ties are
+    * engine-stable. */
+  def ppmiTopK(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  flatten(transform(sequence(0, size(toks)-2), i ->
+          |    CASE WHEN i + 2 <= size(toks)-1
+          |      THEN array(named_struct('a', toks[i], 'b', toks[i+1]),
+          |                 named_struct('a', toks[i], 'b', toks[i+2]))
+          |      ELSE array(named_struct('a', toks[i], 'b', toks[i+1])) END))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = pairs.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val cb = pairs.groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("ppmi").desc, col("b"))
+    cab.filter(col("c_ab") >= 3)
+      .join(ca, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .withColumn("ppmi", round(greatest(
+        log(col("c_ab").cast("double") * col("n_pairs") /
+          (col("c_a").cast("double") * col("c_b"))), lit(0.0)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("ppmi") > 0.0)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("ppmi"), col("rn"))
+  }
+
   /** Repetition/boilerplate scoring (the Gopher-style within-document
     * duplicate-n-gram gate, Rae et al. 2021): fraction of repeated
     * 2-grams per document. Pure map-side — the dedup family's
@@ -995,6 +1068,45 @@ object TextAnalysis {
          |FROM (SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY overlap DESC, e_id) AS rn
          |      FROM sc)
          |WHERE rn = 1""".stripMargin,
+    "q172_entropy_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, toks, len(toks) AS n FROM (
+         |    SELECT doc_id, lang, list_filter($toksSql, x -> x <> '') AS toks
+         |    FROM documents)),
+         |s AS (SELECT doc_id, lang, n, len(list_distinct(toks)) AS n_uniq,
+         |        CAST(coalesce(list_sum(list_transform(list_distinct(toks), t2 ->
+         |          CAST(round(-(len(list_filter(toks, x -> x = t2)) / CAST(n AS DOUBLE))
+         |                * ln(len(list_filter(toks, x -> x = t2)) / CAST(n AS DOUBLE)) * 1e9)
+         |            AS BIGINT))), 0) AS BIGINT) AS ent_fp
+         |      FROM t)
+         |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tok,
+         |  CAST(n_uniq AS BIGINT) AS n_uniq, ent_fp,
+         |  CAST(ent_fp AS DOUBLE) / 1e9 AS ent,
+         |  ent_fp < 2500000000 AS is_low_entropy
+         |FROM s""".stripMargin,
+    "q173_ppmi_topk" ->
+      s"""WITH pr AS (
+         |  SELECT p.a AS a, p.b AS b FROM (
+         |    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+         |      flatten(list_transform(range(0, len(toks)-1), i ->
+         |        CASE WHEN i + 2 <= len(toks)-1
+         |          THEN [{'a': toks[i+1], 'b': toks[i+2]}, {'a': toks[i+1], 'b': toks[i+3]}]
+         |          ELSE [{'a': toks[i+1], 'b': toks[i+2]}] END))
+         |      ELSE [] END) AS p
+         |    FROM (SELECT $toksSql AS toks FROM documents))
+         |  WHERE p.a <> '' AND p.b <> ''),
+         |cab AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+         |ca AS (SELECT a, count(*) AS c_a FROM pr GROUP BY 1),
+         |cb AS (SELECT b, count(*) AS c_b FROM pr GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_pairs FROM pr),
+         |sc AS (SELECT cab.a, cab.b, c_ab, c_a, c_b,
+         |         round(greatest(ln(CAST(c_ab AS DOUBLE) * n_pairs / (CAST(c_a AS DOUBLE) * c_b)), 0.0), 6) AS ppmi
+         |       FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+         |       WHERE c_ab >= 3)
+         |SELECT a, b, c_ab, c_a, c_b, ppmi, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a ORDER BY ppmi DESC, b) AS rn
+         |  FROM sc)
+         |WHERE rn <= 3 AND ppmi > 0.0""".stripMargin,
     "q170_hash_embed" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toksSql, t ->

@@ -625,4 +625,61 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("l2_fp") == l2, s"doc $id l2_fp")
     }
   }
+
+  test("q172 entropy gate: exact fixed-point recompute and the ln(n_uniq) ceiling") {
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.entropyGate(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = texts(id).split(" ").filter(_.nonEmpty)
+      val n = toks.length.toDouble
+      // same order-free construction: per-TYPE fixed-point terms, integer sum
+      val expFp = toks.groupBy(identity).values
+        .map { g => val p = g.length / n; math.round(-p * math.log(p) * 1e9) }.sum
+      assert(r.getAs[Long]("ent_fp") == expFp, s"doc $id ent_fp")
+      assert(r.getAs[Long]("n_tok") == toks.length && r.getAs[Long]("n_uniq") == toks.distinct.length)
+      val ent = r.getAs[Double]("ent")
+      assert(ent >= 0.0 && ent <= math.log(r.getAs[Long]("n_uniq").toDouble) + 1e-6,
+        s"doc $id: entropy outside [0, ln(n_uniq)]")
+      assert(r.getAs[Boolean]("is_low_entropy") == (r.getAs[Long]("ent_fp") < 2500000000L))
+    }
+  }
+
+  test("q173 PPMI: pair extraction ≡ positional self-join; scores and ranks check out") {
+    // alternative construction: explode positions, self-join on
+    // 1 <= pos_b - pos_a <= 2 within a doc — must yield the same pair
+    // multiset as the windowed transform
+    val pos = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(Dedup.normText(col("text")), " ")).as(Seq("p", "t")))
+      .filter(col("t") =!= "")
+    val alt = pos.as("x").join(pos.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          (col("y.p") - col("x.p")).between(1, 2))
+      .groupBy(col("x.t").as("a"), col("y.t").as("b")).agg(count(lit(1)).as("c_ab"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = TextAnalysis.ppmiTopK(spark, sf).collect()
+    assert(got.nonEmpty)
+    val totalPairs = alt.values.sum
+    val caMap = alt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cbMap = alt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      assert(r.getAs[Long]("c_ab") == alt((a, b)), s"($a,$b) c_ab")
+      assert(r.getAs[Long]("c_a") == caMap(a) && r.getAs[Long]("c_b") == cbMap(b))
+      assert(r.getAs[Long]("c_ab") >= 3 && r.getAs[Int]("rn") <= 3)
+      val pmi = math.log(r.getAs[Long]("c_ab").toDouble * totalPairs /
+        (r.getAs[Long]("c_a").toDouble * r.getAs[Long]("c_b")))
+      assert(math.abs(r.getAs[Double]("ppmi") - math.max(pmi, 0.0)) < 1e-5, s"($a,$b) ppmi")
+      assert(r.getAs[Double]("ppmi") > 0.0)
+    }
+    // per-focus-word bound: at most 3 rows, ranks contiguous from 1
+    got.groupBy(_.getAs[String]("a")).foreach { case (a, rows) =>
+      val rns = rows.map(_.getAs[Int]("rn")).sorted
+      assert(rns.length <= 3 && rns.sameElements(1 to rns.length),
+        s"focus '$a' ranks ${rns.mkString(",")}")
+    }
+  }
 }

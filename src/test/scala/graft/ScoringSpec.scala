@@ -257,4 +257,40 @@ class ScoringSpec extends SparkSpec {
           s"$lang: head+middle >= ceil(2n/3)")
     }
   }
+
+  test("q171 Kneser-Ney: discount mass identity per context; n_bigrams matches q95") {
+    // the KN normalization identity, checked from the RAW counts: for
+    // every context u, sum of discounted seen mass max(c-D,0) must equal
+    // cu - D*fol exactly (quarter-unit arithmetic is exact in doubles) —
+    // together with sum(p_cont) = 1 this is what makes p_KN a
+    // distribution; a join/count bug breaks it immediately
+    val docs = Tables.documents(spark, sf)
+      .select(split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+    val cnt = docs.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("u", split(col("bg"), " ").getItem(0))
+      .collect().map(r => (r.getAs[String]("u"), r.getAs[Long]("c")))
+    val byU = cnt.groupBy(_._1)
+    byU.foreach { case (u, rows) =>
+      val cu = rows.map(_._2).sum
+      val fol = rows.length
+      val discounted = rows.map(r => math.max(r._2 - 0.75, 0.0)).sum
+      assert(math.abs(discounted - (cu - 0.75 * fol)) < 1e-9,
+        s"context '$u': discount identity")
+    }
+    // the scored stream is q95's: per-doc bigram counts must agree
+    val kn = Scoring.knXent(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams")).toMap
+    val q95 = Scoring.lmCrossEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams")).toMap
+    assert(kn == q95, "q171 must score exactly q95's bigram stream")
+    // self-scored KN xent is positive and finite
+    Scoring.knXent(spark, sf).collect().foreach { r =>
+      val x = r.getAs[Double]("xent_kn")
+      assert(x > 0 && !x.isNaN && !x.isInfinite, s"doc ${r.get(0)}: xent $x")
+    }
+  }
 }
