@@ -476,6 +476,94 @@ object TextAnalysis {
         col("ppmi"), col("rn"))
   }
 
+  /** Corpus n-gram diversity per language (q174): type/token ratio and
+    * distinct-trigram ratio — the standard diversity telemetry for a
+    * training mix (Li et al. 2016's distinct-n, the Self-BLEU
+    * complement): memorized/templated corpora collapse distinct-3
+    * toward 0 while natural text stays high. Ratios of exact longs
+    * rounded at 6 dp, so cross-engine equality is exact.
+    *
+    * Scale shape: two token/gram-keyed counts with map-side partials
+    * (distinct counted as a second tiny agg over the TYPE sliver, never
+    * count(distinct) over the corpus), then a per-lang rollup of
+    * vocabulary-sized inputs. No window, no all-pairs, nothing beyond
+    * key-hashed shuffles at any corpus size. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), split(Dedup.normText(col("text")), " ").as("toks0"))
+      .withColumn("toks", expr("filter(toks0, x -> x <> '')"))
+    val tokLeg = toks.select(col("lang"), explode(col("toks")).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"))
+    val gramLeg = toks
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(0, size(toks)-3), i ->
+          |         concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+          |  ELSE array() END""".stripMargin)).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_3grams"), count(lit(1)).as("n_3gram_types"))
+    tokLeg.join(gramLeg, Seq("lang"), "left")
+      .select(col("lang"), col("n_tok"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tok"), 6).as("ttr"),
+        coalesce(col("n_3grams"), lit(0L)).as("n_3grams"),
+        coalesce(col("n_3gram_types"), lit(0L)).as("n_3gram_types"),
+        coalesce(round(col("n_3gram_types").cast("double") / col("n_3grams"), 6),
+          lit(0.0)).as("div_3gram"))
+  }
+
+  /** Zipf-slope fit depth: the head of the rank-frequency curve the
+    * least-squares line is fit over. */
+  private[graft] val ZipfRankCap = 512
+
+  /** Per-language Zipf slope (q175): least-squares fit of ln(freq) on
+    * ln(rank) over the top-[[ZipfRankCap]] token types — the classic
+    * corpus-health check (natural language sits near −1; keyword-stuffed
+    * or templated text flattens toward 0, Zipf 1949 / Piantadosi 2014).
+    *
+    * Determinism: the four moment sums are per-TERM 10⁻⁹ fixed-point
+    * longs integer-summed (order-free, the q172 idiom — a double Σ
+    * would depend on partition order), and the closed-form slope
+    *   (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+    * is then ONE identically-shaped double expression over exact
+    * integers in both engines. Languages with < 8 ranked types are
+    * dropped (no degenerate fits).
+    *
+    * Scale shape: a token-keyed count (map-side partials), a rank
+    * window over the per-lang TYPE sliver (vocabulary-bounded, the q49
+    * idiom — never over corpus rows), then a per-lang rollup of ≤
+    * [[ZipfRankCap]] rows each. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("c").desc, col("t"))
+    val terms = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(Dedup.normText(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= ZipfRankCap)
+      .withColumn("x", log(col("r").cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+      .select(col("lang"),
+        expr("CAST(round(x * 1e9) AS BIGINT)").as("fx"),
+        expr("CAST(round(y * 1e9) AS BIGINT)").as("fy"),
+        expr("CAST(round(x * x * 1e9) AS BIGINT)").as("fxx"),
+        expr("CAST(round(x * y * 1e9) AS BIGINT)").as("fxy"))
+    terms.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("fx")).as("sx"),
+        sum(col("fy")).as("sy"), sum(col("fxx")).as("sxx"),
+        sum(col("fxy")).as("sxy"))
+      .filter(col("n_terms") >= 8)
+      .select(col("lang"), col("n_terms"),
+        round((col("n_terms").cast("double") * (col("sxy").cast("double") / 1e9)
+            - (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9)) /
+          (col("n_terms").cast("double") * (col("sxx").cast("double") / 1e9)
+            - (col("sx").cast("double") / 1e9) * (col("sx").cast("double") / 1e9)),
+          6).as("zipf_slope"))
+  }
+
   /** Repetition/boilerplate scoring (the Gopher-style within-document
     * duplicate-n-gram gate, Rae et al. 2021): fraction of repeated
     * 2-grams per document. Pure map-side — the dedup family's
@@ -1107,6 +1195,52 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY a ORDER BY ppmi DESC, b) AS rn
          |  FROM sc)
          |WHERE rn <= 3 AND ppmi > 0.0""".stripMargin,
+    "q174_ngram_diversity" ->
+      s"""WITH t AS (
+         |  SELECT lang, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |tc AS (SELECT lang, t, count(*) AS c
+         |       FROM (SELECT lang, unnest(toks) AS t FROM t) GROUP BY 1, 2),
+         |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok,
+         |         count(*) AS n_types FROM tc GROUP BY 1),
+         |gc AS (SELECT lang, g, count(*) AS c FROM (
+         |         SELECT lang, unnest(CASE WHEN len(toks) >= 3 THEN
+         |           list_transform(range(0, len(toks)-2), i ->
+         |             toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |           ELSE [] END) AS g
+         |         FROM t) GROUP BY 1, 2),
+         |gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_3grams,
+         |         count(*) AS n_3gram_types FROM gc GROUP BY 1)
+         |SELECT tl.lang, n_tok, n_types,
+         |  round(CAST(n_types AS DOUBLE) / n_tok, 6) AS ttr,
+         |  coalesce(n_3grams, 0) AS n_3grams,
+         |  coalesce(n_3gram_types, 0) AS n_3gram_types,
+         |  coalesce(round(CAST(n_3gram_types AS DOUBLE) / n_3grams, 6), 0.0) AS div_3gram
+         |FROM tl LEFT JOIN gl USING (lang)""".stripMargin,
+    "q175_zipf_slope" ->
+      s"""WITH tc AS (
+         |  SELECT lang, t, count(*) AS c FROM (
+         |    SELECT lang, unnest(list_filter($toksSql, x -> x <> '')) AS t
+         |    FROM documents) GROUP BY 1, 2),
+         |rk AS (SELECT lang, c,
+         |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS r
+         |       FROM tc),
+         |fp AS (SELECT lang,
+         |         CAST(round(ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS fx,
+         |         CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS fy,
+         |         CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS fxx,
+         |         CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS fxy
+         |       FROM rk WHERE r <= ${ZipfRankCap}),
+         |mo AS (SELECT lang, count(*) AS n_terms,
+         |         CAST(sum(fx) AS BIGINT) AS sx, CAST(sum(fy) AS BIGINT) AS sy,
+         |         CAST(sum(fxx) AS BIGINT) AS sxx, CAST(sum(fxy) AS BIGINT) AS sxy
+         |       FROM fp GROUP BY 1)
+         |SELECT lang, n_terms,
+         |  round((CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+         |      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9)) /
+         |    (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+         |      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
+         |    6) AS zipf_slope
+         |FROM mo WHERE n_terms >= 8""".stripMargin,
     "q170_hash_embed" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toksSql, t ->

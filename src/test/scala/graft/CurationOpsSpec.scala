@@ -682,4 +682,54 @@ class CurationOpsSpec extends SparkSpec {
         s"focus '$a' ranks ${rns.mkString(",")}")
     }
   }
+
+  test("q174 ngram diversity: exact recompute from raw tokens; ratio bounds") {
+    val byLang = Tables.documents(spark, sf)
+      .select(col("lang"), Dedup.normText(col("text")).as("norm"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = TextAnalysis.ngramDiversity(spark, sf).collect()
+    assert(got.map(_.getAs[String]("lang")).toSet == byLang.keySet)
+    got.foreach { r =>
+      val texts = byLang(r.getAs[String]("lang"))
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toSeq)
+      val all = toks.flatten
+      val grams = toks.flatMap(_.sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+      assert(r.getAs[Long]("n_tok") == all.length && r.getAs[Long]("n_types") == all.distinct.length)
+      assert(r.getAs[Long]("n_3grams") == grams.length &&
+        r.getAs[Long]("n_3gram_types") == grams.distinct.length)
+      val ttr = r.getAs[Double]("ttr"); val dv = r.getAs[Double]("div_3gram")
+      assert(ttr > 0 && ttr <= 1.0 && dv >= 0 && dv <= 1.0)
+      // trigram diversity dominates unigram TTR: contexts split types
+      assert(dv >= ttr - 1e-6, s"${r.getAs[String]("lang")}: div_3gram < ttr")
+    }
+  }
+
+  test("q175 zipf slope: closed form ≡ naive least squares on the ranked head") {
+    val got = TextAnalysis.zipfSlope(spark, sf).collect()
+    assert(got.nonEmpty)
+    val freqs = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(Dedup.normText(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("lang", "t").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val ranked = freqs.filter(_._1 == lang).sortBy(t => (-t._3, t._2))
+        .take(TextAnalysis.ZipfRankCap)
+      assert(r.getAs[Long]("n_terms") == ranked.length)
+      // independent two-pass mean-centered fit over the same points —
+      // must agree with the one-pass fixed-point closed form to ~1e-4
+      // (the fixed-point grid is 1e-9 per term; closed form amplifies)
+      val pts = ranked.zipWithIndex.map { case ((_, _, c), i) =>
+        (math.log(i + 1.0), math.log(c.toDouble)) }
+      val (mx, my) = (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+      val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+        pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-4,
+        s"$lang: ${r.getAs[Double]("zipf_slope")} vs naive $slope")
+      // natural-language sanity: strictly decreasing fit, not flat
+      assert(slope < -0.1, s"$lang slope $slope suspiciously flat")
+    }
+  }
 }

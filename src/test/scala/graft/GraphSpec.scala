@@ -64,6 +64,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q176 HITS matches a driver-side power iteration on the same edges") {
+    val edges = Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hubsN = edges.map(_._1).distinct
+    def l1(m: Map[Long, Double]) = { val t = m.values.sum; m.view.mapValues(_ / t).toMap }
+    var h = l1(hubsN.map(_ -> 1.0).toMap)
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to graft.ops.Graph.HitsIters) {
+      a = l1(edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = l1(edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap)
+    }
+    val na = a.size; val nh = h.size
+    val brute: Map[(String, Long), Double] =
+      h.map { case (n, s) => ("order", n / 2) -> s * nh } ++
+        a.map { case (n, s) => ("part", n / 2) -> s * na }
+    val got = Graph.hits(spark, sf).collect()
+    assert(got.length == 50)
+    got.groupBy(_.getAs[String]("kind")).foreach { case (kind, rows) =>
+      assert(rows.length == 25, s"$kind rows")
+      val scores = rows.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))), s"$kind not ordered")
+      rows.foreach { r =>
+        val b = brute((kind, r.getAs[Long]("key")))
+        assert(math.abs(r.getAs[Double]("score") - b) < 1e-4,
+          s"$kind ${r.getAs[Long]("key")}: ${r.getAs[Double]("score")} vs $b")
+      }
+    }
+    // mutual reinforcement, not degree counting: every reported score
+    // is positive and the per-kind mass is n (L1 × n scaling)
+    assert(got.forall(_.getAs[Double]("score") > 0))
+  }
+
   test("q128 triangle count equals a brute-force enumeration of the same graph") {
     import org.apache.spark.sql.functions._
     val minSup = 5L
