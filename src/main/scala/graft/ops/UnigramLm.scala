@@ -223,6 +223,64 @@ object UnigramLm {
     * Scale shape: the q157 encode chain (corpus touched once,
     * vocabulary-sized EM, broadcast codebook) plus q93's one
     * per-shard prefix-sum window — nothing new shuffles. */
+  /** q177: greedy longest-match-first encode (the WordPiece inference
+    * rule, Wu et al. 2016 §4.1; Song et al. 2021 "Fast WordPiece" give
+    * the linear-time form) under the SAME trained unigram vocabulary as
+    * q157 — the tokenizer family's other inference mode, exposed so the
+    * two segmentations compare piece-for-piece on one vocab (greedy is
+    * the cheap serve-time rule; Viterbi is likelihood-optimal). Output
+    * is q157's exact shape (doc_id, n_tok, n_piece, enc).
+    *
+    * Determinism needs NO tie rule: at a fixed start the longest match
+    * is unique (equal start + equal length ⇒ the same substring), so
+    * the walk's argmax is total by construction — unlike Viterbi's
+    * (score, start) order. The coverage floor (every corpus char stays
+    * in the vocabulary) guarantees a match at every position, so the
+    * walk always consumes the whole word.
+    *
+    * Scale shape = q157's exactly: the greedy walk is a bounded HOF
+    * fold over the DISTINCT-WORD table (vocabulary-sized, ≤ MaxWordLen
+    * steps), and the corpus is touched once to join the broadcast
+    * codebook. The oracle replays the walk as a recursive CTE over the
+    * per-(word, start) longest matches. */
+  def wordpieceEncode(spark: SparkSession, dir: String,
+                      rounds: Int = EmRounds): DataFrame = {
+    val (vocab, w) = train(spark, dir, rounds)
+    val occ = w.select(col("w"), col("cnt"), explode(expr(substrExpr)).as("sp"))
+      .select(col("w"), col("sp.i").as("i"), col("sp.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"))), Seq("piece"))
+      .groupBy(col("w"))
+      .agg(collect_list(struct((col("i") + length(col("piece"))).as("j"),
+        col("i"), col("piece"))).as("ms"))
+    val greedyExpr =
+      """aggregate(sequence(1, length(w)),
+        |  struct(0 AS pos, CAST(array() AS ARRAY<STRING>) AS ps),
+        |  (st, x) -> IF(st.pos >= length(w), st,
+        |    struct(
+        |      coalesce(array_max(transform(filter(ms, m -> m.i = st.pos),
+        |        m -> m.j)), length(w)) AS pos,
+        |      concat(st.ps, transform(
+        |        array(array_max(transform(filter(ms, m -> m.i = st.pos),
+        |          m -> struct(m.j AS j, m.piece AS piece)))),
+        |        t -> t.piece)) AS ps)),
+        |  st -> filter(st.ps, p -> p IS NOT NULL))""".stripMargin
+    val cb = occ.withColumn("ps", expr(greedyExpr))
+      .select(col("w").as("tok"),
+        expr("concat_ws('', transform(ps, p -> concat('<', p, '>')))").as("enc"),
+        size(col("ps")).cast("long").as("n_piece"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(Dedup.normText(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .filter(col("tok") =!= "" && length(col("tok")) <= MaxWordLen)
+      .join(broadcast(cb), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("n_piece")).as("n_piece"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, enc))), x -> x.enc)"))
+          .as("enc"))
+  }
+
   def unigramPacking(spark: SparkSession, dir: String,
                      rounds: Int = EmRounds,
                      nShards: Int = Curation.NumShards,
@@ -372,6 +430,34 @@ object UnigramLm {
          |GROUP BY doc_id""".stripMargin,
     // q161: the q157 chain's per-doc piece counts (LEFT-joined so
     // uncounted docs pack at 0 tokens), then q93's pack CTEs verbatim.
+    "q177_wordpiece_encode" ->
+      s"""WITH RECURSIVE ${chainSql(EmRounds)},
+         |gocc AS MATERIALIZED (
+         |  SELECT sp.w, sp.i, sp.i + len(sp.piece) AS j, sp.piece
+         |  FROM sp JOIN lp$EmRounds v USING (piece)),
+         |gbest AS MATERIALIZED (
+         |  SELECT w, i, j, piece FROM (
+         |    SELECT w, i, j, piece,
+         |      row_number() OVER (PARTITION BY w, i ORDER BY j DESC) AS rn
+         |    FROM gocc) WHERE rn = 1),
+         |gwalk AS (
+         |  SELECT w, i, j, piece FROM gbest WHERE i = 0
+         |  UNION ALL
+         |  SELECT b.w, b.i, b.j, b.piece
+         |  FROM gwalk g JOIN gbest b ON b.w = g.w AND b.i = g.j),
+         |cb AS MATERIALIZED (SELECT g.w AS tok,
+         |    string_agg('<' || piece || '>', '' ORDER BY i) AS enc,
+         |    CAST(count(*) AS BIGINT) AS n_piece
+         |  FROM gwalk g GROUP BY g.w),
+         |inst AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+         |  FROM (SELECT doc_id,
+         |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |    FROM documents))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(n_piece) AS BIGINT) AS n_piece,
+         |  string_agg(enc, ' ' ORDER BY pos) AS enc
+         |FROM inst JOIN cb USING (tok) WHERE tok <> '' AND len(tok) <= $MaxWordLen
+         |GROUP BY doc_id""".stripMargin,
     "q161_unigram_packing" ->
       s"""WITH RECURSIVE ${chainSql(EmRounds)},
          |${roundSql(EmRounds)},

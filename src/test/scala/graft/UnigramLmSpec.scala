@@ -164,6 +164,46 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("q177: greedy encode equals a reference longest-match walk; full coverage") {
+    val vocab = UnigramLm.unigramTrain(spark, sf)
+      .collect().map(_.getAs[String]("piece")).toSet
+    def greedy(w: String): Seq[String] = {
+      val ps = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        val l = (math.min(MaxPiece, w.length - pos) to 1 by -1)
+          .find(l => vocab(w.substring(pos, pos + l)))
+          .getOrElse(sys.error(s"no match in '$w' at $pos — char coverage broken"))
+        ps += w.substring(pos, pos + l); pos += l
+      }
+      ps.result()
+    }
+    val got = UnigramLm.wordpieceEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_piece"), r.getAs[String]("enc"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    assert(got.size == docs.length)
+    docs.foreach { d =>
+      val toks = d.getString(1).trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+        .filter(w => w.nonEmpty && w.length <= UnigramLm.MaxWordLen).toSeq
+      val segs = toks.map(greedy)
+      // coverage: greedy pieces reassemble each word exactly (asserted
+      // by construction of `greedy`; the distributed enc must agree)
+      val exp = segs.map(_.map(p => s"<$p>").mkString).mkString(" ")
+      val (nTok, nPiece, enc) = got(d.getLong(0))
+      assert(nTok == toks.length && nPiece == segs.map(_.length).sum,
+        s"doc ${d.getLong(0)} counts")
+      assert(enc == exp, s"doc ${d.getLong(0)}:\n  got $enc\n  exp $exp")
+    }
+    // greedy vs Viterbi: same vocab, same corpus — piece streams may
+    // differ but both cover; fertility is comparable (within 2x)
+    val vit = UnigramLm.unigramEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_piece")).toMap
+    got.foreach { case (id, (_, np, _)) =>
+      assert(np >= 1 && np <= 2 * math.max(1L, vit(id)), s"doc $id fertility") }
+  }
+
   test("q157: per-word segmentations are the reference Viterbi's") {
     val vocab = refTrain(UnigramLm.EmRounds)
     val out = UnigramLm.unigramEncode(spark, sf).collect()
