@@ -1028,7 +1028,123 @@ object Similarity {
        |  WHERE cos >= 0.4)""".stripMargin
   }
 
+  /** q178: label-centroid separation audit — per class, the margin
+    * between each vector's cosine to its OWN label centroid and its best
+    * cosine to any OTHER centroid (the Fisher-style class-separation
+    * telemetry an embedding-space curator reads before trusting labels
+    * for SemDeDup cells, hard-negative mining, or stratified sampling;
+    * negative margin = the vector sits closer to a foreign class).
+    *
+    * Determinism: centroid components are exact per-dim long sums (one
+    * map-side [[graft.functions.VectorSumAgg]]) divided once; every
+    * vector×centroid dot is a per-DIM fixed-point long (each double
+    * product rounded, then integer-summed order-free — the q172 idiom),
+    * so cosines and margins are identical expression trees over exact
+    * integers in both engines; margins compare at 10⁻⁶ fixed point.
+    *
+    * Scale shape: one vector-sum aggregation (map-side, 64 longs per
+    * label), centroids broadcast (|labels| rows), scoring map-side
+    * behind the crossJoin, one vec_id-keyed reduce, one label rollup —
+    * linear, no window, no vector×vector pairs. */
+  def labelMargins(spark: SparkSession, dir: String): DataFrame = {
+    val v = scaled(spark, dir).filter(col("n2") > 0)
+    val vecSum = udaf(new graft.functions.VectorSumAgg(64))
+    val cents = v.groupBy(col("label")).agg(
+        vecSum(col("ai")).as("s"), count(lit(1)).as("cn"))
+      .select(col("label").as("c_label"),
+        expr("transform(s, x -> CAST(x AS DOUBLE) / cn)").as("c"))
+      .withColumn("c2", expr(
+        "aggregate(transform(c, x -> CAST(round(x * x) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val cos = v.crossJoin(broadcast(cents))
+      .withColumn("dotfp", expr(
+        """aggregate(transform(sequence(0, 63), i ->
+          |  CAST(round(element_at(ai, i + 1) * element_at(c, i + 1)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .withColumn("cos",
+        col("dotfp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("c2").cast("double"))))
+    cos.groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"),
+        max(when(col("c_label") === col("label"), col("cos"))).as("own"),
+        max(when(col("c_label") =!= col("label"), col("cos"))).as("other"))
+      .withColumn("mfp",
+        expr("CAST(round((own - other) * 1e6) AS BIGINT)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("mfp")).cast("double") / count(lit(1)) / 1e6, 6).as("mean_margin"),
+        sum(when(col("mfp") < 0, 1L).otherwise(0L)).as("n_misassigned"))
+  }
+
+  /** q179: matryoshka prefix-mass audit (Kusupati et al. 2022 MRL): the
+    * fraction of each vector's L2 norm carried by its first 8/16/32
+    * dims, averaged per label — the measurement that decides whether
+    * truncated embeddings are usable for coarse ANN stages (q155's
+    * hierarchy probing with prefix dots is exactly such a consumer).
+    * Entirely map-side over exact prefix norms (dot_long on slices);
+    * per-vector ratios are 10⁻⁶ fixed-point longs so the per-label
+    * means are order-free. */
+  def matryoshkaMass(spark: SparkSession, dir: String): DataFrame = {
+    def massFp(d: Int) = expr(
+      s"CAST(round(sqrt(CAST(dot_long(slice(ai, 1, $d), slice(ai, 1, $d)) AS DOUBLE) " +
+        s"/ CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT)")
+    scaled(spark, dir).filter(col("n2") > 0)
+      .select(col("label"), massFp(8).as("m8"), massFp(16).as("m16"),
+        massFp(32).as("m32"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("m8")).cast("double") / count(lit(1)) / 1e6, 6).as("mass8"),
+        round(sum(col("m16")).cast("double") / count(lit(1)) / 1e6, 6).as("mass16"),
+        round(sum(col("m32")).cast("double") / count(lit(1)) / 1e6, 6).as("mass32"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q178_label_margin" ->
+      s"""WITH v AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, label, ai,
+         |      list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |    FROM ($scaledSql)) WHERE n2 > 0),
+         |ce AS (SELECT label, j, CAST(sum(x) AS BIGINT) AS s, count(*) AS cn FROM (
+         |    SELECT label, unnest(ai) AS x, unnest(range(0, 64)) AS j FROM v)
+         |  GROUP BY 1, 2),
+         |cent AS MATERIALIZED (
+         |  SELECT label AS c_label, list(CAST(s AS DOUBLE) / cn ORDER BY j) AS c
+         |  FROM ce GROUP BY 1),
+         |cw AS (SELECT c_label, c,
+         |    CAST(list_sum(list_transform(c, x -> CAST(round(x * x) AS BIGINT))) AS BIGINT) AS c2
+         |  FROM cent),
+         |sc AS (SELECT vec_id, label, c_label,
+         |    CAST(CAST(list_sum(list_transform(range(0, 64), i ->
+         |        CAST(round(ai[i+1] * c[i+1]) AS BIGINT))) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))) AS cos
+         |  FROM v CROSS JOIN cw),
+         |mg AS (SELECT vec_id, label,
+         |    CAST(round((max(CASE WHEN c_label = label THEN cos END)
+         |      - max(CASE WHEN c_label <> label THEN cos END)) * 1e6) AS BIGINT) AS mfp
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(CAST(sum(mfp) AS DOUBLE) / count(*) / 1e6, 6) AS mean_margin,
+         |  CAST(sum(CASE WHEN mfp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+         |FROM mg GROUP BY label""".stripMargin,
+    "q179_matryoshka_mass" ->
+      s"""WITH v AS (
+         |  SELECT * FROM (
+         |    SELECT label, ai,
+         |      list_sum(list_transform(range(0, 64), i -> ai[i+1] * ai[i+1])) AS n2
+         |    FROM ($scaledSql)) WHERE n2 > 0),
+         |fp AS (SELECT label,
+         |    CAST(round(sqrt(CAST(CAST(list_sum(list_transform(range(0, 8), i -> ai[i+1] * ai[i+1])) AS BIGINT) AS DOUBLE)
+         |      / CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT) AS m8,
+         |    CAST(round(sqrt(CAST(CAST(list_sum(list_transform(range(0, 16), i -> ai[i+1] * ai[i+1])) AS BIGINT) AS DOUBLE)
+         |      / CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT) AS m16,
+         |    CAST(round(sqrt(CAST(CAST(list_sum(list_transform(range(0, 32), i -> ai[i+1] * ai[i+1])) AS BIGINT) AS DOUBLE)
+         |      / CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT) AS m32
+         |  FROM v)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(CAST(sum(m8) AS DOUBLE) / count(*) / 1e6, 6) AS mass8,
+         |  round(CAST(sum(m16) AS DOUBLE) / count(*) / 1e6, 6) AS mass16,
+         |  round(CAST(sum(m32) AS DOUBLE) / count(*) / 1e6, 6) AS mass32
+         |FROM fp GROUP BY label""".stripMargin,
     "q106_hard_negatives" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, ai,

@@ -491,6 +491,69 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q178 label margins match a driver-side centroid recompute") {
+    val vecs = Similarity.scaled(spark, sf)
+      .select(col("vec_id"), col("label"), col("ai")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .filter(v => v._3.map(x => x * x).sum > 0)
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.view.mapValues { vs =>
+      val n = vs.length
+      (0 until 64).map(j => vs.map(_._3(j)).sum.toDouble / n).toArray
+    }.toMap
+    def cos(a: Array[Long], c: Array[Double]): Double = {
+      val dot = (0 until 64).map(i => math.round(a(i) * c(i))).sum
+      val c2 = c.map(x => math.round(x * x)).sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(c2.toDouble))
+    }
+    val margins = vecs.map { case (_, lbl, a) =>
+      val own = cos(a, cents(lbl))
+      val other = cents.filter(_._1 != lbl).values.map(c => cos(a, c)).max
+      lbl -> math.round((own - other) * 1e6)
+    }
+    val exp = margins.groupBy(_._1).view.mapValues { ms =>
+      (ms.length.toLong,
+        BigDecimal(ms.map(_._2).sum.toDouble / ms.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ms.count(_._2 < 0).toLong)
+    }.toMap
+    val got = Similarity.labelMargins(spark, sf).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, mm, mis) = exp(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(math.abs(r.getAs[Double]("mean_margin") - mm) < 1e-9,
+        s"label ${r.getAs[Int]("label")}: ${r.getAs[Double]("mean_margin")} vs $mm")
+      assert(r.getAs[Long]("n_misassigned") == mis)
+    }
+  }
+
+  test("q179 matryoshka mass: monotone in prefix length, exact at d=64") {
+    val got = Similarity.matryoshkaMass(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (m8, m16, m32) = (r.getAs[Double]("mass8"),
+        r.getAs[Double]("mass16"), r.getAs[Double]("mass32"))
+      // prefix L2 mass grows with the prefix and never exceeds 1
+      assert(m8 > 0 && m8 <= m16 + 1e-9 && m16 <= m32 + 1e-9 && m32 <= 1.0 + 1e-9,
+        s"label ${r.getAs[Int]("label")}: $m8/$m16/$m32")
+    }
+    // spot-exact: one label's mass8 against a direct recompute
+    val vecs = Similarity.scaled(spark, sf)
+      .select(col("label"), col("ai")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .filter(_._2.map(x => x * x).sum > 0)
+    val lbl = vecs.head._1
+    val fps = vecs.filter(_._1 == lbl).map { case (_, a) =>
+      math.round(math.sqrt(a.take(8).map(x => x * x).sum.toDouble /
+        a.map(x => x * x).sum.toDouble) * 1e6)
+    }
+    val exp = BigDecimal(fps.sum.toDouble / fps.length / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotLbl = got.find(_.getAs[Int]("label") == lbl).get.getAs[Double]("mass8")
+    assert(math.abs(gotLbl - exp) < 1e-9, s"label $lbl: $gotLbl vs $exp")
+  }
+
   test("q168 int8 quantization: attained code extremes and the half-step error bound") {
     val rows = Similarity.int8Quantize(spark, sf).collect()
     assert(rows.length == 64, "one row per embedding dimension")
