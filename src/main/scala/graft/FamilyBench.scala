@@ -38,7 +38,10 @@ object FamilyBench {
     "q140_semdedup_apply", "q141_cms_registers", "q142_gopher_rules",
     "q143_leakage_safe_split",
     // round-12: the q27 deployment twin (K ∝ n, coarse-probed)
-    "q155_embedding_neardup_ivf")
+    "q155_embedding_neardup_ivf",
+    // round-13 corpus-structural additions over documents
+    "q171_kn_xent", "q174_ngram_diversity", "q175_zipf_slope",
+    "q180_neyman_alloc", "q181_dup_spectrum")
 
   /** Graph/agg head (round-8 trend extension): the queries whose
     * "fixed-overhead, not a scale-killer" claims had never been measured

@@ -741,7 +741,71 @@ object Curation {
        |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + $BoilerGramL AS INT)], ' '))) AS gram
        |  FROM t)""".stripMargin
 
+  /** q180 sampling budget the allocation is computed against. */
+  private[graft] val NeymanBudget = 10000L
+
+  /** q180: Neyman-optimal stratified sampling allocation (Neyman 1934;
+    * Cochran 1977 §5.5) over language strata: a fixed labeling budget
+    * splits ∝ n_h·σ_h of the per-stratum quality-score spread — the
+    * allocation that minimizes the variance of the estimated corpus
+    * quality, and the principled answer to "which languages get
+    * annotation budget" that uniform or size-proportional splits get
+    * wrong. Emits (lang, n_h, sigma, share, alloc).
+    *
+    * Determinism: quality quantizes to 10⁻⁴ fixed-point longs, the two
+    * variance moments are exact integer sums (order-free; Σq² bounded
+    * by n_h·10⁸ — overflow-safe past 10¹⁰ docs/stratum), and σ, the
+    * n_h·σ_h weights (re-quantized at 10⁻⁶), the shares and the
+    * allocations are identical expression trees over exact integers in
+    * both engines.
+    *
+    * Scale shape: one map-side quality projection, one lang-keyed
+    * moment aggregation (map-side partials), then arithmetic over
+    * |strata| rows. Nothing else. */
+  def neymanAllocation(spark: SparkSession, dir: String,
+                       budget: Long = NeymanBudget): DataFrame = {
+    val st = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), expr("CAST(round(quality * 1e4) AS BIGINT)").as("qfp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_h"), sum(col("qfp")).as("sq"),
+        sum(expr("qfp * qfp")).as("sqq"))
+      .withColumn("sigma", expr(
+        """sqrt(greatest(CAST(n_h AS DOUBLE) * CAST(sqq AS DOUBLE)
+          |  - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE), CAST(0 AS DOUBLE)))
+          |  / CAST(n_h AS DOUBLE) / 1e4""".stripMargin))
+      .withColumn("w", expr("CAST(round(n_h * sigma * 1e6) AS BIGINT)"))
+      // |strata| rows feeding both the total and the final select —
+      // truncate so the corpus aggregation runs once
+      .localCheckpoint(true)
+    val tot = st.agg(sum(col("w")).as("t"))
+    st.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_h"), round(col("sigma"), 6).as("sigma"),
+        round(col("w").cast("double") / col("t"), 6).as("share"),
+        expr(s"CAST(round($budget * CAST(w AS DOUBLE) / t) AS BIGINT)").as("alloc"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q180_neyman_alloc" ->
+      s"""WITH q AS (${TextAnalysis.qualitySql}),
+         |s AS (SELECT lang, CAST(round(quality * 1e4) AS BIGINT) AS qfp
+         |      FROM q JOIN documents USING (doc_id)),
+         |st AS (SELECT lang, count(*) AS n_h, CAST(sum(qfp) AS BIGINT) AS sq,
+         |         CAST(sum(qfp * qfp) AS BIGINT) AS sqq
+         |       FROM s GROUP BY 1),
+         |sg AS (SELECT lang, n_h,
+         |         sqrt(greatest(CAST(n_h AS DOUBLE) * CAST(sqq AS DOUBLE)
+         |           - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE), CAST(0 AS DOUBLE)))
+         |           / CAST(n_h AS DOUBLE) / 1e4 AS sigma
+         |       FROM st),
+         |fp AS (SELECT lang, n_h, sigma,
+         |         CAST(round(n_h * sigma * 1e6) AS BIGINT) AS w FROM sg),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM fp)
+         |SELECT lang, n_h, round(sigma, 6) AS sigma,
+         |  round(CAST(w AS DOUBLE) / t, 6) AS share,
+         |  CAST(round($NeymanBudget * CAST(w AS DOUBLE) / t) AS BIGINT) AS alloc
+         |FROM fp CROSS JOIN tot""".stripMargin,
     "q146_boilerplate" ->
       s"""WITH $boilerGramSql,
          |a AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

@@ -71,6 +71,51 @@ object Dedup {
       .groupBy(md5(normText(col("text"))).as("text_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** q181: duplicate-cluster size spectrum — the histogram of q21's
+    * exact-dup cluster sizes (how many singletons, pairs, k-plicates).
+    * THE first chart a dedup pass is judged by (Lee et al. 2022's
+    * "Deduplicating Training Data" fig. 1 shape): a fat tail here says
+    * boilerplate replication; a spike at one size says a pipeline bug
+    * replayed a batch. Two fingerprint-keyed aggregations — the second
+    * over the CLUSTER table (≤ one row per distinct text); text never
+    * shuffles (q21's md5-fingerprint economics). */
+  def dupSpectrum(spark: SparkSession, dir: String): DataFrame =
+    exact(spark, dir)
+      .select(col("n_dups").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+
+  /** q182: cross-method near-dup agreement audit — precision/recall of
+    * the sketch families (q23 MinHash-LSH, q24 SimHash) against q22's
+    * EXACT Jaccard ≥ 0.5 pair set on the same corpus: the measurement
+    * that calibrates banding/Hamming knobs before a 100 TB run commits
+    * to a sketch (the q23/q24 specs pin per-fixture recall floors; this
+    * op reports the corpus-level operating point). Pair sets are
+    * slivers, so the audit costs three near-dup runs plus sliver-sized
+    * semi-joins; the truth set persists across its three uses. */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardNearDup(spark, dir).select(col("a_id"), col("b_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    def leg(name: String, pairs0: DataFrame): DataFrame = {
+      val pairs = pairs0.select(col("a_id"), col("b_id")).localCheckpoint(true)
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(pairs.join(truth, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(lit(name).as("method"), col("n_pairs"), col("n_hit"))
+    }
+    val out = leg("minhash", minhashLsh(spark, dir))
+      .unionAll(leg("simhash", simhashNearDup(spark, dir)))
+      .crossJoin(broadcast(nTrue))
+      .select(col("method"), col("n_pairs"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_pairs"), 6).as("prec"),
+        round(col("n_hit").cast("double") / col("n_true"), 6).as("rec"))
+      .localCheckpoint(true)
+    truth.unpersist(false)
+    out
+  }
+
   /** Exact-jaccard scoring of a candidate (a_id, b_id) pair set: each
     * doc's shingle set collapses once to a SORTED array of 60-bit
     * md5-derived hashes (one shuffle), candidates join to the two arrays,
@@ -733,7 +778,7 @@ object Dedup {
       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
       |  FROM bitsum GROUP BY doc_id)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "q21_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
@@ -845,5 +890,38 @@ object Dedup {
          |      k -> substr(a.sig, CAST(k AS INT), 1) <> substr(b.sig, CAST(k AS INT), 1))) AS INT) AS hamming
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          |WHERE hamming <= 3""".stripMargin,
+  )
+
+  /** q181/q182 compose the already-stated oracles (nested-CTE
+    * subqueries isolate each method's CTE names), so the audit grades
+    * EXACTLY the declared pair semantics — no restatement to drift. */
+  val oracle: Map[String, String] = baseOracle ++ Map(
+    "q181_dup_spectrum" ->
+      """WITH d AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    count(*) AS cs
+        |  FROM documents GROUP BY 1)
+        |SELECT cs AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(cs) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1""".stripMargin,
+    "q182_dedup_agreement" ->
+      s"""WITH tr AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (${baseOracle("q22_jaccard_neardup")}) x),
+         |m1 AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (${baseOracle("q23_minhash_lsh")}) x),
+         |m2 AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (${baseOracle("q24_simhash_neardup")}) x),
+         |legs AS (
+         |  SELECT 'minhash' AS method,
+         |    (SELECT count(*) FROM m1) AS n_pairs,
+         |    (SELECT count(*) FROM m1 JOIN tr USING (a_id, b_id)) AS n_hit
+         |  UNION ALL
+         |  SELECT 'simhash',
+         |    (SELECT count(*) FROM m2),
+         |    (SELECT count(*) FROM m2 JOIN tr USING (a_id, b_id)))
+         |SELECT method, n_pairs, (SELECT count(*) FROM tr) AS n_true, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_pairs, 6) AS prec,
+         |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM tr), 6) AS rec
+         |FROM legs""".stripMargin,
   )
 }

@@ -631,7 +631,14 @@ object Similarity {
   private[graft] def ivfLevelSizes(k: Int): Seq[Int] = {
     require(k >= 1)
     var d = 2
-    while (d < 6 && (1L << (7 * d)) < k) d += 1
+    // Depth crossover at fanout 2¹⁰ (d = 2 until K > 2²⁰), set by
+    // MEASUREMENT, not the asymptotic model: at sf100 (K = 125 000)
+    // the d = 3 form runs 724 s where d = 2 runs 457 s
+    // (FAMILY_r13c_q155_sf100 vs FAMILY_r12_sf100) — every extra level
+    // re-shuffles the n-row ai-carrying frame through another
+    // groupBy(vec_id), and that Θ(n) stage cost exceeds the Θ(n·√K)
+    // dot savings until √K reaches ~10³ dots/vector. §8.3 r13 note.
+    while (d < 6 && (1L << (10 * d)) < k) d += 1
     def pw(x: Long, e: Int): Long =
       (1 to e).foldLeft(1L)((r, _) => math.min(r * x, 1L << 40))
     var b = 2L
@@ -654,10 +661,15 @@ object Similarity {
     *    best, then descends — at each level scoring only the probed
     *    cells' member nodes — and takes nAssign centroids at the
     *    bottom. Per-vector work ~d·nprobe·K^(1/d) cosines, with depth
-    *    chosen by [[ivfLevelSizes]]'s fanout cap: d = 2 (the bare
-    *    coarse probe) until √K > 128, d = 3 through sf100's
-    *    K = 125 000 — where depth-2's √K = 354 measured 25.4×/decade
-    *    (FAMILY_r12_sf100) — and deeper only past K = 2²¹.
+    *    chosen by [[ivfLevelSizes]]'s MEASURED crossover: d = 2 (the
+    *    bare coarse probe) until K > 2²⁰, d = 3 to 2³⁰. The r13 A/B at
+    *    sf100 (K = 125 000) decided that boundary: d = 3 saves 4× the
+    *    cosines (350 vs 1 416/vector) yet measures 724 s where d = 2
+    *    measures 457 s (FAMILY_r13c vs FAMILY_r12_sf100) — each extra
+    *    level is another shuffle of the n-row vector-carrying frame,
+    *    and that Θ(n) stage cost beats the Θ(n·√K) dot savings until
+    *    √K ~ 10³. The hierarchy is therefore the >10⁷-vector regime's
+    *    tool; at smaller K it deliberately stays flat.
     *
     * Deterministically APPROXIMATE vs the exact-assignment form (a
     * vector whose true nearest cell files under an unprobed coarse

@@ -705,6 +705,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q180 Neyman allocation: exact fixed-point recompute; budget ≈ conserved") {
+    val q = TextAnalysis.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val langOf = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = q.toSeq.groupBy { case (id, _) => langOf(id) }
+    val stats = byLang.view.mapValues { docs =>
+      val fps = docs.map(d => math.round(d._2 * 1e4))
+      val n = fps.length.toLong
+      val (sq, sqq) = (fps.sum, fps.map(f => f * f).sum)
+      val sigma = math.sqrt(math.max(n.toDouble * sqq - sq.toDouble * sq, 0.0)) / n / 1e4
+      (n, sigma, math.round(n * sigma * 1e6))
+    }.toMap
+    val t = stats.values.map(_._3).sum
+    val got = ops.Curation.neymanAllocation(spark, sf).collect()
+    assert(got.length == stats.size)
+    var allocSum = 0L
+    got.foreach { r =>
+      val (n, sigma, w) = stats(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_h") == n)
+      assert(math.abs(r.getAs[Double]("sigma") - sigma) < 1e-6)
+      val share = w.toDouble / t
+      assert(math.abs(r.getAs[Double]("share") - share) < 1e-6)
+      assert(r.getAs[Long]("alloc") == math.round(ops.Curation.NeymanBudget * share))
+      allocSum += r.getAs[Long]("alloc")
+    }
+    // per-stratum independent rounding drifts the total by < |strata|
+    assert(math.abs(allocSum - ops.Curation.NeymanBudget) <= got.length,
+      s"allocated $allocSum of ${ops.Curation.NeymanBudget}")
+  }
+
   test("q175 zipf slope: closed form ≡ naive least squares on the ranked head") {
     val got = TextAnalysis.zipfSlope(spark, sf).collect()
     assert(got.nonEmpty)

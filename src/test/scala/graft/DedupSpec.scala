@@ -169,6 +169,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q181 spectrum: histogram of q21 clusters; doc mass conserved") {
+    val clusters = Dedup.exact(spark, sf).collect().map(_.getAs[Long]("n_dups"))
+    val exp = clusters.groupBy(identity).view
+      .mapValues(g => (g.length.toLong, g.sum)).toMap
+    val got = Dedup.dupSpectrum(spark, sf).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (nc, nd) = exp(r.getAs[Long]("cluster_size"))
+      assert(r.getAs[Long]("n_clusters") == nc && r.getAs[Long]("n_docs") == nd,
+        s"size ${r.getAs[Long]("cluster_size")}")
+    }
+    val total = got.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count(), "doc mass")
+  }
+
+  test("q182 agreement: hits are exact set intersections of the declared pair sets") {
+    def pairSet(df: DataFrame) = df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tr = pairSet(Dedup.jaccardNearDup(spark, sf))
+    val legs = Map(
+      "minhash" -> pairSet(Dedup.minhashLsh(spark, sf)),
+      "simhash" -> pairSet(Dedup.simhashNearDup(spark, sf)))
+    val got = Dedup.dedupAgreement(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(got.keySet == legs.keySet)
+    legs.foreach { case (m, ps) =>
+      val r = got(m)
+      val hit = ps.intersect(tr).size.toLong
+      assert(r.getAs[Long]("n_pairs") == ps.size && r.getAs[Long]("n_true") == tr.size
+        && r.getAs[Long]("n_hit") == hit, s"$m counts")
+      def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("prec") == rd(hit.toDouble / ps.size), s"$m prec")
+      assert(r.getAs[Double]("rec") == rd(hit.toDouble / tr.size), s"$m rec")
+    }
+  }
+
   test("containment catches the quote-absorption case symmetric jaccard misses") {
     import spark.implicits._
     // doc 2 = doc 1's text embedded in a much longer document: high

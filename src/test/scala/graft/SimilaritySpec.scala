@@ -284,31 +284,32 @@ class SimilaritySpec extends SparkSpec {
     * pruned assignment degenerates to the exact one — the KMeansSpec
     * nprobe-covers-everything law, cosine flavor. Pinned at BOTH
     * derived depths: k = 64 (the gate shape, d = 2, levels 64 → 8) and
-    * an explicit k past the 128² fanout-cap boundary (d = 3, a genuine
-    * two-stage descent over the occupied prefix of the 500-vector
-    * corpus); nprobe = k trivially covers every level. */
+    * an explicit k past the 2²⁰ depth-crossover boundary (d = 3, a
+    * genuine two-stage descent over the occupied prefix of the
+    * 500-vector corpus); nprobe ≥ the occupied-cell count (≤ corpus
+    * size) covers every level without a corpus-sized TopKAgg buffer. */
   test("q155 with a covering probe budget equals the exact-assignment q27 form") {
     assert(Similarity.ivfLevelSizes(64) == Seq(8), "gate shape must be depth 2")
     assertSameRows(
       Similarity.embeddingNearDupIvfK(spark, sf, k = 64, nAssign = 2,
         minCos = 0.4, nprobe = 64),
       Similarity.embeddingNearDup(spark, sf, k = 64))
-    assert(Similarity.ivfLevelSizes(16385).length == 2, "law must also run at depth 3")
+    val k3 = (1 << 20) + 1
+    assert(Similarity.ivfLevelSizes(k3).length == 2, "law must also run at depth 3")
     assertSameRows(
-      Similarity.embeddingNearDupIvfK(spark, sf, k = 16385, nAssign = 2,
-        minCos = 0.4, nprobe = 16385),
-      Similarity.embeddingNearDup(spark, sf, k = 16385))
+      Similarity.embeddingNearDupIvfK(spark, sf, k = k3, nAssign = 2,
+        minCos = 0.4, nprobe = 600),
+      Similarity.embeddingNearDup(spark, sf, k = k3))
   }
 
   /** The hierarchy-shape formula behind q155's assignment: depth
-    * d = smallest ≥ 2 with K ≤ 128^d (the fanout cap — an extra level
-    * only pays once the shallower form's fanout exceeds ~128, §8.3 r13
-    * note), branching b = min integer with b^d ≥ K, level i = ⌈K/bⁱ⌉ —
-    * every fanout ≈ K^(1/d) ≤ 128, so per-vector probe work is
-    * O(d·K^(1/d)) (the fix for the depth-2 form's unbounded √K term,
-    * 25.4×/decade at sf100 per FAMILY_r12_sf100, without the
-    * stage-overhead over-deepening the r12 ⌈log₂log₂K⌉ rule showed at
-    * sf1/sf10). */
+    * d = smallest ≥ 2 with K ≤ (2¹⁰)^d — the crossover the r13 sf100
+    * A/B measured (724 s at d = 3 vs 457 s at d = 2 for K = 125 000:
+    * an extra level's Θ(n) re-shuffle of the vector frame outweighs
+    * its dot savings until √K ~ 10³; §8.3 r13 note) — branching b =
+    * min integer with b^d ≥ K, level i = ⌈K/bⁱ⌉, so per-vector probe
+    * work is O(d·K^(1/d)) in the regime where dots actually dominate
+    * and the flat √K probe elsewhere. */
   test("q155 level sizes: auto depth, equal fanout, boundary Ks") {
     import Similarity.ivfLevelSizes
     assert(ivfLevelSizes(16) == Seq(4))              // tiny k: d=2, b=4
@@ -316,12 +317,11 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfLevelSizes(125) == Seq(11))            // sf0.1: K=125, b=12
     assert(ivfLevelSizes(1250) == Seq(35))           // sf1: d=2, b=36
     assert(ivfLevelSizes(12500) == Seq(112))         // sf10: d=2, b=112
-    assert(ivfLevelSizes(16384) == Seq(128))         // d=2 ceiling: b=128
-    assert(ivfLevelSizes(16385) == Seq(631, 25))     // d jumps to 3, b=26
-    assert(ivfLevelSizes(125000) == Seq(2500, 50))   // sf100: d=3, b=50
-    assert(ivfLevelSizes(1 << 21).length == 2)       // d=3 ceiling
-    assert(ivfLevelSizes((1 << 21) + 1).length == 3) // d jumps to 4
-    assert(ivfLevelSizes(Similarity.MaxAutoIvfK).length == 3) // K=2²³: d=4, b=54
+    assert(ivfLevelSizes(125000) == Seq(354))        // sf100: d=2, b=354
+    assert(ivfLevelSizes(1 << 20) == Seq(1024))      // d=2 ceiling: b=1024
+    assert(ivfLevelSizes((1 << 20) + 1).length == 2) // d jumps to 3, b=102
+    assert(ivfLevelSizes(1 << 30).length == 2)       // d=3 ceiling
+    assert(ivfLevelSizes(Similarity.MaxAutoIvfK).length == 2) // K=2²³: d=3, b=204
     // the top level stays ≲ b ≤ 128-ish and every size is ⌈K/bⁱ⌉
     Seq(64, 125, 12500, 125000, Similarity.MaxAutoIvfK).foreach { k =>
       val s = ivfLevelSizes(k)
