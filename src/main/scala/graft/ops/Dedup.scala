@@ -86,6 +86,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"))
 
+  /** q183: cross-source duplication provenance — which sources copy
+    * which: the q23 MinHash near-dup pairs joined to each side's
+    * `source`, rolled up to an unordered source-pair matrix (the
+    * CommonCrawl-style "who mirrors whom" report that decides whether
+    * a source is dropped wholesale before per-doc dedup spends money
+    * on it). Counts are exact; `share` is each cell over the total at
+    * 6 dp. The pair set is a sliver, so the matrix costs q23 plus two
+    * sliver-sized joins against the (doc_id, source) projection. */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true)
+    val tot = pairs.agg(sum(col("n_pairs")).as("t"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("t"), 6).as("share"))
+  }
+
+  /** q184: duplication × quality interaction — mean quality by
+    * exact-dup cluster size bucket: the report that answers "are the
+    * replicated documents the LOW-quality ones?" before choosing
+    * keep-one-per-cluster vs quality-argmax dedup apply. Cluster sizes
+    * come from q21's fingerprint groups (text never shuffles), quality
+    * from the q29 functional quantized to 10⁻⁴ fixed-point longs so
+    * per-bucket means are order-free exact. */
+  def dupQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("text_fp"))
+      .join(exact(spark, dir).select(col("text_fp"), col("n_dups")), "text_fp")
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), expr("CAST(round(quality * 1e4) AS BIGINT)").as("qfp"))
+    sized.join(q, "doc_id")
+      .withColumn("bucket",
+        when(col("n_dups") === 1, "unique")
+          .when(col("n_dups") <= 4, "few").otherwise("many"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("qfp")).cast("double") / count(lit(1)) / 1e4, 6)
+          .as("mean_quality"))
+  }
+
   /** q182: cross-method near-dup agreement audit — precision/recall of
     * the sketch families (q23 MinHash-LSH, q24 SimHash) against q22's
     * EXACT Jaccard ≥ 0.5 pair set on the same corpus: the measurement
@@ -923,5 +969,33 @@ object Dedup {
          |  round(CAST(n_hit AS DOUBLE) / n_pairs, 6) AS prec,
          |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM tr), 6) AS rec
          |FROM legs""".stripMargin,
+    "q183_source_dup_matrix" ->
+      s"""WITH mp AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (${baseOracle("q23_minhash_lsh")}) x),
+         |sp AS (SELECT least(da.source, db.source) AS src_a,
+         |         greatest(da.source, db.source) AS src_b
+         |       FROM mp JOIN documents da ON da.doc_id = mp.a_id
+         |         JOIN documents db ON db.doc_id = mp.b_id),
+         |cells AS (SELECT src_a, src_b, count(*) AS n_pairs FROM sp GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM cells)
+         |SELECT src_a, src_b, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / t, 6) AS share
+         |FROM cells CROSS JOIN tot""".stripMargin,
+    "q184_dup_quality" ->
+      s"""WITH cl AS (
+         |  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |    count(*) AS n_dups
+         |  FROM documents GROUP BY 1),
+         |qq AS (SELECT doc_id, CAST(round(quality * 1e4) AS BIGINT) AS qfp
+         |       FROM (${graft.ops.TextAnalysis.qualitySql}) q),
+         |j AS (SELECT CASE WHEN n_dups = 1 THEN 'unique'
+         |               WHEN n_dups <= 4 THEN 'few' ELSE 'many' END AS bucket, qfp
+         |      FROM documents d
+         |      JOIN cl ON cl.fp =
+         |        md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+         |      JOIN qq ON qq.doc_id = d.doc_id)
+         |SELECT bucket, count(*) AS n_docs,
+         |  round(CAST(sum(qfp) AS DOUBLE) / count(*) / 1e4, 6) AS mean_quality
+         |FROM j GROUP BY bucket""".stripMargin,
   )
 }

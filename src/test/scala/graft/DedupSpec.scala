@@ -205,6 +205,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q183 source matrix: cells equal a recompute from the q23 pairs; shares sum to 1") {
+    val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = Dedup.minhashLsh(spark, sf).select("a_id", "b_id").collect()
+      .map { r =>
+        val (sa, sb) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        (Seq(sa, sb).min, Seq(sa, sb).max)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.sourceDupMatrix(spark, sf).collect()
+    assert(got.length == exp.size && exp.nonEmpty)
+    val total = exp.values.sum
+    got.foreach { r =>
+      val key = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"), s"$key unordered")
+      assert(r.getAs[Long]("n_pairs") == exp(key), s"$key count")
+      val share = BigDecimal(exp(key).toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("share") == share, s"$key share")
+    }
+  }
+
+  test("q184 buckets: mean quality per dup-size bucket equals a direct recompute") {
+    val qfp = ops.TextAnalysis.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e4)).toMap
+    val sizeOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val clSize = sizeOf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val exp = sizeOf.map { case (id, fp) =>
+      val s = clSize(fp)
+      val b = if (s == 1) "unique" else if (s <= 4) "few" else "many"
+      b -> qfp(id)
+    }.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, BigDecimal(g.map(_._2).sum.toDouble / g.length / 1e4)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = Dedup.dupQualityBuckets(spark, sf).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, mq) = exp(r.getAs[String]("bucket"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(math.abs(r.getAs[Double]("mean_quality") - mq) < 1e-9,
+        s"${r.getAs[String]("bucket")}: ${r.getAs[Double]("mean_quality")} vs $mq")
+    }
+  }
+
   test("containment catches the quote-absorption case symmetric jaccard misses") {
     import spark.implicits._
     // doc 2 = doc 1's text embedded in a much longer document: high
