@@ -56,6 +56,18 @@ object TextAnalysis {
         "0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)"))
       .withColumn("low_quality", col("quality") < 0.5)
 
+  /** The q29 quality functional as ONE column over any (text, …) frame
+    * — the q185 streaming rollup computes quality through this exact
+    * expression so batch and stream can never state the formula twice
+    * (TextAnalysisSpec pins ≡ qualityScore's column per doc). */
+  private[graft] def qualityColumnOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(Dedup.normText(col("text")), " "))
+      .withColumn("quality", expr(
+        s"""0.5 * (CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '')) AS DOUBLE) / length(text))
+           | + 0.3 * (CAST(${hits(stopEn)} AS DOUBLE) / size(toks))
+           | + 0.2 * least(CAST(size(toks) AS DOUBLE) / 20.0, 1.0)""".stripMargin))
+      .drop("toks")
+
   /** q142: the Gopher quality-rule suite (Rae et al. 2021, App. A —
     * the industry-standard pre-filter every large corpus build runs,
     * and the named-rule complement to q29's weighted score): per

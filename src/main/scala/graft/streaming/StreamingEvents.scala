@@ -220,6 +220,47 @@ object StreamingEvents {
   }
 
   /** Schema of documents.parquet as the stream source sees it. */
+  /** q185: STREAMING corpus-quality telemetry — per-language doc
+    * counts, mean quality, and low-quality counts maintained as
+    * running stateful-aggregation state over the arriving-documents
+    * stream (complete mode, the q144 register pattern): the live
+    * dashboard a curation pipeline watches during ingest. Quality is
+    * computed MAP-SIDE per batch through the ONE shared q29 expression
+    * ([[graft.ops.TextAnalysis.qualityColumnOf]]); state = one row of
+    * three sums per language — text is discarded at ingest. The
+    * 10⁻⁴ fixed-point quantization makes the fold additive and
+    * order-free, so the final state ≡ the batch rollup under ANY
+    * micro-batching (StreamingSpec pins the law and the half-split
+    * additivity), which is exactly the oracle. The low gate compares
+    * the QUANTIZED score (qfp < 5000), so stream, batch, and oracle
+    * agree bit-for-bit at the 0.5 boundary. */
+  def streamQualityRollup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val name = s"stream_quality_${System.nanoTime()}"
+    val q = qualityFold(docs).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freeze(spark, name)
+  }
+
+  /** The shared q185 fold (batch and streaming frames alike). */
+  private[graft] def qualityFold(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.qualityColumnOf(docs)
+      .select(col("lang"), expr("CAST(round(quality * 1e4) AS BIGINT)").as("qfp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qfp")).as("sq"),
+        sum(when(col("qfp") < 5000L, 1L).otherwise(0L)).as("n_low"))
+      .select(col("lang"), col("n_docs"),
+        round(col("sq").cast("double") / col("n_docs") / 1e4, 6).as("mean_quality"),
+        col("n_low"))
+
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -371,6 +412,16 @@ object StreamingEvents {
 
   /** Oracle: identical to the batch queries — the point. */
   val oracle: Map[String, String] = Map(
+    // q185: the rollup state is three additive fixed-point sums per
+    // language, so the stream's final state equals the batch statement
+    "q185_stream_quality" ->
+      s"""WITH q AS (${graft.ops.TextAnalysis.qualitySql}),
+         |s AS (SELECT lang, CAST(round(quality * 1e4) AS BIGINT) AS qfp
+         |      FROM q JOIN documents USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  round(CAST(sum(qfp) AS DOUBLE) / count(*) / 1e4, 6) AS mean_quality,
+         |  CAST(sum(CASE WHEN qfp < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         |FROM s GROUP BY lang""".stripMargin,
     // q144 ≡ q141: the stream's final state is the batch sketch
     "q144_stream_cms" -> graft.ops.Sketches.oracle("q141_cms_registers"),
     // q158 ≡ q148: the streamed signature store's final state is the

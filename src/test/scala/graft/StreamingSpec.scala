@@ -311,6 +311,41 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("q185 streaming quality rollup equals the batch fold; shared q29 expression") {
+    val streamed = graft.streaming.StreamingEvents.streamQualityRollup(spark, sf)
+    assert(streamed.count() > 0)
+    val batchDocs = Tables.documents(spark, sf)
+    assertSameRows(streamed,
+      graft.streaming.StreamingEvents.qualityFold(batchDocs))
+    // one-definition law: qualityColumnOf ≡ qualityScore's column per doc
+    val viaShared = ops.TextAnalysis.qualityColumnOf(batchDocs)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ops.TextAnalysis.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality")).collect()
+      .foreach(r => assert(viaShared(r.getLong(0)) == r.getDouble(1),
+        s"doc ${r.getLong(0)}: shared quality expression diverged"))
+  }
+
+  test("q185 fold is micro-batch additive: per-file triggers, same final state") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("stream_qual_mb").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val rolled = graft.streaming.StreamingEvents.qualityFold(stream)
+    val name = s"mb_qual_${System.nanoTime()}"
+    val q = rolled.writeStream.outputMode("complete").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the fold must have seen at least two non-empty micro-batches")
+    assertSameRows(spark.table(name),
+      graft.streaming.StreamingEvents.qualityFold(docs))
+  }
+
   test("q166 TTL dedup with delay past the backlog span equals batch distinct") {
     import org.apache.spark.sql.functions._
     // the 3650-day delay exceeds the whole event-time span, so no key
