@@ -116,48 +116,55 @@ object Graph {
     * q97's parity trick): hub orders buy many high-authority parts,
     * authority parts are bought by high-hub orders — the mutual-
     * reinforcement centrality a catalog/crawl pipeline uses where
-    * PageRank's single score conflates the two roles. L1-normalized
-    * power iteration, [[HitsIters]] fixed rounds, top-25 per role.
+    * PageRank's single score conflates the two roles. Power iteration,
+    * [[HitsIters]] fixed rounds, L1 scaling DEFERRED to read-out
+    * (HITS scores are direction only; raw sums stay inside double
+    * range for any realistic degree product), top-25 per role.
     *
     * Scale design (q97's economics doubled): the distinct edge list is
-    * persisted ONCE and feeds every round; each round is two
+    * persisted ONCE and feeds every round; each round is exactly two
     * contribution shuffles (dst-keyed then src-keyed, map-side partial
-    * sums) plus two 1-row normalization broadcasts — no window, no
-    * collect, state = one score row per node. Lineage truncates through
-    * the shared checkpointer every 2 rounds.
+    * sums) — no per-round normalization barrier, no window, no
+    * collect, state = one score row per node. Lineage truncates
+    * through the shared checkpointer every 2 rounds.
     *
     * Oracle design = q97's: the same [[HitsIters]] rounds unrolled as
-    * chained CTEs; scores are O(1/n), so each side reports score × its
-    * node count rounded at 5 dp and ties cut on node id. */
+    * chained CTEs; the read-out normalizes once per side (score/Σ × n,
+    * O(1) values) rounded at 5 dp with ties cut on node id. */
   def hits(spark: SparkSession, dir: String,
-           ckptEvery: Int = 2,
            checkpointer: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val edges = Tables.lineitem(spark, dir)
       .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def l1(scores: DataFrame): DataFrame = {
-      val tot = scores.agg(sum(col("s")).as("t"))
-      scores.crossJoin(broadcast(tot)).select(col("node"), (col("s") / col("t")).as("s"))
-    }
-    // h0 = uniform over hubs; the first contribution pass makes a1
-    var hubs = l1(edges.select(col("src").as("node")).distinct()
+    // Normalization is DEFERRED to read-out: HITS scores are direction
+    // only, per-round L1 scaling exists for numeric range — and raw
+    // sums grow ~ (d_hub·d_auth)^rounds, ≤ ~1e48 at web-scale degrees
+    // over 8 rounds, far inside double range. Skipping it halves the
+    // job count AND removes the within-round double-reference (a
+    // normalizer reads its input twice; un-truncated that re-executes
+    // upstream 4^rounds — the blowup the oracle's MATERIALIZED CTEs
+    // guard against). Lineage still truncates every 2 rounds.
+    var hubs = checkpointer(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("s")))
     var auths: DataFrame = null
     for (i <- 1 to HitsIters) {
-      auths = l1(edges.join(hubs, edges("src") === hubs("node"))
-        .groupBy(col("dst").as("node")).agg(sum(col("s")).as("s")))
-      hubs = l1(edges.join(auths, edges("dst") === auths("node"))
-        .groupBy(col("src").as("node")).agg(sum(col("s")).as("s")))
-      if (i % ckptEvery == 0 && i < HitsIters) {
-        hubs = checkpointer(hubs); auths = checkpointer(auths)
+      auths = edges.join(hubs, edges("src") === hubs("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("s")).as("s"))
+      hubs = edges.join(auths, edges("dst") === auths("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("s")).as("s"))
+      if (i % 2 == 0 && i < HitsIters) {
+        auths = checkpointer(auths); hubs = checkpointer(hubs)
       }
     }
-    def head(scores: DataFrame, kind: String): DataFrame = {
-      val nn = scores.agg(count(lit(1)).as("n"))
-      scores.crossJoin(broadcast(nn))
+    // read-out: one L1 pass per side — score = s/Σs × n (O(1) values,
+    // q97's ×n convention), 5 dp, ties cut on node id
+    def head(scores0: DataFrame, kind: String): DataFrame = {
+      val scores = checkpointer(scores0)
+      val tot = scores.agg(sum(col("s")).as("t"), count(lit(1)).as("n"))
+      scores.crossJoin(broadcast(tot))
         .select(lit(kind).as("kind"), expr("node div 2").as("key"),
-          round(col("s") * col("n"), 5).as("score"), col("node"))
+          round(col("s") / col("t") * col("n"), 5).as("score"), col("node"))
         .orderBy(desc("score"), asc("node")).limit(25)
         .select(col("kind"), col("key"), col("score"))
     }
@@ -230,34 +237,31 @@ object Graph {
          |  FROM r${k - 1} r JOIN edges e ON e.src = r.node JOIN deg ON deg.src = r.node
          |  GROUP BY 1) CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
-    // q176: the same unroll convention, two half-steps per round with an
-    // L1 normalization after each (scalar-subquery totals — the CROSS
-    // JOINable 1-row shape)
-    // MATERIALIZED (DuckDB-only; the oracle never parses in Spark) is
-    // load-bearing: the normalization scalar subquery references each
-    // level twice, and default inlined CTEs would re-execute the whole
-    // chain per reference — 4^iters parquet opens
+    // q176: the same unroll convention, UN-normalized rounds (scaling
+    // deferred to read-out, mirroring the Spark side). MATERIALIZED
+    // (DuckDB-only; the oracle never parses in Spark) is load-bearing:
+    // the read-out references each final level twice, and default
+    // inlined CTEs would re-execute the whole chain per reference.
     val hitsChain = (1 to HitsIters).map { k =>
-      s"""a${k}u AS MATERIALIZED (SELECT e.dst AS node, sum(h.s) AS s
+      s"""a$k AS MATERIALIZED (SELECT e.dst AS node, sum(h.s) AS s
          |  FROM h${k - 1} h JOIN edges e ON e.src = h.node GROUP BY 1),
-         |a$k AS MATERIALIZED (SELECT node, s / (SELECT sum(s) FROM a${k}u) AS s FROM a${k}u),
-         |h${k}u AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS s
-         |  FROM a$k a JOIN edges e ON e.dst = a.node GROUP BY 1),
-         |h$k AS MATERIALIZED (SELECT node, s / (SELECT sum(s) FROM h${k}u) AS s FROM h${k}u)""".stripMargin
+         |h$k AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS s
+         |  FROM a$k a JOIN edges e ON e.dst = a.node GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     Map(
       "q176_hits" ->
         s"""WITH edges AS MATERIALIZED (
            |  SELECT DISTINCT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
-           |h0 AS MATERIALIZED (SELECT src AS node,
-           |         1.0 / (SELECT count(DISTINCT src) FROM edges) AS s
+           |h0 AS MATERIALIZED (SELECT src AS node, 1.0 AS s
            |       FROM (SELECT DISTINCT src FROM edges)),
            |$hitsChain,
            |ho AS (SELECT 'order' AS kind, node // 2 AS key,
-           |         round(s * (SELECT count(*) FROM h$HitsIters), 5) AS score, node
+           |         round(s / (SELECT sum(s) FROM h$HitsIters)
+           |           * (SELECT count(*) FROM h$HitsIters), 5) AS score, node
            |       FROM h$HitsIters ORDER BY score DESC, node LIMIT 25),
            |ao AS (SELECT 'part' AS kind, node // 2 AS key,
-           |         round(s * (SELECT count(*) FROM a$HitsIters), 5) AS score, node
+           |         round(s / (SELECT sum(s) FROM a$HitsIters)
+           |           * (SELECT count(*) FROM a$HitsIters), 5) AS score, node
            |       FROM a$HitsIters ORDER BY score DESC, node LIMIT 25)
            |SELECT kind, key, score FROM ho
            |UNION ALL

@@ -69,17 +69,17 @@ class GraphSpec extends SparkSpec {
       .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val hubsN = edges.map(_._1).distinct
-    def l1(m: Map[Long, Double]) = { val t = m.values.sum; m.view.mapValues(_ / t).toMap }
-    var h = l1(hubsN.map(_ -> 1.0).toMap)
+    // the shipped convention: UN-normalized rounds, one L1 at read-out
+    var h = hubsN.map(_ -> 1.0).toMap
     var a = Map.empty[Long, Double]
     for (_ <- 1 to graft.ops.Graph.HitsIters) {
-      a = l1(edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap)
-      h = l1(edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap)
+      a = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      h = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
     }
-    val na = a.size; val nh = h.size
+    val (ta, th) = (a.values.sum, h.values.sum)
     val brute: Map[(String, Long), Double] =
-      h.map { case (n, s) => ("order", n / 2) -> s * nh } ++
-        a.map { case (n, s) => ("part", n / 2) -> s * na }
+      h.map { case (n, s) => ("order", n / 2) -> s / th * h.size } ++
+        a.map { case (n, s) => ("part", n / 2) -> s / ta * a.size }
     val got = Graph.hits(spark, sf).collect()
     assert(got.length == 50)
     got.groupBy(_.getAs[String]("kind")).foreach { case (kind, rows) =>
