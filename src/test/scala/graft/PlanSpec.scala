@@ -510,4 +510,26 @@ class PlanSpec extends SparkSpec {
     assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
     assert(planOf("merge").contains("SortMergeJoin"))
   }
+
+  test("q172 entropy gate is map-only: no Exchange anywhere in the plan") {
+    val p = plan(q("q172_entropy_gate"))
+    assert(!p.contains("Exchange"), s"entropy gate must not shuffle:\n$p")
+  }
+
+  test("q179 matryoshka mass: prefix norms map-side, one label rollup exchange") {
+    val p = plan(q("q179_matryoshka_mass"))
+    // exactly the per-label aggregation's shuffle — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one exchange (label rollup) expected:\n$p")
+    assert(p.contains("partial"), "rollup must combine map-side")
+    assert(!p.contains("Window"), "no window anywhere")
+  }
+
+  test("q178 label margins: centroids broadcast, no vector-vector join") {
+    val p = plan(q("q178_label_margin"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must never merge-join or cartesian against itself:\n$p")
+  }
 }
