@@ -68,6 +68,39 @@ object TextAnalysis {
            | + 0.2 * least(CAST(size(toks) AS DOUBLE) / 20.0, 1.0)""".stripMargin))
       .drop("toks")
 
+  /** q186: per-source language-mix KL divergence — KL(P_source ‖
+    * P_corpus) over the language distribution, the mix-drift score that
+    * ranks sources by how far their language profile sits from the
+    * corpus (q131's chi-square watches the SAME corpus over time; this
+    * ranks contributors within one snapshot — the CCNet-style "is this
+    * crawl slice representative" gate). Terms are per-(source, lang)
+    * 10⁻⁹ fixed-point longs (≤ |langs| per source, exact-count ratios
+    * in, one deterministic expression out), integer-summed order-free.
+    *
+    * Scale shape: ONE (source, lang)-keyed count with map-side
+    * partials; both margins and the total are aggregations of that
+    * |sources|·|langs|-row sliver; the lang margin broadcasts. Nothing
+    * corpus-sized shuffles twice. */
+  def sourceLangKl(spark: SparkSession, dir: String): DataFrame = {
+    val sl = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      // the sliver feeds three margins — truncate so the corpus
+      // aggregation runs once
+      .localCheckpoint(true)
+    val s = sl.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val l = sl.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val tot = sl.agg(sum(col("c")).as("n"))
+    sl.join(s, "source").join(broadcast(l), "lang").crossJoin(broadcast(tot))
+      .withColumn("fp", expr(
+        """CAST(round((c / CAST(ns AS DOUBLE))
+          |  * ln((c / CAST(ns AS DOUBLE)) / (nl / CAST(n AS DOUBLE)))
+          |  * 1e9) AS BIGINT)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_docs"), sum(col("fp")).as("klfp"))
+      .select(col("source"), col("n_docs"),
+        round(col("klfp").cast("double") / 1e9, 6).as("kl"))
+  }
+
   /** q142: the Gopher quality-rule suite (Rae et al. 2021, App. A —
     * the industry-standard pre-filter every large corpus build runs,
     * and the named-rule complement to q29's weighted score): per
@@ -1207,6 +1240,19 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY a ORDER BY ppmi DESC, b) AS rn
          |  FROM sc)
          |WHERE rn <= 3 AND ppmi > 0.0""".stripMargin,
+    "q186_source_lang_kl" ->
+      """WITH sl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sl GROUP BY 1),
+        |l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM sl GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sl),
+        |t AS (SELECT source, ns,
+        |        CAST(round((c / CAST(ns AS DOUBLE))
+        |          * ln((c / CAST(ns AS DOUBLE)) / (nl / CAST(n AS DOUBLE)))
+        |          * 1e9) AS BIGINT) AS fp
+        |      FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN tot)
+        |SELECT source, ns AS n_docs,
+        |  round(CAST(sum(fp) AS DOUBLE) / 1e9, 6) AS kl
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q174_ngram_diversity" ->
       s"""WITH t AS (
          |  SELECT lang, list_filter($toksSql, x -> x <> '') AS toks FROM documents),

@@ -705,6 +705,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q186 source-lang KL: exact fixed-point recompute; Gibbs non-negativity") {
+    val rows = Tables.documents(spark, sf).select(col("source"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val exp = rows.groupBy(_._1).view.mapValues { docs =>
+      val ns = docs.length
+      val klfp = docs.groupBy(_._2).map { case (lang, g) =>
+        val ps = g.length / ns.toDouble
+        math.round(ps * math.log(ps / (byLang(lang) / n)) * 1e9)
+      }.sum
+      (ns.toLong, BigDecimal(klfp.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = TextAnalysis.sourceLangKl(spark, sf).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (nd, kl) = exp(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(math.abs(r.getAs[Double]("kl") - kl) < 1e-9,
+        s"${r.getAs[String]("source")}: ${r.getAs[Double]("kl")} vs $kl")
+      // Gibbs: KL >= 0 (up to the 1e-9 per-term grid)
+      assert(r.getAs[Double]("kl") >= -1e-6)
+    }
+  }
+
   test("q180 Neyman allocation: exact fixed-point recompute; budget ≈ conserved") {
     val q = TextAnalysis.qualityScore(spark, sf)
       .select(col("doc_id"), col("quality")).collect()
