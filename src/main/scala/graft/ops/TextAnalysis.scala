@@ -431,6 +431,16 @@ object TextAnalysis {
     * emitted 10⁻⁶-fixed-point. vec serializes space-joined (the driver
     * compare rejects array cells). */
   def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    hashVecOf(spark, dir)
+      .select(col("doc_id"),
+        expr("concat_ws(' ', transform(v, x -> CAST(x AS STRING)))").as("vec"),
+        expr("CAST(round(sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("l2_fp"))
+
+  /** The q170 vector construction as a reusable frame — (doc_id, lang,
+    * v: array<bigint>); q187's bitext miner consumes the SAME vectors
+    * so the two can never drift. */
+  private[graft] def hashVecOf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", split(Dedup.normText(col("text")), " "))
       .withColumn("hs", expr(
@@ -443,10 +453,56 @@ object TextAnalysis {
           |  CAST(size(filter(hs, p -> p.d = j AND p.s = 1))
           |     - size(filter(hs, p -> p.d = j AND p.s = -1)) AS BIGINT))"""
           .stripMargin))
-      .select(col("doc_id"),
-        expr("concat_ws(' ', transform(v, x -> CAST(x AS STRING)))").as("vec"),
-        expr("CAST(round(sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1e6) AS BIGINT)")
-          .as("l2_fp"))
+      .select(col("doc_id"), col("lang"), col("v"))
+
+  /** q187: bitext / translation-candidate mining (the margin criterion
+    * of Artetxe & Schwenk 2019 §3.2, simplified to the runner-up
+    * margin) — for every non-English document, the best English
+    * neighbor by hash-embedding cosine within its 16-bit SIGN-LSH
+    * bucket (Charikar 2002's hyperplane family, here the embedding's
+    * own component signs — q76's machinery without extra projections),
+    * margin = best − runner-up (single-candidate buckets keep margin =
+    * cos). On this synthetic corpus cross-language token overlap is
+    * what the cosine sees; the operator SHAPE — cheap doc embedding →
+    * sign-bucket equi-join, cross-side only → bounded top-2 rerank —
+    * is the production parallel-corpus miner.
+    *
+    * Determinism: hash-embed components are exact ints, so dots/norms
+    * are exact and every cosine is one double expression; TopKAgg's
+    * (score desc, id asc) order ≡ the oracle's window order.
+    *
+    * Scale shape: the join key is the 16-bit bucket (≤ 65 536 keys,
+    * hash-partitioned); candidates are bucket-local and cross-side
+    * only; the rerank is a bounded map-side partial aggregation — no
+    * window over corpus rows, no all-pairs. Skewed buckets (near-zero
+    * vectors collapse toward the all-ones bucket) are the q48 salting
+    * candidate if a real corpus concentrates. */
+  def bitextMining(spark: SparkSession, dir: String,
+                   minCos: Double = 0.5): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val w = hashVecOf(spark, dir)
+      .withColumn("n2", expr("dot_long(v, v)"))
+      .filter(col("n2") > 0)
+      .withColumn("bkt", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+          |  (a, j) -> a * 2 + IF(element_at(v, j + 1) >= 0, 1, 0))""".stripMargin))
+    val en = w.filter(col("lang") === "en")
+      .select(col("bkt"), col("doc_id").as("en_id"),
+        col("v").as("en_v"), col("n2").as("en_n2"))
+    val top2 = udaf(new graft.functions.TopKAgg(2))
+    w.filter(col("lang") =!= "en")
+      .join(en, "bkt")
+      .withColumn("cos",
+        expr("dot_long(v, en_v)").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"), top2(col("cos"), col("en_id")).as("top"))
+      .select(col("doc_id").as("t_id"), col("lang"),
+        expr("top[0]._2").as("en_id"),
+        round(expr("top[0]._1"), 6).as("cos"),
+        round(expr("top[0]._1 - coalesce(get(top, 1)._1, CAST(0 AS DOUBLE))"), 6).as("margin"))
+      .filter(col("cos") >= minCos)
+  }
 
   /** Token-entropy quality gate (q172): Shannon entropy of the
     * within-document token distribution — the classic spam/boilerplate
@@ -1240,6 +1296,35 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY a ORDER BY ppmi DESC, b) AS rn
          |  FROM sc)
          |WHERE rn <= 3 AND ppmi > 0.0""".stripMargin,
+    "q187_bitext_mining" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, list_transform($toksSql, t ->
+         |    {'d': CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 16,
+         |     's': CASE WHEN substring(md5(t), 9, 1) < '8' THEN 1 ELSE -1 END}) AS hs
+         |  FROM documents),
+         |vv AS (SELECT doc_id, lang, list_transform(range(0, 16), j ->
+         |        CAST(len(list_filter(hs, p -> p.d = j AND p.s = 1))
+         |           - len(list_filter(hs, p -> p.d = j AND p.s = -1)) AS BIGINT)) AS v
+         |      FROM h),
+         |w AS MATERIALIZED (SELECT doc_id, lang, v,
+         |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
+         |    CAST(list_sum(list_transform(range(0, 16), j ->
+         |      CASE WHEN v[CAST(j + 1 AS INT)] >= 0
+         |        THEN (CAST(1 AS BIGINT) << (15 - CAST(j AS INT))) ELSE 0 END)) AS BIGINT) AS bkt
+         |  FROM vv
+         |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         |pairs AS (SELECT t.doc_id AS t_id, t.lang, e.doc_id AS en_id,
+         |    CAST(CAST(list_sum(list_transform(range(0, 16), i ->
+         |        t.v[CAST(i + 1 AS INT)] * e.v[CAST(i + 1 AS INT)])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))) AS cos
+         |  FROM w t JOIN w e ON t.bkt = e.bkt AND e.lang = 'en' AND t.lang <> 'en'),
+         |rk AS MATERIALIZED (SELECT *,
+         |    row_number() OVER (PARTITION BY t_id ORDER BY cos DESC, en_id) AS rn
+         |  FROM pairs)
+         |SELECT a.t_id, a.lang, a.en_id, round(a.cos, 6) AS cos,
+         |  round(a.cos - coalesce(b.cos, CAST(0 AS DOUBLE)), 6) AS margin
+         |FROM rk a LEFT JOIN rk b ON b.t_id = a.t_id AND b.rn = 2
+         |WHERE a.rn = 1 AND round(a.cos, 6) >= 0.5""".stripMargin,
     "q186_source_lang_kl" ->
       """WITH sl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
         |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sl GROUP BY 1),

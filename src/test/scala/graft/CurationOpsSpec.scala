@@ -705,6 +705,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q187 bitext mining equals a brute-force in-bucket rerank") {
+    val vecs = TextAnalysis.hashVecOf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray))
+      .filter(_._3.map(x => x * x).sum > 0)
+    def bkt(v: Array[Long]) = v.foldLeft(0L)((a, x) => a * 2 + (if (x >= 0) 1 else 0))
+    def cos(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    val en = vecs.filter(_._2 == "en").groupBy(v => bkt(v._3))
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = vecs.filter(_._2 != "en").flatMap { case (tid, lang, v) =>
+      val cands = en.getOrElse(bkt(v), Array.empty)
+        .map { case (eid, _, ev) => (cos(v, ev), eid) }
+        .sortBy { case (c, id) => (-c, id) }
+      cands.headOption.collect {
+        case (c1, e1) if rd(c1) >= 0.5 =>
+          val c2 = cands.drop(1).headOption.map(_._1).getOrElse(0.0)
+          (tid, lang) -> (e1, rd(c1), rd(c1 - c2))
+      }
+    }.toMap
+    val got = TextAnalysis.bitextMining(spark, sf).collect()
+    assert(got.length == exp.size && exp.nonEmpty,
+      s"got ${got.length} vs exp ${exp.size}")
+    got.foreach { r =>
+      val (e1, c1, m) = exp((r.getAs[Long]("t_id"), r.getAs[String]("lang")))
+      assert(r.getAs[Long]("en_id") == e1, s"t ${r.getAs[Long]("t_id")} partner")
+      assert(r.getAs[Double]("cos") == c1 && r.getAs[Double]("margin") == m,
+        s"t ${r.getAs[Long]("t_id")}: ${r.getAs[Double]("cos")}/${r.getAs[Double]("margin")} vs $c1/$m")
+      assert(r.getAs[Double]("margin") >= 0 && r.getAs[Double]("margin") <= r.getAs[Double]("cos") + 1e-9)
+    }
+  }
+
   test("q186 source-lang KL: exact fixed-point recompute; Gibbs non-negativity") {
     val rows = Tables.documents(spark, sf).select(col("source"), col("lang"))
       .collect().map(r => (r.getString(0), r.getString(1)))
