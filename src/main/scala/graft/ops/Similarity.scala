@@ -386,6 +386,56 @@ object Similarity {
     * nAssign cells must score once), verified with the exact integer
     * cosine and kept at ≥ minCos. The join shuffles on the cell id; the
     * vector payload joins back only onto the candidate sliver. */
+  /** The d = 2 probe as one map-side pass: roots and the level-0
+    * filing ride a broadcast (codebook-sized — K + b rows, bounded by
+    * the d = 2 regime's K ≤ 2²⁰), each partition walks its vectors
+    * once, and the output is exactly the (c_id, vec_id) assignment the
+    * relational descent produces: the SAME exact-integer dots, the
+    * SAME cosine expression shape (dot / (√cellN2 · √vecN2)), and the
+    * SAME TopKAgg order (cos DESC, id ASC — `before` is TopKAgg's own
+    * predicate). No row ever materializes per (vector × centroid). */
+  private def broadcastProbe(spark: SparkSession, v: DataFrame,
+                             members: DataFrame, fm: DataFrame,
+                             nprobe: Int, nAssign: Int): DataFrame = {
+    def vecOf(r: org.apache.spark.sql.Row, i: Int): Array[Long] =
+      r.getSeq[Long](i).toArray
+    // roots: occupied level-1 centers; kids: level-0 centroids per root
+    val roots: Array[(Long, Array[Long], Long)] = members
+      .select(col("c_id"), col("c_ai"), col("c_n2")).collect()
+      .map(r => (r.getLong(0), vecOf(r, 1), r.getLong(2)))
+    val kids: Map[Long, Array[(Long, Array[Long], Long)]] = fm
+      .select(col("cell"), col("c_id"), col("c_ai"), col("c_n2")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), vecOf(r, 2), r.getLong(3))))
+      .groupBy(_._1).map { case (c, g) => c -> g.map(_._2) }
+    val rootsB = spark.sparkContext.broadcast(roots)
+    val kidsB = spark.sparkContext.broadcast(kids)
+    val sp = spark
+    import sp.implicits._
+    v.select(col("vec_id"), col("ai"), col("n2"))
+      .as[(Long, Seq[Long], Long)]
+      .mapPartitions { it =>
+        val rs = rootsB.value; val ks = kidsB.value
+        // TopKAgg's exact order: score desc, id asc
+        def before(a: (Double, Long), b: (Double, Long)): Boolean =
+          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        it.flatMap { case (vid, aiSeq, n2) =>
+          val ai = aiSeq.toArray
+          def cos(c: (Long, Array[Long], Long)): Double = {
+            var d = 0L; var i = 0
+            while (i < ai.length) { d += ai(i) * c._2(i); i += 1 }
+            d.toDouble / (math.sqrt(c._3.toDouble) * math.sqrt(n2.toDouble))
+          }
+          val probed = rs.map(r => (cos(r), r._1))
+            .sortWith(before).take(nprobe)
+          probed.flatMap(p => ks(p._2))
+            .map(c => (cos(c), c._1))
+            .sortWith(before).take(nAssign)
+            .map { case (_, cid) => (cid, vid) }
+        }
+      }
+      .toDF("c_id", "vec_id")
+  }
+
   private def cellPairs(cells: DataFrame, v: DataFrame, minCos: Double): DataFrame = {
     val cand = cells.as("x").join(cells.as("y"), "c_id")
       .filter(col("x.vec_id") < col("y.vec_id"))
@@ -735,12 +785,26 @@ object Similarity {
           col("cc_n2").as("c_n2"))
       fm
     }
-    // PROBE pass, top-down: rank ALL occupied top-level cells (there
-    // are ~b of them), keep nprobe; at each lower level score only the
-    // probed cells' member nodes (broadcast filing keyed by cell) and
-    // keep nprobe — nAssign at the bottom. Bounded TopKAgg with
-    // map-side partials at every step; ties (score DESC, cell ASC) ≡
-    // the oracle's window order.
+    // PROBE pass. At d = 2 (every K ≤ 2²⁰ per [[ivfLevelSizes]]) the
+    // whole two-level codebook fits the §8.1 broadcastability budget
+    // (≤ ~0.5 GB of 64-long vectors), and the r13 measurements showed
+    // the relational probe's cost is NOT the cosines but the
+    // crossJoin/TopKAgg ROW MATERIALIZATION — Θ(n·√K·nprobe) rows
+    // through exchange machinery (457 s at sf100) for arithmetic worth
+    // single-digit seconds. So the d = 2 probe runs as ONE
+    // mapPartitions over the broadcast codebook (the sanctioned
+    // last-resort shape, used exactly because the declarative form's
+    // constant factor is the bottleneck): per vector, b root cosines →
+    // top-nprobe → the probed cells' member centroids → top-nAssign —
+    // identical arithmetic (exact-int dots, the same double expression
+    // shapes) and identical (cos DESC, id ASC) tie rule as the TopKAgg
+    // path, so the oracle and every spec law are untouched. Deeper
+    // hierarchies (K > 2²⁰ — codebooks past the broadcast budget) keep
+    // the relational descent below.
+    if (sizes.length == 1) {
+      val cells = broadcastProbe(spark, v, members, filings.head, nprobe, nAssign)
+      return cellPairs(cells, v, minCos)
+    }
     val topRoot = members.select(col("c_id").as("cell"),
       col("c_ai").as("cc_ai"), col("c_n2").as("cc_n2"))
     val topProbe = udaf(new graft.functions.TopKAgg(nprobe))
