@@ -437,20 +437,31 @@ object Similarity {
   }
 
   private def cellPairs(cells: DataFrame, v: DataFrame, minCos: Double): DataFrame = {
-    val cand = cells.as("x").join(cells.as("y"), "c_id")
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
-    cand
-      .join(v.select(col("vec_id").as("a_id"), col("ai").as("q_ai"),
-        col("n2").as("a_n2")), "a_id")
-      .join(v.select(col("vec_id").as("b_id"), col("ai"),
-        col("n2").as("b_n2")), "b_id")
+    // Payloads ride INTO the cell self-join (one n·nAssign-row join
+    // against v) and every candidate scores IN PLACE as the join
+    // enumerates it, so the ≥ τ filter runs before anything about the
+    // candidate set ever shuffles: the r13e profile showed the old
+    // shape's cost was candidate-set movement — a Θ(Σ_cells k²)-row
+    // DISTINCT plus two joins of that set back to v — for pairs whose
+    // score is computable right where they are born. A pair shared by
+    // two cells scores identically in each (same exact-int dot, same
+    // expression), so the final DISTINCT dedups on the emitted MATCH
+    // sliver only. Output set is identical to the score-after-distinct
+    // form by construction.
+    val cvA = cells.join(v.select(col("vec_id"), col("ai"), col("n2")), "vec_id")
+      .select(col("c_id"), col("vec_id").as("a_id"),
+        col("ai").as("q_ai"), col("n2").as("a_n2"))
+    val cvB = cells.join(v.select(col("vec_id"), col("ai"), col("n2")), "vec_id")
+      .select(col("c_id"), col("vec_id").as("b_id"),
+        col("ai"), col("n2").as("b_n2"))
+    cvA.join(cvB, "c_id")
+      .filter(col("a_id") < col("b_id"))
       .withColumn("cos",
         expr(dotExpr).cast("double") /
           (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))))
       .filter(col("cos") >= minCos)
       .select(col("a_id"), col("b_id"), col("cos"))
+      .distinct()
   }
 
   /** Per-label centroid accumulation: element-wise sum of the integer-
