@@ -334,16 +334,22 @@ class PlanSpec extends SparkSpec {
       s"the pair join must be an equi join keyed on cluster only:\n$p")
   }
 
-  test("q155 pruned near-dup: broadcast scoring stages, no window, cell-keyed pair join") {
+  test("q155 pruned near-dup: map-side probe, no window, cell-keyed pair join") {
     val p = plan(q("q155_embedding_neardup_ivf"))
     assert(!p.contains("Window"),
-      s"probe/assign must be bounded TopKAgg partials, not row_number windows:\n$p")
+      s"probe/assign must never be row_number windows:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"coarse/fine candidate sets must broadcast, not go cartesian:\n$p")
-    assert(p.contains("partial"),
-      "the top-k buffers must combine map-side before any shuffle")
+    // r13e: the d=2 probe is ONE object-mapped pass over the broadcast
+    // codebook — no per-(vector×centroid) row ever materializes
+    assert(p.contains("MapPartitions"),
+      s"the d=2 assignment must run as a broadcast-codebook map pass:\n$p")
     assert(p.contains("hashpartitioning(c_id") || p.contains("BroadcastHashJoin [c_id"),
       s"the pair join must be an equi join keyed on the cell id only:\n$p")
+    // r13f: the candidate set itself never DISTINCTs — dedup runs on
+    // the scored >= tau sliver (keys include the cosine)
+    assert(p.contains("knownfloatingpointnormalized"),
+      s"distinct must run on the scored match sliver, not raw candidates:\n$p")
   }
 
   test("q156 unigram train: Viterbi is a map-side fold — no window, no cartesian") {
