@@ -140,11 +140,25 @@ object Graph {
     // Normalization is DEFERRED to read-out: HITS scores are direction
     // only, per-round L1 scaling exists for numeric range — and raw
     // sums grow ~ (d_hub·d_auth)^rounds, ≤ ~1e48 at web-scale degrees
-    // over 8 rounds, far inside double range. Skipping it halves the
+    // over 8 rounds, far inside double RANGE. Skipping it halves the
     // job count AND removes the within-round double-reference (a
     // normalizer reads its input twice; un-truncated that re-executes
     // upstream 4^rounds — the blowup the oracle's MATERIALIZED CTEs
     // guard against). Lineage still truncates every 2 rounds.
+    //
+    // EXACTNESS bound (tighter than range): seeds are 1.0, so every
+    // round's sums are INTEGER-valued, and Spark's partition-order
+    // partial sums agree bit-for-bit with DuckDB's serial sums only
+    // while every intermediate stays ≤ 2^53 (exactly-representable
+    // integers commute). (d_hub·d_auth)^rounds crosses 2^53 around
+    // degree products ≳ 100 over 8 rounds — at such scales the
+    // 5-dp-rounded top-25 can flip on summation order, against the
+    // repo's order-free-summation convention (q172/q175 idiom). The
+    // deployment fix is a power-of-two rescale at each checkpoint
+    // (divide both sides by 2^⌈log₂ max⌉ — exact in binary, preserves
+    // direction); not wired here because the gate graph's degree
+    // products keep all 8 rounds ≤ 2^53 — revisit with the rescale if
+    // the corpus's degree product grows past ~100.
     var hubs = checkpointer(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("s")))
     var auths: DataFrame = null

@@ -490,33 +490,47 @@ object Scoring {
     * exact integer counts — both engines evaluate the identical tree).
     * Self-scoring over the training corpus means every scored bigram
     * has c ≥ 1; the continuation term still redistributes mass exactly
-    * as at inference. xent = avg(−ln p) per doc, 6-dp (q95's shape).
+    * as at inference. xent = Σ c_d·(−ln p) / Σ c_d per doc (the
+    * occurrence-weighted mean — identical to q95's avg over
+    * occurrences, computed over TYPES), 6-dp.
     *
-    * Scale shape = q95's: four count aggregates keyed on bigram/token
-    * (map-side partials), the type-total as a 1-row broadcast, then
-    * per-doc aggregation — no window, no cartesian, nothing beyond
-    * token-keyed shuffles at any corpus size. */
+    * Scale shape (the r13 verdict's de-skew): the per-occurrence
+    * bigram stream collapses FIRST to per-doc TYPE counts keyed on
+    * 16-byte md5 hashes (one partial-aggregated shuffle; "the"-bigram
+    * occurrences never pile onto one reducer, and no raw text ever
+    * shuffles — the q133 idiom). Every KN count (c, c(u), N1+(u,·),
+    * N1+(·,w), |types|) is a function of the bigram TYPE alone, so p
+    * is assembled on the vocabulary-sized TYPE sliver and rides ONE
+    * equi-join back onto the doc-type stream — versus r13's four
+    * consecutive corpus-stream joins on Zipf-skewed token keys
+    * (measured 11.3×/decade at sf100; this shape re-measured in
+    * FAMILY_r14). */
   def knXent(spark: SparkSession, dir: String): DataFrame = {
-    val big = bigramsOf(spark, dir).select(col("doc_id"), col("bg"),
-      split(col("bg"), " ").getItem(0).as("u"),
-      split(col("bg"), " ").getItem(1).as("w"))
-    val cnt = big.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-    val cu = big.groupBy(col("u")).agg(count(lit(1)).as("cu"))
-    val typ = cnt.select(col("bg"),
-      split(col("bg"), " ").getItem(0).as("u"),
-      split(col("bg"), " ").getItem(1).as("w"))
-    val fol = typ.groupBy(col("u")).agg(count(lit(1)).as("fol"))
-    val pre = typ.groupBy(col("w")).agg(count(lit(1)).as("pre"))
+    val big = bigramsOf(spark, dir).select(col("doc_id"),
+      unhex(md5(col("bg"))).as("bgh"),
+      unhex(md5(split(col("bg"), " ").getItem(0))).as("uh"),
+      unhex(md5(split(col("bg"), " ").getItem(1))).as("wh"))
+    val docbg = big.groupBy(col("doc_id"), col("bgh"), col("uh"), col("wh"))
+      .agg(count(lit(1)).as("cd"))
+    // bgh determines (uh, wh): grouping by all three keeps the type's
+    // token keys without a second pass over the text
+    val cnt = docbg.groupBy(col("bgh"), col("uh"), col("wh"))
+      .agg(sum(col("cd")).as("c"))
+    val cu = docbg.groupBy(col("uh")).agg(sum(col("cd")).as("cu"))
+    val fol = cnt.groupBy(col("uh")).agg(count(lit(1)).as("fol"))
+    val pre = cnt.groupBy(col("wh")).agg(count(lit(1)).as("pre"))
     val nbt = cnt.agg(count(lit(1)).as("nbt"))
-    big.join(cnt, "bg").join(cu, "u").join(fol, "u").join(pre, "w")
+    val tp = cnt.join(cu, "uh").join(fol, "uh").join(pre, "wh")
       .crossJoin(broadcast(nbt))
-      .withColumn("p",
-        greatest(col("c") - lit(0.75), lit(0.0)) / col("cu") +
+      .select(col("bgh"),
+        (greatest(col("c") - lit(0.75), lit(0.0)) / col("cu") +
           lit(0.75) * col("fol") / col("cu") *
-            (col("pre").cast("double") / col("nbt")))
+            (col("pre").cast("double") / col("nbt"))).as("p"))
+    docbg.join(tp, "bgh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log(col("p"))), 6).as("xent_kn"))
+      .agg(sum(col("cd")).as("n_bigrams"),
+        round(sum(col("cd") * -log(col("p"))) /
+          sum(col("cd")).cast("double"), 6).as("xent_kn"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -547,23 +561,31 @@ object Scoring {
          |      + coalesce(CAST(1 AS DOUBLE)/(rc + $RrfK), 0), 6) AS rrf
          |FROM bmleg FULL OUTER JOIN cosleg USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT $FusionTopN""".stripMargin,
+    // q171: the oracle replays the de-skewed shape — per-doc TYPE
+    // collapse on md5 keys, type-level p, one join back — so the
+    // Σ c_d·(−ln p)/Σ c_d weighting matches term for term.
     "q171_kn_xent" ->
       s"""WITH big AS ($bigramSql),
-         |cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY 1),
-         |uc AS (SELECT split_part(bg, ' ', 1) AS u, count(*) AS cu FROM big GROUP BY 1),
-         |fol AS (SELECT split_part(bg, ' ', 1) AS u, count(*) AS fol FROM cnt GROUP BY 1),
-         |pre AS (SELECT split_part(bg, ' ', 2) AS w, count(*) AS pre FROM cnt GROUP BY 1),
-         |nbt AS (SELECT count(*) AS nbt FROM cnt)
-         |SELECT b.doc_id, count(*) AS n_bigrams,
-         |  round(avg(-ln(
-         |    greatest(c - 0.75, 0.0) / cu
-         |      + 0.75 * fol / cu * (CAST(pre AS DOUBLE) / nbt))), 6) AS xent_kn
-         |FROM big b JOIN cnt ON cnt.bg = b.bg
-         |JOIN uc ON uc.u = split_part(b.bg, ' ', 1)
-         |JOIN fol ON fol.u = split_part(b.bg, ' ', 1)
-         |JOIN pre ON pre.w = split_part(b.bg, ' ', 2)
-         |CROSS JOIN nbt
-         |GROUP BY b.doc_id""".stripMargin,
+         |bh AS (SELECT doc_id, unhex(md5(bg)) AS bgh,
+         |         unhex(md5(split_part(bg, ' ', 1))) AS uh,
+         |         unhex(md5(split_part(bg, ' ', 2))) AS wh FROM big),
+         |docbg AS (SELECT doc_id, bgh, uh, wh, count(*) AS cd
+         |          FROM bh GROUP BY 1, 2, 3, 4),
+         |cnt AS (SELECT bgh, uh, wh, CAST(sum(cd) AS BIGINT) AS c
+         |        FROM docbg GROUP BY 1, 2, 3),
+         |cu AS (SELECT uh, CAST(sum(cd) AS BIGINT) AS cu FROM docbg GROUP BY 1),
+         |fol AS (SELECT uh, count(*) AS fol FROM cnt GROUP BY 1),
+         |pre AS (SELECT wh, count(*) AS pre FROM cnt GROUP BY 1),
+         |nbt AS (SELECT count(*) AS nbt FROM cnt),
+         |tp AS (SELECT cnt.bgh,
+         |         greatest(c - 0.75, 0.0) / cu
+         |           + 0.75 * fol / cu * (CAST(pre AS DOUBLE) / nbt) AS p
+         |       FROM cnt JOIN cu USING (uh) JOIN fol USING (uh)
+         |       JOIN pre USING (wh) CROSS JOIN nbt)
+         |SELECT d.doc_id, CAST(sum(cd) AS BIGINT) AS n_bigrams,
+         |  round(sum(cd * -ln(p)) / CAST(sum(cd) AS DOUBLE), 6) AS xent_kn
+         |FROM docbg d JOIN tp USING (bgh)
+         |GROUP BY 1""".stripMargin,
     "q95_lm_xent" ->
       s"""WITH big AS ($bigramSql),
          |toks AS (

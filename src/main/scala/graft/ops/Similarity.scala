@@ -198,7 +198,7 @@ object Similarity {
     * computed driver-side (no Spark action), reproduced bit-identically
     * by the oracle's SQL md5, so the whole LSH pipeline is
     * oracle-checkable like the md5 MinHash signatures of q23. */
-  private def planeCoefs(p: Int): Seq[Int] = {
+  private[graft] def planeCoefs(p: Int): Seq[Int] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until 64).map { i =>
       md.reset()
@@ -403,8 +403,17 @@ object Similarity {
     val roots: Array[(Long, Array[Long], Long)] = members
       .select(col("c_id"), col("c_ai"), col("c_n2")).collect()
       .map(r => (r.getLong(0), vecOf(r, 1), r.getLong(2)))
-    val kids: Map[Long, Array[(Long, Array[Long], Long)]] = fm
+    val kidRows = fm
       .select(col("cell"), col("c_id"), col("c_ai"), col("c_n2")).collect()
+    // the collected codebook is bounded by the d = 2 regime
+    // (ivfLevelSizes keeps this path to K ≤ 2²⁰ ≈ 0.5 GB of 64-long
+    // rows) — assert it instead of trusting the comment, so a future
+    // depth-rule change fails loudly here rather than OOMing the driver
+    require(kidRows.length <= (1 << 20) && roots.length <= (1 << 20),
+      s"broadcastProbe codebook has ${kidRows.length} level-0 rows / " +
+        s"${roots.length} roots — beyond the d = 2 broadcast regime " +
+        "(K <= 2^20); the caller must shard or pass an explicit smaller k")
+    val kids: Map[Long, Array[(Long, Array[Long], Long)]] = kidRows
       .map(r => (r.getLong(0), (r.getLong(1), vecOf(r, 2), r.getLong(3))))
       .groupBy(_._1).map { case (c, g) => c -> g.map(_._2) }
     val rootsB = spark.sparkContext.broadcast(roots)
@@ -667,28 +676,30 @@ object Similarity {
     * (SURVEY §8.3's "each level √ the one below", generalized to the
     * equal-fanout form that actually bounds per-vector work):
     *
-    *  - depth d = the smallest d ≥ 2 with K ≤ 128^d (= 2^(7d) —
-    *    integer-only, engine-portable, d ≤ 5 for any Int K). The 128
-    *    FANOUT CAP is the measured stage-cost tradeoff: every extra
-    *    level costs a fixed filing + descent stage (~2 Spark jobs), so
-    *    depth must grow only once the depth-(d−1) fanout K^(1/(d−1))
-    *    exceeds the point where those stages repay their cost in saved
-    *    cosines. The r12 rule d = ⌈log₂log₂K⌉ over-deepened at small K
-    *    (d = 4 at K = 12 500, 110 cosines/vector across FIVE chained
-    *    stages) and measured 20.9 s / 99.8 s at sf1/sf10 where the
-    *    depth-2 form runs 3.1 s / 18.0 s (§8.3 r13 note) — stage
-    *    overhead dominated everything the extra levels saved.
+    *  - depth d = the smallest d ≥ 2 with K ≤ 2^(10·d) (integer-only,
+    *    engine-portable, capped at d = 5): d = 2 through K = 2²⁰,
+    *    d = 3 to 2³⁰. The 2¹⁰ FANOUT CAP is the measured stage-cost
+    *    tradeoff: every extra level costs a fixed filing + descent
+    *    stage (~2 Spark jobs) plus another shuffle of the n-row
+    *    vector-carrying frame, so depth must grow only once the
+    *    depth-(d−1) fanout K^(1/(d−1)) exceeds the point where those
+    *    stages repay their cost in saved cosines — the r13 A/B at
+    *    sf100 (K = 125 000) put that point past √K ≈ 10³ (d = 3
+    *    measured 724 s where d = 2 measures 457 s, FAMILY_r13c vs
+    *    FAMILY_r12_sf100). The r12 rule d = ⌈log₂log₂K⌉ over-deepened
+    *    at small K (d = 4 at K = 12 500, 110 cosines/vector across
+    *    FIVE chained stages) and measured 20.9 s / 99.8 s at sf1/sf10
+    *    where the depth-2 form runs 3.1 s / 18.0 s (§8.3 r13 note).
     *  - branching b = the smallest integer with b^d ≥ K (integer
     *    scan — engine-portable, no float pow).
     *  - level i (above the K centroids at level 0) holds the
     *    ⌈K/bⁱ⌉-prefix of the SAME md5 centroid order, i = 1..d-1.
     *
-    * Per-vector probe cost ~b + (d-1)·nprobe·b = O(d·K^(1/d)), with
-    * d = 2 (the r12 shape, √K ≤ 128 cosines) up to K = 16 384, d = 3
-    * (K^(1/3) ≤ 128) up to K = 2²¹ — covering sf100's K = 125 000 with
-    * b = 50, the point where depth-2's √K = 354 measured 25.4×/decade
-    * (FAMILY_r12_sf100) — and d = 4 through [[MaxAutoIvfK]]. At the
-    * gate corpus (K = 64): d = 2, b = 8, levels 64 → 8. */
+    * Per-vector probe cost ~b + (d-1)·nprobe·b = O(d·K^(1/d)): sf100's
+    * K = 125 000 stays d = 2 (b = 354, by the measurement above);
+    * d = 3 first engages past K = 2²⁰, covering [[MaxAutoIvfK]] = 2²³
+    * with b = 204. At the gate corpus (K = 64): d = 2, b = 8,
+    * levels 64 → 8. */
   private[graft] def ivfLevelSizes(k: Int): Seq[Int] = {
     require(k >= 1)
     var d = 2
@@ -1058,11 +1069,13 @@ object Similarity {
 
   /** The q155 oracle's WITH body, ending in CTE `ivfpairs` (a_id <
     * b_id, cos ≥ τ) — shared by q159's apply chain. Replays the
-    * [[ivfLevelSizes]] depth-2 hierarchy UNROLLED (valid while
-    * K ≤ 128² = 16 384 ⇔ n ≤ 262 144, which covers the sf0.01 gate
-    * corpus at K = 64 → b = 8, one coarse level of 8; the Spark side
-    * derives the same depth from the same integer fanout-cap formula,
-    * so the chains agree).
+    * [[ivfLevelSizes]] depth-2 hierarchy UNROLLED (valid through the
+    * full d = 2 regime, K ≤ 2²⁰ ⇔ n ≤ 16·2²⁰ ≈ 1.7e7 — far past the
+    * sf0.01 gate corpus at K = 64 → b = 8, one coarse level of 8; the
+    * Spark side derives the same depth from the same integer
+    * fanout-cap formula, so the chains agree; the bSql range scan caps
+    * at b = 4096 ⇔ K ≤ 2²⁴, still above the whole regime's ceiling
+    * [[MaxAutoIvfK]] = 2²³).
     * The branching b is the smallest integer with b² ≥ K — an integer
     * range scan, engine-portable where a float pow() would not be.
     * CTEs are MATERIALIZED: each is referenced more than once and

@@ -357,6 +357,14 @@ object TextAnalysis {
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      // Known 1-ulp exposure (ADVICE r13, accepted): pow is not a
+      // correctly-rounded libm call, so the round() here IS the
+      // fixed-point snap rather than a guard — a cross-engine 1-ulp
+      // pow difference landing exactly on a .5e-6 grid midpoint would
+      // shift w_fp by 1 (the tfidf ln() note's failure mode). The flip
+      // probability is ~1e-16 per lang per round and the hash gate
+      // would catch it loudly; an integer-only c^0.3 approximation is
+      // the upgrade if it ever trips.
       .withColumn("w_fp",
         round(pow(col("n_docs").cast("double"), lit(0.3)) * 1e6).cast("long"))
     val tot = perLang.agg(sum(col("w_fp")).as("w_tot"), sum(col("n_docs")).as("n_tot"))
@@ -455,53 +463,152 @@ object TextAnalysis {
           .stripMargin))
       .select(col("doc_id"), col("lang"), col("v"))
 
-  /** q187: bitext / translation-candidate mining (the margin criterion
-    * of Artetxe & Schwenk 2019 §3.2, simplified to the runner-up
-    * margin) — for every non-English document, the best English
-    * neighbor by hash-embedding cosine within its 16-bit SIGN-LSH
-    * bucket (Charikar 2002's hyperplane family, here the embedding's
-    * own component signs — q76's machinery without extra projections),
-    * margin = best − runner-up (single-candidate buckets keep margin =
-    * cos). On this synthetic corpus cross-language token overlap is
-    * what the cosine sees; the operator SHAPE — cheap doc embedding →
-    * sign-bucket equi-join, cross-side only → bounded top-2 rerank —
-    * is the production parallel-corpus miner.
+  /** q187 banding knobs. [[BitextBands]] band slices of
+    * [[bitextBandBits]]-bit mean-centered hyperplane signs each; a band
+    * bucket's English population is capped at [[BitextBucketCap]]
+    * (deterministic md5 thinning — a documented recall trade on
+    * pathological hot buckets, never a work blowup). */
+  private[graft] val BitextBands = 4
+  private[graft] val BitextMinBandBits = 8
+  private[graft] val BitextMaxBandBits = 20
+  private[graft] val BitextBucketCap = 256
+
+  /** Band width as a function of corpus size: the smallest r in
+    * [8, 20] with 2^(r+1) ≥ n — integer-only (the oracle mirrors it as
+    * an integer scan, no cross-engine log2 rounding). With the
+    * mean-centered signs measured ≈ fair coins, expected English docs
+    * per (band, bucket) stays O(1), so candidate pair work is
+    * Θ(n · bands · (r + 1) · bucketload) — linear per decade — instead
+    * of the Θ(n²/buckets) a FIXED bucket space degrades to. */
+  private[graft] def bitextBandBits(n: Long): Int =
+    (BitextMinBandBits to BitextMaxBandBits)
+      .find(r => (2L << r) >= n)
+      .getOrElse(BitextMaxBandBits)
+
+  /** The banded signature/bucket frames + candidate join + rerank as
+    * ONE lazy plan over a caller-supplied `w` — split out so PlanSpec
+    * can audit the physical shape (the public [[bitextMining]] runs the
+    * same plan over a persisted `w` and checkpoints the tiny result,
+    * which hides the interior from EXPLAIN — the q87 lifecycle).
     *
-    * Determinism: hash-embed components are exact ints, so dots/norms
-    * are exact and every cosine is one double expression; TopKAgg's
-    * (score desc, id asc) order ≡ the oracle's window order.
-    *
-    * Scale shape: the join key is the 16-bit bucket (≤ 65 536 keys,
-    * hash-partitioned); candidates are bucket-local and cross-side
-    * only; the rerank is a bounded map-side partial aggregation — no
-    * window over corpus rows, no all-pairs. Skewed buckets (near-zero
-    * vectors collapse toward the all-ones bucket) are the q48 salting
-    * candidate if a real corpus concentrates. */
-  def bitextMining(spark: SparkSession, dir: String,
-                   minCos: Double = 0.5): DataFrame = {
+    * Centering: raw sign(v·h) bits are useless on natural corpora —
+    * every doc shares the common-token direction, so bit bias measured
+    * 0.9+ and buckets collapsed. Bits here are sign(n·(v·h) − S·h)
+    * with S = Σ_docs v: the hyperplane passes through the corpus MEAN
+    * (n·(v·h) − S·h = n·(v − μ)·h exactly, all in BIGINT — no float
+    * mean, so both engines agree bit-for-bit); measured bias 0.43–0.57
+    * on every plane. S/n ride a 1-row broadcast. */
+  private[graft] def bitextPlan(spark: SparkSession, w: DataFrame,
+                                r: Int, minCos: Double): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val w = hashVecOf(spark, dir)
-      .withColumn("n2", expr("dot_long(v, v)"))
-      .filter(col("n2") > 0)
-      .withColumn("bkt", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
-          |  (a, j) -> a * 2 + IF(element_at(v, j + 1) >= 0, 1, 0))""".stripMargin))
-    val en = w.filter(col("lang") === "en")
-      .select(col("bkt"), col("doc_id").as("en_id"),
-        col("v").as("en_v"), col("n2").as("en_n2"))
+    val bands = BitextBands
+    // corpus moment for centering: one 1-row aggregate, broadcast back
+    val stats = w.agg(count(lit(1)).as("nn"),
+      array((0 until 16).map(i => sum(col("v").getItem(i))): _*).as("s"))
+    val wc = w.crossJoin(broadcast(stats))
+    // per-band integer bucket value: r centered sign bits, each one
+    // codegen'd dot_long pair against a literal ±1 array (the q76
+    // md5-derived hyperplanes, first 16 of 64 coefficients — the
+    // hash-embed space is 16-dim), packed big-endian into a BIGINT
+    def bandVal(b: Int): org.apache.spark.sql.Column =
+      (0 until r).map { j =>
+        val arr = graft.ops.Similarity.planeCoefs(b * r + j).take(16)
+          .map(c => s"${c}L").mkString(",")
+        when(col("nn") * expr(s"dot_long(v, array($arr))")
+          - expr(s"dot_long(s, array($arr))") >= 0, lit(1L << (r - 1 - j)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bandVal(b).as("bv")))
+    val en = wc.filter(col("lang") === "en")
+      .select(col("doc_id").as("en_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("en_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // deterministic population cap: a bucket with cb ≤ cap keeps every
+    // English doc (x % cb < cb ≤ cap); a hot bucket keeps the ≈cap docs
+    // whose md5 residue lands under the cap — bounded pair work with a
+    // documented recall effect, never a single-task skew straggler
+    val encnt = en.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("cb"))
+    val enCap = en.join(encnt, Seq("band", "bv"))
+      .filter(expr(
+        s"""CAST(conv(substring(md5(concat_ws(':',
+           |  CAST(en_id AS STRING), CAST(band AS STRING))), 1, 8), 16, 10)
+           |  AS BIGINT) % cb < $BitextBucketCap""".stripMargin))
+      .select(col("en_id"), col("band"), col("bv"))
+    val tb0 = wc.filter(col("lang") =!= "en")
+      .select(col("doc_id").as("t_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("t_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // 1-bit multiprobe on the query side only (q76's recall lever: a
+    // translation one hyperplane-sign away still collides) — integer
+    // XOR flips, so probe keys stay 8-byte longs in the shuffle
+    val flips = (0 until r).map(j => expr(s"bv ^ ${1L << j}"))
+    val tb = tb0.select(col("t_id"), col("band"),
+      explode(array(col("bv") +: flips: _*)).as("bv"))
+    val cand = tb.join(enCap, Seq("band", "bv"))
+      .select(col("t_id"), col("en_id")).distinct()
+    val tv = w.select(col("doc_id").as("t_id"), col("lang"),
+      col("v").as("t_v"), col("n2").as("t_n2"))
+    val ev = w.select(col("doc_id").as("en_id"),
+      col("v").as("en_v"), col("n2").as("en_n2"))
     val top2 = udaf(new graft.functions.TopKAgg(2))
-    w.filter(col("lang") =!= "en")
-      .join(en, "bkt")
+    cand.join(tv, "t_id").join(ev, "en_id")
       .withColumn("cos",
-        expr("dot_long(v, en_v)").cast("double") /
-          (sqrt(col("n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
-      .groupBy(col("doc_id"))
+        expr("dot_long(t_v, en_v)").cast("double") /
+          (sqrt(col("t_n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
+      .groupBy(col("t_id"))
       .agg(first(col("lang")).as("lang"), top2(col("cos"), col("en_id")).as("top"))
-      .select(col("doc_id").as("t_id"), col("lang"),
+      .select(col("t_id"), col("lang"),
         expr("top[0]._2").as("en_id"),
         round(expr("top[0]._1"), 6).as("cos"),
         round(expr("top[0]._1 - coalesce(get(top, 1)._1, CAST(0 AS DOUBLE))"), 6).as("margin"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** q187: bitext / translation-candidate mining (the margin criterion
+    * of Artetxe & Schwenk 2019 §3.2, simplified to the runner-up
+    * margin) — for every non-English document, the best English
+    * neighbor by hash-embedding cosine among its banded sign-LSH
+    * candidates (Charikar 2002's hyperplane family — q76's banded
+    * machinery over the 16-dim hash embedding), margin = best −
+    * runner-up (single-candidate sets keep margin = cos). The operator
+    * SHAPE — cheap doc embedding → banded bucket equi-join, cross-side
+    * only → bounded top-2 rerank — is the production parallel-corpus
+    * miner.
+    *
+    * r13's monolithic 16-bit sign bucket was a measured scale-killer
+    * (255 s at sf0.1): correlated natural-text vectors occupy ~200 of
+    * the 2¹⁶ patterns, so the FIXED bucket space degrades to
+    * Θ(n²/occupied) pair work — and Catalyst additionally inlined the
+    * interpreted hash-embed HOFs into the bucket/norm expressions,
+    * re-evaluating the md5 token transform per element_at (≈40 ms/doc).
+    * v2 fixes both: [[BitextBands]] bands of [[bitextBandBits]](n)
+    * MEAN-CENTERED sign bits (bucket space GROWS with the corpus and
+    * bits are measured ≈ fair; see [[bitextPlan]]), a deterministic
+    * English-side population cap, and a persist placed BELOW the
+    * n2/filter step (the cache boundary is what stops predicate
+    * pushdown from re-inlining the interpreted HOF lambdas — persist
+    * placed above it still paid 14.6 s/5k docs to the inlined filter).
+    *
+    * Determinism: hash-embed components are exact ints, so dots/norms
+    * are exact and every cosine is one double expression; TopKAgg's
+    * (score desc, id asc) order ≡ the oracle's window order; the cap
+    * thins by exact md5 residues; the oracle replays planes, banding,
+    * cap, multiprobe, and rerank bit-for-bit.
+    *
+    * Scale shape: candidate pairs ≈ n_t · bands · (r+1) · TargetBucket
+    * with r = bitextBandBits(n) — linear per decade by construction;
+    * the rerank is a bounded map-side partial aggregation over the
+    * deduped pair sliver; no window over corpus rows, no all-pairs. */
+  def bitextMining(spark: SparkSession, dir: String,
+                   minCos: Double = 0.5): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val hv = hashVecOf(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = hv.withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
+    val n = w.count()
+    val out = bitextPlan(spark, w, bitextBandBits(n), minCos)
+      .localCheckpoint(true)
+    hv.unpersist(false)
+    out
   }
 
   /** Token-entropy quality gate (q172): Shannon entropy of the
@@ -588,22 +695,26 @@ object TextAnalysis {
     * (distinct counted as a second tiny agg over the TYPE sliver, never
     * count(distinct) over the corpus), then a per-lang rollup of
     * vocabulary-sized inputs. No window, no all-pairs, nothing beyond
-    * key-hashed shuffles at any corpus size. */
+    * key-hashed shuffles at any corpus size. Both counts key on 16-byte
+    * md5 gram ids (the q133 idiom, mirrored by the oracle) — raw
+    * token/trigram TEXT never enters an exchange; r13's text-keyed
+    * shape measured 14.6×/decade at sf100 on exactly that. */
   def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), split(Dedup.normText(col("text")), " ").as("toks0"))
       .withColumn("toks", expr("filter(toks0, x -> x <> '')"))
     val tokLeg = toks.select(col("lang"), explode(col("toks")).as("t"))
-      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), unhex(md5(col("t"))).as("h"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
       .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"))
     val gramLeg = toks
       .select(col("lang"), explode(expr(
         """CASE WHEN size(toks) >= 3
           |  THEN transform(sequence(0, size(toks)-3), i ->
-          |         concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
-          |  ELSE array() END""".stripMargin)).as("g"))
-      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+          |         unhex(md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))
+          |  ELSE array() END""".stripMargin)).as("h"))
+      .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
       .agg(sum(col("c")).as("n_3grams"), count(lit(1)).as("n_3gram_types"))
     tokLeg.join(gramLeg, Seq("lang"), "left")
@@ -635,14 +746,19 @@ object TextAnalysis {
     * Scale shape: a token-keyed count (map-side partials), a rank
     * window over the per-lang TYPE sliver (vocabulary-bounded, the q49
     * idiom — never over corpus rows), then a per-lang rollup of ≤
-    * [[ZipfRankCap]] rows each. */
+    * [[ZipfRankCap]] rows each. The count keys on 16-byte md5 token
+    * ids (q133 idiom; rank ties break on the id) — token text never
+    * enters an exchange. The moment sums are tie-break invariant (tied
+    * terms share c, so any order yields the same (rank, c) multiset),
+    * and the oracle mirrors the id tie-break anyway. */
   def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("c").desc, col("t"))
+      .partitionBy(col("lang")).orderBy(col("c").desc, col("h"))
     val terms = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(Dedup.normText(col("text")), " ")).as("t"))
       .filter(col("t") =!= "")
-      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), unhex(md5(col("t"))).as("h"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= ZipfRankCap)
       .withColumn("x", log(col("r").cast("double")))
@@ -1296,6 +1412,10 @@ object TextAnalysis {
          |  SELECT *, row_number() OVER (PARTITION BY a ORDER BY ppmi DESC, b) AS rn
          |  FROM sc)
          |WHERE rn <= 3 AND ppmi > 0.0""".stripMargin,
+    // q187: the oracle recomputes the SAME md5-derived hyperplanes and
+    // replays the identical adaptive-width banding (integer r scan),
+    // English-side md5 population cap, 1-bit multiprobe, DISTINCT
+    // candidate set, and top-2 rerank.
     "q187_bitext_mining" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, list_transform($toksSql, t ->
@@ -1307,17 +1427,51 @@ object TextAnalysis {
          |           - len(list_filter(hs, p -> p.d = j AND p.s = -1)) AS BIGINT)) AS v
          |      FROM h),
          |w AS MATERIALIZED (SELECT doc_id, lang, v,
-         |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
-         |    CAST(list_sum(list_transform(range(0, 16), j ->
-         |      CASE WHEN v[CAST(j + 1 AS INT)] >= 0
-         |        THEN (CAST(1 AS BIGINT) << (15 - CAST(j AS INT))) ELSE 0 END)) AS BIGINT) AS bkt
+         |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
          |  FROM vv
          |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
-         |pairs AS (SELECT t.doc_id AS t_id, t.lang, e.doc_id AS en_id,
+         |par AS (SELECT coalesce(min(r), ${BitextMaxBandBits}) AS r
+         |  FROM (SELECT unnest(range(${BitextMinBandBits}, ${BitextMaxBandBits + 1})) AS r)
+         |  WHERE (CAST(2 AS BIGINT) << r) >= (SELECT count(*) FROM w)),
+         |stats AS (SELECT (SELECT count(*) FROM w) AS nn,
+         |  (SELECT list(sv ORDER BY i) FROM (
+         |     SELECT i, CAST(sum(v[CAST(i + 1 AS INT)]) AS BIGINT) AS sv
+         |     FROM w, (SELECT unnest(range(0, 16)) AS i) ii GROUP BY i)) AS s),
+         |planes AS (
+         |  SELECT p, list_transform(range(0, 16),
+         |    i -> CASE WHEN substring(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+         |              THEN 1 ELSE -1 END) AS coef
+         |  FROM (SELECT unnest(range(0, ${BitextBands} * (SELECT r FROM par))) AS p)),
+         |bits AS (
+         |  SELECT w.doc_id, planes.p,
+         |    CASE WHEN stats.nn * list_sum(list_transform(range(0, 16), k -> w.v[k+1] * planes.coef[k+1]))
+         |           - list_sum(list_transform(range(0, 16), k -> stats.s[k+1] * planes.coef[k+1])) >= 0
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM w, planes, stats),
+         |bk AS MATERIALIZED (
+         |  SELECT doc_id, p // (SELECT r FROM par) AS band,
+         |    CAST(sum(CAST(bit AS BIGINT)
+         |      << CAST((SELECT r FROM par) - 1 - (p % (SELECT r FROM par)) AS INT)) AS BIGINT) AS bv
+         |  FROM bits GROUP BY 1, 2),
+         |enb AS (SELECT bk.doc_id AS en_id, band, bv
+         |  FROM bk JOIN w ON w.doc_id = bk.doc_id WHERE w.lang = 'en'),
+         |encnt AS (SELECT band, bv, count(*) AS cb FROM enb GROUP BY 1, 2),
+         |encap AS (SELECT en_id, band, bv FROM enb JOIN encnt USING (band, bv)
+         |  WHERE CAST('0x' || substring(md5(CAST(en_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)), 1, 8) AS BIGINT)
+         |          % cb < ${BitextBucketCap}),
+         |tb0 AS (SELECT bk.doc_id AS t_id, band, bv
+         |  FROM bk JOIN w ON w.doc_id = bk.doc_id WHERE w.lang <> 'en'),
+         |tb AS (
+         |  SELECT t_id, band, bv FROM tb0
+         |  UNION
+         |  SELECT t_id, band, xor(bv, CAST(1 AS BIGINT) << CAST(i AS INT)) AS bv
+         |  FROM tb0, (SELECT unnest(range(0, (SELECT r FROM par))) AS i) i),
+         |cand AS (SELECT DISTINCT t_id, en_id FROM tb JOIN encap USING (band, bv)),
+         |pairs AS (SELECT c.t_id, t.lang, c.en_id,
          |    CAST(CAST(list_sum(list_transform(range(0, 16), i ->
          |        t.v[CAST(i + 1 AS INT)] * e.v[CAST(i + 1 AS INT)])) AS BIGINT) AS DOUBLE)
          |      / (sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))) AS cos
-         |  FROM w t JOIN w e ON t.bkt = e.bkt AND e.lang = 'en' AND t.lang <> 'en'),
+         |  FROM cand c JOIN w t ON t.doc_id = c.t_id JOIN w e ON e.doc_id = c.en_id),
          |rk AS MATERIALIZED (SELECT *,
          |    row_number() OVER (PARTITION BY t_id ORDER BY cos DESC, en_id) AS rn
          |  FROM pairs)
@@ -1338,14 +1492,17 @@ object TextAnalysis {
         |SELECT source, ns AS n_docs,
         |  round(CAST(sum(fp) AS DOUBLE) / 1e9, 6) AS kl
         |FROM t GROUP BY 1, 2""".stripMargin,
+    // q174/q175: type counts key on unhex(md5(gram)) exactly like the
+    // Spark side — same grouping even in the (negligible) collision
+    // case, and raw text never shuffles in either engine.
     "q174_ngram_diversity" ->
       s"""WITH t AS (
          |  SELECT lang, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
-         |tc AS (SELECT lang, t, count(*) AS c
+         |tc AS (SELECT lang, unhex(md5(t)) AS h, count(*) AS c
          |       FROM (SELECT lang, unnest(toks) AS t FROM t) GROUP BY 1, 2),
          |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok,
          |         count(*) AS n_types FROM tc GROUP BY 1),
-         |gc AS (SELECT lang, g, count(*) AS c FROM (
+         |gc AS (SELECT lang, unhex(md5(g)) AS h, count(*) AS c FROM (
          |         SELECT lang, unnest(CASE WHEN len(toks) >= 3 THEN
          |           list_transform(range(0, len(toks)-2), i ->
          |             toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
@@ -1361,11 +1518,11 @@ object TextAnalysis {
          |FROM tl LEFT JOIN gl USING (lang)""".stripMargin,
     "q175_zipf_slope" ->
       s"""WITH tc AS (
-         |  SELECT lang, t, count(*) AS c FROM (
+         |  SELECT lang, unhex(md5(t)) AS h, count(*) AS c FROM (
          |    SELECT lang, unnest(list_filter($toksSql, x -> x <> '')) AS t
          |    FROM documents) GROUP BY 1, 2),
          |rk AS (SELECT lang, c,
-         |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS r
+         |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, h) AS r
          |       FROM tc),
          |fp AS (SELECT lang,
          |         CAST(round(ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS fx,

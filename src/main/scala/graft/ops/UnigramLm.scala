@@ -265,6 +265,14 @@ object UnigramLm {
         |        t -> t.piece)) AS ps)),
         |  st -> filter(st.ps, p -> p IS NOT NULL))""".stripMargin
     val cb = occ.withColumn("ps", expr(greedyExpr))
+      // fail-fast coverage guard (ADVICE r13): a word with no vocab
+      // match at position 0 walks to an EMPTY piece list here while the
+      // oracle's recursive gwalk drops the token entirely — a silent
+      // cross-engine divergence. q156 training guarantees char coverage
+      // (single chars never prune), so an empty walk can only mean a
+      // broken vocabulary: raise loudly instead of diverging.
+      .withColumn("ps", expr(
+        "IF(size(ps) > 0, ps, raise_error(concat('q177: vocabulary does not cover word ', w)))"))
       .select(col("w").as("tok"),
         expr("concat_ws('', transform(ps, p -> concat('<', p, '>')))").as("enc"),
         size(col("ps")).cast("long").as("n_piece"))

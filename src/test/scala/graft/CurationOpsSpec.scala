@@ -705,19 +705,46 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
-  test("q187 bitext mining equals a brute-force in-bucket rerank") {
+  test("q187 bitext mining equals a brute-force banded-LSH cap/multiprobe rerank") {
     val vecs = TextAnalysis.hashVecOf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray))
       .filter(_._3.map(x => x * x).sum > 0)
-    def bkt(v: Array[Long]) = v.foldLeft(0L)((a, x) => a * 2 + (if (x >= 0) 1 else 0))
+    val nn = vecs.length.toLong
+    val r = TextAnalysis.bitextBandBits(nn)
+    val nb = TextAnalysis.BitextBands
+    val coefs = (0 until nb * r).map(p =>
+      graft.ops.Similarity.planeCoefs(p).take(16).toArray)
+    val sVec = (0 until 16).map(i => vecs.map(_._3(i)).sum).toArray
+    def dot(a: Array[Long], b: Array[Int]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def bandsOf(v: Array[Long]): Seq[(Int, Long)] = (0 until nb).map { b =>
+      b -> (0 until r).foldLeft(0L) { (acc, j) =>
+        val c = coefs(b * r + j)
+        acc * 2 + (if (nn * dot(v, c) - dot(sVec, c) >= 0L) 1L else 0L)
+      }
+    }
+    def md5u32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
     def cos(a: Array[Long], b: Array[Long]) =
       a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
         (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
-    val en = vecs.filter(_._2 == "en").groupBy(v => bkt(v._3))
+    val enB = vecs.filter(_._2 == "en").flatMap { case (id, _, v) =>
+      bandsOf(v).map { case (b, bv) => (b, bv, id) } }
+    val cnt = enB.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    val enMap = enB
+      .filter { case (b, bv, id) =>
+        md5u32(s"$id:$b") % cnt((b, bv)) < TextAnalysis.BitextBucketCap }
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3)).toMap
+    val enVec = vecs.filter(_._2 == "en").map(t => t._1 -> t._3).toMap
+    def probes(bv: Long): Seq[Long] = bv +: (0 until r).map(i => bv ^ (1L << i))
     def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val exp = vecs.filter(_._2 != "en").flatMap { case (tid, lang, v) =>
-      val cands = en.getOrElse(bkt(v), Array.empty)
-        .map { case (eid, _, ev) => (cos(v, ev), eid) }
+      val cids = bandsOf(v).flatMap { case (b, bv) =>
+        probes(bv).flatMap(p => enMap.getOrElse((b, p), Array.empty[Long])) }.distinct
+      val cands = cids.map(eid => (cos(v, enVec(eid)), eid))
         .sortBy { case (c, id) => (-c, id) }
       cands.headOption.collect {
         case (c1, e1) if rd(c1) >= 0.5 =>

@@ -531,6 +531,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window anywhere")
   }
 
+  test("q187 bitext: band equi-join candidates, bounded rerank, no text in shuffles") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    val w = graft.ops.TextAnalysis.hashVecOf(spark, sf)
+      .withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
+    val df = graft.ops.TextAnalysis.bitextPlan(spark, w, 8, 0.5)
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"rerank must be the bounded TopKAgg, never a row_number window:\n$p")
+    // the 1-row centering-stats cross-join legitimately compiles to
+    // BroadcastNestedLoopJoin (the q151 precedent) — ban only the
+    // unbroadcast all-pairs form
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the (band, bv) equi-join, never all-pairs:\n$p")
+    assert(p.contains("partial_topkagg"),
+      s"top-2 buffers must combine map-side before the per-doc exchange:\n$p")
+    // candidate/cap/rerank shuffles carry ids, band longs, and vectors —
+    // never document text or token arrays
+    exchangeOutputs(df).foreach { cols =>
+      assert(!cols.exists(Set("text", "toks", "sig")),
+        s"an exchange carries text/signature payload [${cols.mkString(", ")}]:\n$p")
+    }
+  }
+
   test("q178 label margins: centroids broadcast, no vector-vector join") {
     val p = plan(q("q178_label_margin"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

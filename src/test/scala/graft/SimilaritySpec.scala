@@ -398,6 +398,13 @@ class SimilaritySpec extends SparkSpec {
     assert(nearDupIvfAutoK(500) == 64)
     assert(nearDupIvfAutoK(1L << 20) == (1L << 20) / 16)
     assert(nearDupIvfAutoK(10L * (1 << 20)) == 10 * nearDupIvfAutoK(1 << 20))
+    // the broadcastability ceiling: K clamps at MaxAutoIvfK exactly at
+    // n = 16·2²³ and stays there — no Int wrap at any corpus size
+    assert(nearDupIvfAutoK(16L * Similarity.MaxAutoIvfK) == Similarity.MaxAutoIvfK)
+    assert(nearDupIvfAutoK(16L * Similarity.MaxAutoIvfK + 16) == Similarity.MaxAutoIvfK)
+    assert(nearDupIvfAutoK(40_000_000_000L) == Similarity.MaxAutoIvfK,
+      "n past the old Int-wrap point must clamp, not wrap")
+    assert(nearDupIvfAutoK(Long.MaxValue) == Similarity.MaxAutoIvfK)
     val n = graft.Tables.embeddings(spark, sf).count()
     assertSameRows(
       Similarity.embeddingNearDupIvf(spark, sf),
