@@ -41,7 +41,12 @@ object FamilyBench {
     "q155_embedding_neardup_ivf",
     // round-13 corpus-structural additions over documents
     "q171_kn_xent", "q174_ngram_diversity", "q175_zipf_slope",
-    "q180_neyman_alloc", "q181_dup_spectrum")
+    "q180_neyman_alloc", "q181_dup_spectrum",
+    // round-14: the rebuilt bitext miner and the KL mix score (q182–
+    // q184 compose pipelines already in the family — they run via the
+    // explicit-list FAMILY_r14_newops artifacts instead of doubling
+    // the default family's wall clock)
+    "q186_source_lang_kl", "q187_bitext_mining")
 
   /** Graph/agg head (round-8 trend extension): the queries whose
     * "fixed-overhead, not a scale-killer" claims had never been measured

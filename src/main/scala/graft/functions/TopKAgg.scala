@@ -40,3 +40,29 @@ class TopKAgg(val k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
+
+/** [[TopKAgg]] for MULTISET inputs where every duplicate of an (score,
+  * id) pair is bit-identical (the q187 case: a candidate pair emits one
+  * scored row per shared band, all with the SAME exact-integer cosine):
+  * exact tuple-dedup inside the bounded buffer makes
+  * `groupBy.agg(topkDistinct)` equal to `distinct → groupBy.agg(topk)`
+  * WITHOUT the distinct's full-stream exchange — the scored rows
+  * aggregate where the join produces them (the q155 r13f lesson) and
+  * only ≤k-row buffers ever shuffle. The early drop of a row ranking
+  * strictly below a full buffer's last entry is dedup-safe: a duplicate
+  * of anything in the buffer never ranks strictly below the last
+  * (equal entries are not `before` each other). */
+class TopKDistinctAgg(k: Int) extends TopKAgg(k) {
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.size >= k && beforeLast(buf, in)) buf
+    else (buf :+ in).distinct.sortWith(beforeOrd).take(k)
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).distinct.sortWith(beforeOrd).take(k)
+
+  private def beforeOrd(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def beforeLast(buf: Seq[(Double, Long)], in: (Double, Long)): Boolean =
+    beforeOrd(buf.last, in)
+}

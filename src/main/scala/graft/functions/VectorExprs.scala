@@ -66,6 +66,82 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All centered-LSH band values of one hash-embed vector in ONE codegen'd
+  * pass — `lsh_bands(v, nn, r, bands, coefs, thrs)` returns
+  * array<bigint> of `bands` bucket values, bit j of band b =
+  * (nn · (v · h_{b·r+j}) ≥ thrs_{b·r+j}), packed big-endian.
+  *
+  * Exists because the compositional form — 4·r separate
+  * `when(nn * dot_long(v, c) >= thr, …)` columns — grew past what
+  * Catalyst would whole-stage-compile at r = 18+ and fell back to
+  * interpreted projection: measured 35.7 s for 500k rows where this
+  * expression runs the identical integer arithmetic in ~1 s. The
+  * config arguments must be foldable (literals); the builder evaluates
+  * them at registration-call time, so the hot path carries plain JVM
+  * arrays via codegen references. */
+case class CenteredLshBands(child: Expression, nn: Long, r: Int, bands: Int,
+                            coefs: Array[Int], thrs: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bands expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bv = 0L; var j = 0
+      while (j < r) {
+        val p = b * r + j; val off = p * 16
+        var d = 0L; var i = 0
+        while (i < 16) { d += v.getLong(i) * coefs(off + i); i += 1 }
+        bv = (bv << 1) | (if (nn * d >= thrs(p)) 1L else 0L)
+        j += 1
+      }
+      out(b) = bv; b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val coefsRef = ctx.addReferenceObj("lshCoefs", coefs, "int[]")
+      val thrsRef = ctx.addReferenceObj("lshThrs", thrs, "long[]")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val d = ctx.freshName("d"); val bv = ctx.freshName("bv")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $bv = 0L;
+         |  for (int $j = 0; $j < $r; $j++) {
+         |    int $p = $b * $r + $j;
+         |    long $d = 0L;
+         |    for (int $i = 0; $i < 16; $i++) {
+         |      $d += $a.getLong($i) * $coefsRef[$p * 16 + $i];
+         |    }
+         |    $bv = ($bv << 1) | ((${nn}L * $d >= $thrsRef[$p]) ? 1L : 0L);
+         |  }
+         |  $out[$b] = $bv;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CenteredLshBands =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Register `dot_long` in the session's function registry (idempotent)
     * so plain SQL/expr strings can call it. */
@@ -76,6 +152,22 @@ object VectorExprs {
       (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction("sorted_intersect_count",
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction("lsh_bands",
+      (args: Seq[Expression]) => lshBandsFromArgs(args), "built-in")
+  }
+
+  /** `lsh_bands` builder: config args are foldable literals, evaluated
+    * once here so the expression carries plain arrays. */
+  private[functions] def lshBandsFromArgs(args: Seq[Expression]): CenteredLshBands = {
+    require(args.length == 6, "lsh_bands(v, nn, r, bands, coefs, thrs)")
+    def longOf(e: Expression): Long = e.eval().asInstanceOf[Number].longValue()
+    val coefs = args(4).eval().asInstanceOf[ArrayData].toIntArray()
+    val thrs = args(5).eval().asInstanceOf[ArrayData].toLongArray()
+    val r = longOf(args(2)).toInt
+    val bands = longOf(args(3)).toInt
+    require(coefs.length == bands * r * 16 && thrs.length == bands * r,
+      "lsh_bands: coefs must be (bands*r*16) ints and thrs (bands*r) longs")
+    CenteredLshBands(args(0), longOf(args(1)), r, bands, coefs, thrs)
   }
 }
 
@@ -97,6 +189,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bands"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CenteredLshBands].getName, "lsh_bands"),
+      (args: Seq[Expression]) => VectorExprs.lshBandsFromArgs(args)))
     // whole-operator extension: the as-of join planner strategy
     // (graft.plans.AsOfJoin → AsOfJoinExec) plus its filter-pushdown
     // optimizer rule (Catalyst can't push through an unknown node)

@@ -490,47 +490,51 @@ object Scoring {
     * exact integer counts — both engines evaluate the identical tree).
     * Self-scoring over the training corpus means every scored bigram
     * has c ≥ 1; the continuation term still redistributes mass exactly
-    * as at inference. xent = Σ c_d·(−ln p) / Σ c_d per doc (the
-    * occurrence-weighted mean — identical to q95's avg over
-    * occurrences, computed over TYPES), 6-dp.
+    * as at inference. xent = avg(−ln p) per doc, 6-dp (q95's shape).
     *
-    * Scale shape (the r13 verdict's de-skew): the per-occurrence
-    * bigram stream collapses FIRST to per-doc TYPE counts keyed on
-    * 16-byte md5 hashes (one partial-aggregated shuffle; "the"-bigram
-    * occurrences never pile onto one reducer, and no raw text ever
-    * shuffles — the q133 idiom). Every KN count (c, c(u), N1+(u,·),
-    * N1+(·,w), |types|) is a function of the bigram TYPE alone, so p
-    * is assembled on the vocabulary-sized TYPE sliver and rides ONE
-    * equi-join back onto the doc-type stream — versus r13's four
+    * Scale shape (the r13 verdict's de-skew, iterated twice against
+    * measurements): every KN count — c(u,w), c(u), N1+(u,·), N1+(·,w),
+    * |types| — is a function of the bigram TYPE alone, so p is
+    * assembled entirely on the vocabulary-sized TYPE sliver and rides
+    * ONE equi-join back onto the occurrence stream, versus r13's four
     * consecutive corpus-stream joins on Zipf-skewed token keys
-    * (measured 11.3×/decade at sf100; this shape re-measured in
-    * FAMILY_r14). */
+    * (measured 11.3×/decade at sf100). The occurrence stream keys on
+    * 16-byte md5 hashes (no raw text in any exchange, q133 idiom) and
+    * is MAP-ONLY (recomputed for its two uses — a parquet scan plus
+    * per-row md5, the cheap side of the trade); the one checkpoint is
+    * the TYPE table, which feeds five consumers and is
+    * vocabulary-sized. The r14 intermediate that collapsed occurrences
+    * to per-doc TYPE counts first was measured out: its corpus-sized
+    * checkpoint OOM'd sf100 where this shape's biggest materialized
+    * object is the type sliver. */
   def knXent(spark: SparkSession, dir: String): DataFrame = {
     val big = bigramsOf(spark, dir).select(col("doc_id"),
       unhex(md5(col("bg"))).as("bgh"),
       unhex(md5(split(col("bg"), " ").getItem(0))).as("uh"),
       unhex(md5(split(col("bg"), " ").getItem(1))).as("wh"))
-    val docbg = big.groupBy(col("doc_id"), col("bgh"), col("uh"), col("wh"))
-      .agg(count(lit(1)).as("cd"))
     // bgh determines (uh, wh): grouping by all three keeps the type's
-    // token keys without a second pass over the text
-    val cnt = docbg.groupBy(col("bgh"), col("uh"), col("wh"))
-      .agg(sum(col("cd")).as("c"))
-    val cu = docbg.groupBy(col("uh")).agg(sum(col("cd")).as("cu"))
-    val fol = cnt.groupBy(col("uh")).agg(count(lit(1)).as("fol"))
+    // token keys without a second pass over the text. Truncate: the
+    // type table feeds five consumers, and un-truncated each would
+    // re-run the corpus-wide count shuffle.
+    val cnt = big.groupBy(col("bgh"), col("uh"), col("wh"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // c(u) = Σ types of u (occurrence count) and N1+(u,·) = type count
+    // — one pass over the sliver for both u-margins
+    val ustats = cnt.groupBy(col("uh"))
+      .agg(sum(col("c")).as("cu"), count(lit(1)).as("fol"))
     val pre = cnt.groupBy(col("wh")).agg(count(lit(1)).as("pre"))
     val nbt = cnt.agg(count(lit(1)).as("nbt"))
-    val tp = cnt.join(cu, "uh").join(fol, "uh").join(pre, "wh")
+    val tp = cnt.join(ustats, "uh").join(pre, "wh")
       .crossJoin(broadcast(nbt))
       .select(col("bgh"),
         (greatest(col("c") - lit(0.75), lit(0.0)) / col("cu") +
           lit(0.75) * col("fol") / col("cu") *
             (col("pre").cast("double") / col("nbt"))).as("p"))
-    docbg.join(tp, "bgh")
+    big.select(col("doc_id"), col("bgh")).join(tp, "bgh")
       .groupBy(col("doc_id"))
-      .agg(sum(col("cd")).as("n_bigrams"),
-        round(sum(col("cd") * -log(col("p"))) /
-          sum(col("cd")).cast("double"), 6).as("xent_kn"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("xent_kn"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -561,30 +565,27 @@ object Scoring {
          |      + coalesce(CAST(1 AS DOUBLE)/(rc + $RrfK), 0), 6) AS rrf
          |FROM bmleg FULL OUTER JOIN cosleg USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT $FusionTopN""".stripMargin,
-    // q171: the oracle replays the de-skewed shape — per-doc TYPE
-    // collapse on md5 keys, type-level p, one join back — so the
-    // Σ c_d·(−ln p)/Σ c_d weighting matches term for term.
+    // q171: the oracle replays the de-skewed shape — md5 type keys,
+    // type-level p, one join back onto the occurrence stream — so the
+    // per-occurrence avg matches term for term.
     "q171_kn_xent" ->
       s"""WITH big AS ($bigramSql),
          |bh AS (SELECT doc_id, unhex(md5(bg)) AS bgh,
          |         unhex(md5(split_part(bg, ' ', 1))) AS uh,
          |         unhex(md5(split_part(bg, ' ', 2))) AS wh FROM big),
-         |docbg AS (SELECT doc_id, bgh, uh, wh, count(*) AS cd
-         |          FROM bh GROUP BY 1, 2, 3, 4),
-         |cnt AS (SELECT bgh, uh, wh, CAST(sum(cd) AS BIGINT) AS c
-         |        FROM docbg GROUP BY 1, 2, 3),
-         |cu AS (SELECT uh, CAST(sum(cd) AS BIGINT) AS cu FROM docbg GROUP BY 1),
-         |fol AS (SELECT uh, count(*) AS fol FROM cnt GROUP BY 1),
+         |cnt AS (SELECT bgh, uh, wh, count(*) AS c FROM bh GROUP BY 1, 2, 3),
+         |ustats AS (SELECT uh, CAST(sum(c) AS BIGINT) AS cu,
+         |             count(*) AS fol FROM cnt GROUP BY 1),
          |pre AS (SELECT wh, count(*) AS pre FROM cnt GROUP BY 1),
          |nbt AS (SELECT count(*) AS nbt FROM cnt),
          |tp AS (SELECT cnt.bgh,
          |         greatest(c - 0.75, 0.0) / cu
          |           + 0.75 * fol / cu * (CAST(pre AS DOUBLE) / nbt) AS p
-         |       FROM cnt JOIN cu USING (uh) JOIN fol USING (uh)
+         |       FROM cnt JOIN ustats USING (uh)
          |       JOIN pre USING (wh) CROSS JOIN nbt)
-         |SELECT d.doc_id, CAST(sum(cd) AS BIGINT) AS n_bigrams,
-         |  round(sum(cd * -ln(p)) / CAST(sum(cd) AS DOUBLE), 6) AS xent_kn
-         |FROM docbg d JOIN tp USING (bgh)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln(p)), 6) AS xent_kn
+         |FROM bh b JOIN tp USING (bgh)
          |GROUP BY 1""".stripMargin,
     "q95_lm_xent" ->
       s"""WITH big AS ($bigramSql),

@@ -470,26 +470,36 @@ object TextAnalysis {
     * pathological hot buckets, never a work blowup). */
   private[graft] val BitextBands = 4
   private[graft] val BitextMinBandBits = 8
-  private[graft] val BitextMaxBandBits = 20
+  private[graft] val BitextMaxBandBits = 24
   private[graft] val BitextBucketCap = 256
 
   /** Band width as a function of corpus size: the smallest r in
-    * [8, 20] with 2^(r+1) ≥ n — integer-only (the oracle mirrors it as
+    * [8, 24] with 2^(r+1) ≥ n — integer-only (the oracle mirrors it as
     * an integer scan, no cross-engine log2 rounding). With the
     * mean-centered signs measured ≈ fair coins, expected English docs
     * per (band, bucket) stays O(1), so candidate pair work is
-    * Θ(n · bands · (r + 1) · bucketload) — linear per decade — instead
-    * of the Θ(n²/buckets) a FIXED bucket space degrades to. */
+    * Θ(n · bands · bucketload) — linear per decade — instead of the
+    * Θ(n²/buckets) a FIXED bucket space degrades to; past the r cap
+    * the per-bucket population cap still enforces the hard linear
+    * bound candidates/query ≤ bands · cap. */
   private[graft] def bitextBandBits(n: Long): Int =
     (BitextMinBandBits to BitextMaxBandBits)
       .find(r => (2L << r) >= n)
       .getOrElse(BitextMaxBandBits)
 
-  /** The banded signature/bucket frames + candidate join + rerank as
-    * ONE lazy plan over a caller-supplied `w` — split out so PlanSpec
-    * can audit the physical shape (the public [[bitextMining]] runs the
-    * same plan over a persisted `w` and checkpoints the tiny result,
-    * which hides the interior from EXPLAIN — the q87 lifecycle).
+  /** Centering moments of the embeddable corpus — one 1-row aggregate
+    * COLLECTED to the driver (17 longs, bounded), so the per-plane
+    * thresholds S·h_p become plan literals: the hot bit projection
+    * does ONE codegen'd dot_long per plane instead of two plus a
+    * broadcast-joined array column. */
+  private[graft] def bitextStats(w: DataFrame): (Long, Array[Long]) = {
+    val row = w.agg(count(lit(1)).as("nn"),
+      (0 until 16).map(i => sum(col("v").getItem(i)).as(s"s$i")): _*).head
+    (row.getLong(0), (1 to 16).map(row.getLong).toArray)
+  }
+
+  /** `w` extended with the per-band integer bucket values b0..b(bands-1)
+    * — r centered sign bits per band, packed big-endian into a BIGINT.
     *
     * Centering: raw sign(v·h) bits are useless on natural corpora —
     * every doc shares the common-token direction, so bit bias measured
@@ -497,32 +507,54 @@ object TextAnalysis {
     * with S = Σ_docs v: the hyperplane passes through the corpus MEAN
     * (n·(v·h) − S·h = n·(v − μ)·h exactly, all in BIGINT — no float
     * mean, so both engines agree bit-for-bit); measured bias 0.43–0.57
-    * on every plane. S/n ride a 1-row broadcast. */
-  private[graft] def bitextPlan(spark: SparkSession, w: DataFrame,
-                                r: Int, minCos: Double): DataFrame = {
+    * on every plane. Hyperplanes are the q76 md5-derived ±1 arrays
+    * (first 16 of 64 coefficients — the hash-embed space is 16-dim).
+    *
+    * CALL ONCE AND PERSIST: [[bitextMining]] materializes this frame so
+    * every downstream leg reads the cached longs — the r14 profile
+    * measured the un-cached form re-evaluating the 4·r-plane projection
+    * three times (encnt, capped-English, query legs), 75 of q187's
+    * 108 s at sf10. The projection itself is ONE codegen'd
+    * [[graft.functions.CenteredLshBands]] call: the compositional 4·r
+    * `when(dot_long…)` columns fell out of whole-stage codegen at
+    * r ≥ 18 and ran interpreted (35.7 s/500k rows vs ~1 s here). */
+  private[graft] def bitextBanded(w: DataFrame, r: Int,
+                                  nn: Long, s: Array[Long]): DataFrame = {
+    val bands = BitextBands
+    val coefs = (0 until bands * r).flatMap(p =>
+      graft.ops.Similarity.planeCoefs(p).take(16))
+    val thrs = (0 until bands * r).map { p =>
+      val c = graft.ops.Similarity.planeCoefs(p).take(16)
+      (0 until 16).map(i => s(i) * c(i)).sum
+    }
+    w.withColumn("bb", expr(
+      s"""lsh_bands(v, ${nn}L, $r, $bands,
+         |  array(${coefs.mkString(",")}),
+         |  array(${thrs.map(t => s"${t}L").mkString(",")}))""".stripMargin))
+  }
+
+  /** The bucket legs + candidate join + rerank as ONE lazy plan over a
+    * caller-supplied banded frame (`wb` = [[bitextBanded]], persisted
+    * by the caller) — split out so PlanSpec can audit the physical
+    * shape (the public [[bitextMining]] checkpoints the tiny result,
+    * which hides the interior from EXPLAIN — the q87 lifecycle). */
+  private[graft] def bitextPlan(spark: SparkSession, wb: DataFrame,
+                                r: Int, minCos: Double,
+                                multiprobe: Boolean = false): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val bands = BitextBands
-    // corpus moment for centering: one 1-row aggregate, broadcast back
-    val stats = w.agg(count(lit(1)).as("nn"),
-      array((0 until 16).map(i => sum(col("v").getItem(i))): _*).as("s"))
-    val wc = w.crossJoin(broadcast(stats))
-    // per-band integer bucket value: r centered sign bits, each one
-    // codegen'd dot_long pair against a literal ±1 array (the q76
-    // md5-derived hyperplanes, first 16 of 64 coefficients — the
-    // hash-embed space is 16-dim), packed big-endian into a BIGINT
-    def bandVal(b: Int): org.apache.spark.sql.Column =
-      (0 until r).map { j =>
-        val arr = graft.ops.Similarity.planeCoefs(b * r + j).take(16)
-          .map(c => s"${c}L").mkString(",")
-        when(col("nn") * expr(s"dot_long(v, array($arr))")
-          - expr(s"dot_long(s, array($arr))") >= 0, lit(1L << (r - 1 - j)))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
     val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), bandVal(b).as("bv")))
-    val en = wc.filter(col("lang") === "en")
-      .select(col("doc_id").as("en_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("en_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      struct(lit(b).as("band"), col("bb").getItem(b).as("bv")))
+    // both bucket legs CARRY their vectors (the q155 r13f lesson:
+    // score pairs where the join enumerates them) — the band join's
+    // output computes its cosine in place and flows straight into the
+    // partial top-2, so the Θ(candidates) scored stream NEVER shuffles
+    // and the pair sliver pays no distinct exchange or vector joins
+    val en = wb.filter(col("lang") === "en")
+      .select(col("doc_id").as("en_id"), col("v").as("en_v"),
+        col("n2").as("en_n2"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("en_id"), col("en_v"), col("en_n2"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
     // deterministic population cap: a bucket with cb ≤ cap keeps every
     // English doc (x % cb < cb ≤ cap); a hot bucket keeps the ≈cap docs
     // whose md5 residue lands under the cap — bounded pair work with a
@@ -533,24 +565,31 @@ object TextAnalysis {
         s"""CAST(conv(substring(md5(concat_ws(':',
            |  CAST(en_id AS STRING), CAST(band AS STRING))), 1, 8), 16, 10)
            |  AS BIGINT) % cb < $BitextBucketCap""".stripMargin))
-      .select(col("en_id"), col("band"), col("bv"))
-    val tb0 = wc.filter(col("lang") =!= "en")
-      .select(col("doc_id").as("t_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("t_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    // 1-bit multiprobe on the query side only (q76's recall lever: a
-    // translation one hyperplane-sign away still collides) — integer
-    // XOR flips, so probe keys stay 8-byte longs in the shuffle
-    val flips = (0 until r).map(j => expr(s"bv ^ ${1L << j}"))
-    val tb = tb0.select(col("t_id"), col("band"),
-      explode(array(col("bv") +: flips: _*)).as("bv"))
-    val cand = tb.join(enCap, Seq("band", "bv"))
-      .select(col("t_id"), col("en_id")).distinct()
-    val tv = w.select(col("doc_id").as("t_id"), col("lang"),
-      col("v").as("t_v"), col("n2").as("t_n2"))
-    val ev = w.select(col("doc_id").as("en_id"),
-      col("v").as("en_v"), col("n2").as("en_n2"))
-    val top2 = udaf(new graft.functions.TopKAgg(2))
-    cand.join(tv, "t_id").join(ev, "en_id")
+      .select(col("en_id"), col("en_v"), col("en_n2"), col("band"), col("bv"))
+    val tb0 = wb.filter(col("lang") =!= "en")
+      .select(col("doc_id").as("t_id"), col("lang"), col("v").as("t_v"),
+        col("n2").as("t_n2"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("t_id"), col("lang"), col("t_v"), col("t_n2"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // 1-bit XOR multiprobe is OFF by default and a knob, not the
+    // recall mechanism: on correlated natural-text vectors the flip
+    // buckets are themselves dense, and the sf10 measurement (500k
+    // docs, r = 18) put multiprobe at 957 candidates/query vs 136
+    // exact-bucket — a ~7× pair-work multiplier for marginal recall
+    // the 4 independent bands already provide. (q76 keeps ITS
+    // multiprobe: 6-bit bands over near-uniform buckets are the
+    // regime where 1-bit neighbors are cheap.)
+    val tb =
+      if (!multiprobe) tb0
+      else tb0.select(col("t_id"), col("lang"), col("t_v"), col("t_n2"),
+        col("band"), explode(array(col("bv") +: (0 until r).map(j =>
+          expr(s"bv ^ ${1L << j}")): _*)).as("bv"))
+    // a pair sharing several bands emits one scored row per shared
+    // band, all bit-identical (exact-int dot, same expression) — the
+    // tuple-dedup inside the bounded aggregator makes this equal to
+    // distinct-pairs-then-rank without ever exchanging the pair stream
+    val top2 = udaf(new graft.functions.TopKDistinctAgg(2))
+    tb.join(enCap, Seq("band", "bv"))
       .withColumn("cos",
         expr("dot_long(t_v, en_v)").cast("double") /
           (sqrt(col("t_n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
@@ -582,22 +621,28 @@ object TextAnalysis {
     * re-evaluating the md5 token transform per element_at (≈40 ms/doc).
     * v2 fixes both: [[BitextBands]] bands of [[bitextBandBits]](n)
     * MEAN-CENTERED sign bits (bucket space GROWS with the corpus and
-    * bits are measured ≈ fair; see [[bitextPlan]]), a deterministic
-    * English-side population cap, and a persist placed BELOW the
-    * n2/filter step (the cache boundary is what stops predicate
-    * pushdown from re-inlining the interpreted HOF lambdas — persist
-    * placed above it still paid 14.6 s/5k docs to the inlined filter).
+    * bits are measured ≈ fair; see [[bitextBanded]]), a deterministic
+    * English-side population cap, and TWO cache boundaries — the raw
+    * vectors (below the n2/filter step: the cache is what stops
+    * predicate pushdown from re-inlining the interpreted HOF lambdas,
+    * which alone cost 14.6 s/5k docs) and the banded frame (the
+    * 4·r-plane projection is paid once per doc, not once per
+    * downstream leg — re-evaluation was 75 of 108 s at sf10).
     *
     * Determinism: hash-embed components are exact ints, so dots/norms
     * are exact and every cosine is one double expression; TopKAgg's
     * (score desc, id asc) order ≡ the oracle's window order; the cap
     * thins by exact md5 residues; the oracle replays planes, banding,
-    * cap, multiprobe, and rerank bit-for-bit.
+    * cap, and rerank bit-for-bit.
     *
-    * Scale shape: candidate pairs ≈ n_t · bands · (r+1) · TargetBucket
-    * with r = bitextBandBits(n) — linear per decade by construction;
-    * the rerank is a bounded map-side partial aggregation over the
-    * deduped pair sliver; no window over corpus rows, no all-pairs. */
+    * Scale shape: candidate pairs ≈ n_t · bands · bucketload with
+    * r = bitextBandBits(n) growing the bucket space per decade, and a
+    * HARD linear ceiling of bands · BitextBucketCap candidates/query
+    * once r caps; the rerank is a bounded map-side partial aggregation
+    * over the deduped pair sliver; no window over corpus rows, no
+    * all-pairs. Recall comes from the 4 independent bands; 1-bit
+    * multiprobe exists as an opt-in knob but measured a ~7× candidate
+    * multiplier on correlated text (see [[bitextPlan]]). */
   def bitextMining(spark: SparkSession, dir: String,
                    minCos: Double = 0.5): DataFrame = {
     graft.functions.VectorExprs.register(spark)
@@ -605,8 +650,12 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = hv.withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
     val n = w.count()
-    val out = bitextPlan(spark, w, bitextBandBits(n), minCos)
-      .localCheckpoint(true)
+    val r = bitextBandBits(n)
+    val (nn, s) = bitextStats(w)
+    val wb = bitextBanded(w, r, nn, s)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bitextPlan(spark, wb, r, minCos).localCheckpoint(true)
+    wb.unpersist(false)
     hv.unpersist(false)
     out
   }
@@ -1414,8 +1463,8 @@ object TextAnalysis {
          |WHERE rn <= 3 AND ppmi > 0.0""".stripMargin,
     // q187: the oracle recomputes the SAME md5-derived hyperplanes and
     // replays the identical adaptive-width banding (integer r scan),
-    // English-side md5 population cap, 1-bit multiprobe, DISTINCT
-    // candidate set, and top-2 rerank.
+    // mean-centering stats, English-side md5 population cap, DISTINCT
+    // candidate set, and top-2 rerank (default path: no multiprobe).
     "q187_bitext_mining" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, list_transform($toksSql, t ->
@@ -1459,13 +1508,8 @@ object TextAnalysis {
          |encap AS (SELECT en_id, band, bv FROM enb JOIN encnt USING (band, bv)
          |  WHERE CAST('0x' || substring(md5(CAST(en_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)), 1, 8) AS BIGINT)
          |          % cb < ${BitextBucketCap}),
-         |tb0 AS (SELECT bk.doc_id AS t_id, band, bv
+         |tb AS (SELECT bk.doc_id AS t_id, band, bv
          |  FROM bk JOIN w ON w.doc_id = bk.doc_id WHERE w.lang <> 'en'),
-         |tb AS (
-         |  SELECT t_id, band, bv FROM tb0
-         |  UNION
-         |  SELECT t_id, band, xor(bv, CAST(1 AS BIGINT) << CAST(i AS INT)) AS bv
-         |  FROM tb0, (SELECT unnest(range(0, (SELECT r FROM par))) AS i) i),
          |cand AS (SELECT DISTINCT t_id, en_id FROM tb JOIN encap USING (band, bv)),
          |pairs AS (SELECT c.t_id, t.lang, c.en_id,
          |    CAST(CAST(list_sum(list_transform(range(0, 16), i ->

@@ -705,7 +705,7 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
-  test("q187 bitext mining equals a brute-force banded-LSH cap/multiprobe rerank") {
+  test("q187 bitext mining equals a brute-force centered banded-LSH rerank") {
     val vecs = TextAnalysis.hashVecOf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray))
       .filter(_._3.map(x => x * x).sum > 0)
@@ -739,7 +739,8 @@ class CurationOpsSpec extends SparkSpec {
         md5u32(s"$id:$b") % cnt((b, bv)) < TextAnalysis.BitextBucketCap }
       .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3)).toMap
     val enVec = vecs.filter(_._2 == "en").map(t => t._1 -> t._3).toMap
-    def probes(bv: Long): Seq[Long] = bv +: (0 until r).map(i => bv ^ (1L << i))
+    // default path: exact bucket per band, no multiprobe
+    def probes(bv: Long): Seq[Long] = Seq(bv)
     def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val exp = vecs.filter(_._2 != "en").flatMap { case (tid, lang, v) =>
       val cids = bandsOf(v).flatMap { case (b, bv) =>

@@ -531,12 +531,89 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window anywhere")
   }
 
+  test("q181 dup spectrum: fingerprint-keyed partial aggs, text never shuffles") {
+    val df = q("q181_dup_spectrum")
+    val p = plan(df)
+    assert(p.contains("partial"), s"cluster counts must combine map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    exchangeOutputs(df).foreach { cols =>
+      assert(!cols.exists(Set("text", "toks")),
+        s"an exchange carries raw text [${cols.mkString(", ")}]:\n$p")
+    }
+  }
+
+  test("q184 dup-quality buckets: fingerprint equi-joins, partial rollup, no text in shuffles") {
+    val df = q("q184_dup_quality")
+    val p = plan(df)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster sizes and quality attach via equi-joins only:\n$p")
+    assert(p.contains("partial"), s"bucket rollup must combine map-side:\n$p")
+    exchangeOutputs(df).foreach { cols =>
+      assert(!cols.exists(Set("text", "toks")),
+        s"an exchange carries raw text [${cols.mkString(", ")}]:\n$p")
+    }
+  }
+
+  test("q186 source-lang KL: margins join the checkpointed sliver; lang margin broadcasts") {
+    // the (source, lang) count sliver is localCheckpoint'd inside the
+    // op (it feeds three margins), so the visible plan is the sliver →
+    // margins → KL tail — which is exactly the part whose join strategy
+    // matters; the corpus-sized count below the checkpoint is one
+    // partial-agg groupBy audited by its own runtime (0.3 s at sf0.1)
+    val p = plan(q("q186_source_lang_kl"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lang margin must broadcast back onto the sliver:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial"), s"the source rollup must combine map-side:\n$p")
+  }
+
+  test("q180 neyman: |strata|-row tail — 1-row budget broadcast, no window, no corpus rescan") {
+    // the lang-keyed moment aggregation is localCheckpoint'd inside the
+    // op; the visible tail must be pure |strata|-row arithmetic: the
+    // 1-row total as a broadcast cross-join and NO further exchange of
+    // anything corpus-sized (no hashpartitioning at all — only the
+    // broadcast exchange)
+    val p = plan(q("q180_neyman_alloc"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"nothing may reshuffle after the checkpointed moment table:\n$p")
+  }
+
+  test("q182/q183 composition tails: sliver arithmetic only, no window, no cartesian") {
+    // both ops compose full dedup pipelines (audited via q22/q23/q24)
+    // and checkpoint the pair slivers; the visible tails must stay
+    // sliver-sized arithmetic — any Window or CartesianProduct here
+    // means a composition regression, not a member regression
+    for (name <- Seq("q182_dedup_agreement", "q183_source_dup_matrix")) {
+      val p = plan(q(name))
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$name tail must stay sliver arithmetic:\n$p")
+    }
+  }
+
+  test("q185 shared quality expression is map-only on a batch frame (batch ≡ stream law)") {
+    // the streaming rollup computes quality through the SAME shared
+    // expression (qualityColumnOf); on a batch frame it must be pure
+    // map work — no exchange, no join — so the per-batch stream cost
+    // is one pass over arriving rows before the tiny keyed state fold
+    val p = graft.ops.TextAnalysis
+      .qualityColumnOf(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"the quality projection must not shuffle:\n$p")
+  }
+
   test("q187 bitext: band equi-join candidates, bounded rerank, no text in shuffles") {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExprs.register(spark)
     val w = graft.ops.TextAnalysis.hashVecOf(spark, sf)
       .withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
-    val df = graft.ops.TextAnalysis.bitextPlan(spark, w, 8, 0.5)
+    val (nn, s) = graft.ops.TextAnalysis.bitextStats(w)
+    val wb = graft.ops.TextAnalysis.bitextBanded(w, 8, nn, s)
+    val df = graft.ops.TextAnalysis.bitextPlan(spark, wb, 8, 0.5)
     val p = plan(df)
     assert(!p.contains("Window"),
       s"rerank must be the bounded TopKAgg, never a row_number window:\n$p")
@@ -545,13 +622,16 @@ class PlanSpec extends SparkSpec {
     // unbroadcast all-pairs form
     assert(!p.contains("CartesianProduct"),
       s"candidates must come from the (band, bv) equi-join, never all-pairs:\n$p")
-    assert(p.contains("partial_topkagg"),
+    assert(p.toLowerCase.contains("partial_topkdistinctagg"),
       s"top-2 buffers must combine map-side before the per-doc exchange:\n$p")
-    // candidate/cap/rerank shuffles carry ids, band longs, and vectors —
-    // never document text or token arrays
+    // candidate/cap shuffles carry ids, band longs, and vectors — never
+    // document text; and the SCORED pair stream aggregates where the
+    // band join produces it (no exchange may carry a cosine)
     exchangeOutputs(df).foreach { cols =>
       assert(!cols.exists(Set("text", "toks", "sig")),
         s"an exchange carries text/signature payload [${cols.mkString(", ")}]:\n$p")
+      assert(!cols.contains("cos"),
+        s"scored pairs must aggregate where born, never shuffle [${cols.mkString(", ")}]:\n$p")
     }
   }
 
