@@ -142,6 +142,68 @@ case class CenteredLshBands(child: Expression, nn: Long, r: Int, bands: Int,
     copy(child = newChild)
 }
 
+/** The q170 16-dim signed bag-of-words hash embedding of a token array
+  * in ONE pass — `hash_embed16(toks)` returns array<bigint> where token
+  * t adds ±1 to dimension d: d = uint32(md5(t)[0:8 hex]) mod 16, which
+  * is exactly the LOW NIBBLE of digest byte 3, and the sign is +1 iff
+  * the 9th hex digit (high nibble of digest byte 4) < 8 — bit-for-bit
+  * the HOF pipeline's `conv(substring(md5(t),1,8),16,10) % 16` /
+  * `substring(md5(t),9,1) < '8'` and the DuckDB oracle's mirror, so
+  * swapping the implementation changes NOTHING the hash gate can see.
+  *
+  * Exists because the compositional form — transform(toks, md5 struct)
+  * then 32 filter() passes per doc — evaluates interpreted (lambdas
+  * stop whole-stage codegen) at ~23 µs/doc: fine for one q170 pass at
+  * gate scale, but the term that dominated q187 once everything else
+  * was fixed (11.5 of 12.8 s at sf10). Empty tokens hash like the HOF
+  * did (md5("") → dimension 9, sign −1). */
+case class HashEmbed16(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hash_embed16 expects array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    HashEmbed16.embed(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashEmbed16.embed($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed16 =
+    copy(child = newChild)
+}
+
+object HashEmbed16 {
+  /** Shared by interpreted eval and generated code: one md5 per token,
+    * tight loop, no per-element boxing. */
+  def embed(toks: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = new Array[Long](16)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val dig = md.digest(t.getBytes)
+        val d = dig(3) & 0xf
+        if (((dig(4) >> 4) & 0xf) < 8) v(d) += 1L else v(d) -= 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+}
+
 object VectorExprs {
   /** Register `dot_long` in the session's function registry (idempotent)
     * so plain SQL/expr strings can call it. */
@@ -154,6 +216,8 @@ object VectorExprs {
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction("lsh_bands",
       (args: Seq[Expression]) => lshBandsFromArgs(args), "built-in")
+    registry.createOrReplaceTempFunction("hash_embed16",
+      (args: Seq[Expression]) => HashEmbed16(args(0)), "built-in")
   }
 
   /** `lsh_bands` builder: config args are foldable literals, evaluated
@@ -194,6 +258,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CenteredLshBands].getName, "lsh_bands"),
       (args: Seq[Expression]) => VectorExprs.lshBandsFromArgs(args)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("hash_embed16"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HashEmbed16].getName, "hash_embed16"),
+      (args: Seq[Expression]) => HashEmbed16(args(0))))
     // whole-operator extension: the as-of join planner strategy
     // (graft.plans.AsOfJoin → AsOfJoinExec) plus its filter-pushdown
     // optimizer rule (Catalyst can't push through an unknown node)

@@ -429,11 +429,11 @@ object TextAnalysis {
     * summed per dimension — a fixed-width bag-of-words sketch that
     * bridges `documents` into the vector family (q25/q111 consumers)
     * with no trained vocabulary and no feature dictionary to ship.
-    * The whole computation is within-row higher-order functions: the
-    * plan has NO Exchange at any corpus size (PlanSpec-pinned) — the
-    * 100 TB cost is exactly one map pass over the corpus (the HOF
-    * lambdas evaluate interpreted — Spark codegen stops at the lambda
-    * boundary — but per-row and allocation-light; nothing shuffles).
+    * The whole computation is within-row: the plan has NO Exchange at
+    * any corpus size (PlanSpec-pinned) — the 100 TB cost is exactly
+    * one map pass over the corpus, and since r14 the per-token md5
+    * accumulation is the codegen'd HashEmbed16 expression (one tight
+    * digest loop per doc) rather than interpreted HOF lambdas.
     * Components are exact signed integer counts (cross-engine stable);
     * the one derived double, the L2 norm √(Σv²) of exact ints, is
     * emitted 10⁻⁶-fixed-point. vec serializes space-joined (the driver
@@ -447,21 +447,19 @@ object TextAnalysis {
 
   /** The q170 vector construction as a reusable frame — (doc_id, lang,
     * v: array<bigint>); q187's bitext miner consumes the SAME vectors
-    * so the two can never drift. */
-  private[graft] def hashVecOf(spark: SparkSession, dir: String): DataFrame =
+    * so the two can never drift. r14: the per-token md5 accumulation
+    * runs through the codegen'd [[graft.functions.HashEmbed16]]
+    * expression (bit-identical to the previous transform/filter HOF
+    * pipeline — the d/sign rules are digest-byte arithmetic — but one
+    * tight pass instead of interpreted lambdas: the HOF form cost
+    * ~23 µs/doc and dominated q187 at scale). */
+  private[graft] def hashVecOf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     Tables.documents(spark, dir)
       .withColumn("toks", split(Dedup.normText(col("text")), " "))
-      .withColumn("hs", expr(
-        """transform(toks, t -> named_struct(
-          |  'd', CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 16,
-          |  's', CASE WHEN substring(md5(t), 9, 1) < '8' THEN 1 ELSE -1 END))"""
-          .stripMargin))
-      .withColumn("v", expr(
-        """transform(sequence(0, 15), j ->
-          |  CAST(size(filter(hs, p -> p.d = j AND p.s = 1))
-          |     - size(filter(hs, p -> p.d = j AND p.s = -1)) AS BIGINT))"""
-          .stripMargin))
+      .withColumn("v", expr("hash_embed16(toks)"))
       .select(col("doc_id"), col("lang"), col("v"))
+  }
 
   /** q187 banding knobs. [[BitextBands]] band slices of
     * [[bitextBandBits]]-bit mean-centered hyperplane signs each; a band
