@@ -94,8 +94,18 @@ case class CenteredLshBands(child: Expression, nn: Long, r: Int, bands: Int,
           s"lsh_bands expects array<bigint>, got ${other.simpleString}")
     }
 
+  /** The 16-element read loops below are unguarded by construction, so
+    * a short input array would read past UnsafeArrayData's payload and
+    * band SILENTLY on garbage — and `lsh_bands` is publicly registered,
+    * so the input length is caller-controlled (ADVICE r14 item 1). Both
+    * eval paths fail loudly instead. */
+  private def requireDim16(n: Int): Unit =
+    if (n != 16) throw new IllegalArgumentException(
+      s"lsh_bands expects a 16-element array<bigint> vector, got $n elements")
+
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    requireDim16(v.numElements())
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -121,6 +131,11 @@ case class CenteredLshBands(child: Expression, nn: Long, r: Int, bands: Int,
       val i = ctx.freshName("i"); val p = ctx.freshName("p")
       val d = ctx.freshName("d"); val bv = ctx.freshName("bv")
       s"""
+         |if ($a.numElements() != 16) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_bands expects a 16-element array<bigint> vector, got "
+         |      + $a.numElements() + " elements");
+         |}
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $bv = 0L;
@@ -224,6 +239,13 @@ object VectorExprs {
     * once here so the expression carries plain arrays. */
   private[functions] def lshBandsFromArgs(args: Seq[Expression]): CenteredLshBands = {
     require(args.length == 6, "lsh_bands(v, nn, r, bands, coefs, thrs)")
+    // the eager eval below is only sound on literals — a non-literal
+    // config arg would otherwise surface as an obscure unbound-attribute
+    // eval error or a null-cast NPE (ADVICE r14 item 3)
+    require(args.drop(1).forall(_.foldable),
+      "lsh_bands config arguments (nn, r, bands, coefs, thrs) must be literals")
+    require(args.drop(1).forall(_.eval() != null),
+      "lsh_bands config arguments must be non-null literals")
     def longOf(e: Expression): Long = e.eval().asInstanceOf[Number].longValue()
     val coefs = args(4).eval().asInstanceOf[ArrayData].toIntArray()
     val thrs = args(5).eval().asInstanceOf[ArrayData].toLongArray()

@@ -111,65 +111,86 @@ object Graph {
   /** HITS iteration count — fixed, unrolled identically in the oracle. */
   private[graft] val HitsIters = 8
 
+  /** q176's per-round fixed-point snap grid (2³⁰). Hub scores are
+    * max-normalized and rounded onto this integer grid once per round,
+    * so every value entering a contribution sum is an exactly-
+    * representable integer ≤ 2³⁰ and partial sums stay ≤ 2⁵³ — i.e.
+    * order-free, Spark partition-order ≡ DuckDB serial bit-for-bit —
+    * for any in-degree ≤ 2²³ and any per-round degree product
+    * d_hub·d_auth ≤ 2²³ (~8.4M), versus the r14 deferred-normalization
+    * bound of (d_hub·d_auth)^rounds ≤ 2⁵³ ⇔ degree product ≲ 100.
+    * Snap quantization is ≤ 2⁻³⁰ relative per round (~8·10⁻⁹ over the
+    * 8 rounds) — three orders below the 5-dp read-out grid. */
+  private[graft] val HitsSnapScale = 1L << 30
+
   /** q176: HITS hubs & authorities (Kleinberg, JACM 1999) on the
     * order→part purchase graph (src = 2·l_orderkey, dst = 2·l_partkey+1,
     * q97's parity trick): hub orders buy many high-authority parts,
     * authority parts are bought by high-hub orders — the mutual-
     * reinforcement centrality a catalog/crawl pipeline uses where
     * PageRank's single score conflates the two roles. Power iteration,
-    * [[HitsIters]] fixed rounds, L1 scaling DEFERRED to read-out
-    * (HITS scores are direction only; raw sums stay inside double
-    * range for any realistic degree product), top-25 per role.
+    * [[HitsIters]] fixed rounds, hub scores max-normalized onto the
+    * [[HitsSnapScale]] integer grid once per round (HITS scores are
+    * direction only, so any per-round positive rescale is semantically
+    * free), top-25 per role.
     *
     * Scale design (q97's economics doubled): the distinct edge list is
-    * persisted ONCE and feeds every round; each round is exactly two
+    * persisted ONCE and feeds every round; each round is two
     * contribution shuffles (dst-keyed then src-keyed, map-side partial
-    * sums) — no per-round normalization barrier, no window, no
-    * collect, state = one score row per node. Lineage truncates
-    * through the shared checkpointer every 2 rounds.
+    * sums) plus one node-sliver max + broadcast for the snap — no
+    * window, no collect, state = one score row per node. The snap
+    * checkpoint doubles as the per-round lineage truncation (the snap
+    * reads its input twice — un-truncated that would re-execute
+    * upstream 4^rounds, the blowup the oracle's MATERIALIZED CTEs
+    * guard against).
+    *
+    * EXACTNESS (closes ADVICE r14 / VERDICT r14 item 2): the r14 form
+    * deferred ALL scaling to read-out, so raw integer sums grew as
+    * (d_hub·d_auth)^rounds and crossed 2⁵³ — where partition-order
+    * partial sums stop commuting — at degree products ≳ 100. With the
+    * per-round snap every summand is an integer ≤ 2³⁰ ([[HitsSnapScale]]
+    * scaladoc has the bound arithmetic: exact through in-degree 2²³ and
+    * per-round degree product 2²³). The snap itself is deterministic:
+    * max() is order-free over exact integers, s/max is ONE correctly-
+    * rounded IEEE division, ×2³⁰ is exact, and round-half-up on
+    * positives matches DuckDB's round-half-away. The only remaining
+    * cross-engine float exposure is the single read-out normalization —
+    * q97's accepted ~1e-15-relative class, not compounded through
+    * rounds.
     *
     * Oracle design = q97's: the same [[HitsIters]] rounds unrolled as
-    * chained CTEs; the read-out normalizes once per side (score/Σ × n,
-    * O(1) values) rounded at 5 dp with ties cut on node id. */
+    * chained CTEs with the identical per-round snap expression; the
+    * read-out normalizes once per side (score/Σ × n, O(1) values)
+    * rounded at 5 dp with ties cut on node id. */
   def hits(spark: SparkSession, dir: String,
            checkpointer: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val edges = Tables.lineitem(spark, dir)
       .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Normalization is DEFERRED to read-out: HITS scores are direction
-    // only, per-round L1 scaling exists for numeric range — and raw
-    // sums grow ~ (d_hub·d_auth)^rounds, ≤ ~1e48 at web-scale degrees
-    // over 8 rounds, far inside double RANGE. Skipping it halves the
-    // job count AND removes the within-round double-reference (a
-    // normalizer reads its input twice; un-truncated that re-executes
-    // upstream 4^rounds — the blowup the oracle's MATERIALIZED CTEs
-    // guard against). Lineage still truncates every 2 rounds.
-    //
-    // EXACTNESS bound (tighter than range): seeds are 1.0, so every
-    // round's sums are INTEGER-valued, and Spark's partition-order
-    // partial sums agree bit-for-bit with DuckDB's serial sums only
-    // while every intermediate stays ≤ 2^53 (exactly-representable
-    // integers commute). (d_hub·d_auth)^rounds crosses 2^53 around
-    // degree products ≳ 100 over 8 rounds — at such scales the
-    // 5-dp-rounded top-25 can flip on summation order, against the
-    // repo's order-free-summation convention (q172/q175 idiom). The
-    // deployment fix is a power-of-two rescale at each checkpoint
-    // (divide both sides by 2^⌈log₂ max⌉ — exact in binary, preserves
-    // direction); not wired here because the gate graph's degree
-    // products keep all 8 rounds ≤ 2^53 — revisit with the rescale if
-    // the corpus's degree product grows past ~100.
+    // Per-round max-snap (see the scaladoc's EXACTNESS paragraph): the
+    // raw hub sums are materialized once, their max rides a 1-row
+    // broadcast back, and every hub score lands on the 2^30 integer
+    // grid before feeding the next round's sums. Snapping the HUB side
+    // alone suffices: the auth half-step then sums exact ints ≤ 2^30
+    // (exact through in-degree 2^23) and the hub half-step sums exact
+    // ints ≤ d_auth·2^30 (exact through degree product 2^23) — the
+    // auth frame never needs its own snap pass.
+    def snap(raw: DataFrame): DataFrame = {
+      val ckpt = checkpointer(raw)
+      val mx = ckpt.agg(max(col("s")).as("mx"))
+      ckpt.crossJoin(broadcast(mx))
+        .select(col("node"),
+          round(col("s") / col("mx") * lit(HitsSnapScale), 0).as("s"))
+    }
     var hubs = checkpointer(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("s")))
     var auths: DataFrame = null
-    for (i <- 1 to HitsIters) {
+    for (_ <- 1 to HitsIters) {
       auths = edges.join(hubs, edges("src") === hubs("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("s")).as("s"))
-      hubs = edges.join(auths, edges("dst") === auths("node"))
-        .groupBy(col("src").as("node")).agg(sum(col("s")).as("s"))
-      if (i % 2 == 0 && i < HitsIters) {
-        auths = checkpointer(auths); hubs = checkpointer(hubs)
-      }
+      hubs = snap(edges.join(auths, edges("dst") === auths("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("s")).as("s")))
     }
     // read-out: one L1 pass per side — score = s/Σs × n (O(1) values,
     // q97's ×n convention), 5 dp, ties cut on node id
@@ -251,16 +272,22 @@ object Graph {
          |  FROM r${k - 1} r JOIN edges e ON e.src = r.node JOIN deg ON deg.src = r.node
          |  GROUP BY 1) CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
-    // q176: the same unroll convention, UN-normalized rounds (scaling
-    // deferred to read-out, mirroring the Spark side). MATERIALIZED
-    // (DuckDB-only; the oracle never parses in Spark) is load-bearing:
-    // the read-out references each final level twice, and default
-    // inlined CTEs would re-execute the whole chain per reference.
+    // q176: the same unroll convention, with the Spark side's per-round
+    // hub max-snap replayed verbatim — raw sums land in hr$k, the max
+    // rides a scalar subquery, and h$k is the 2^30-grid integer snap
+    // (s/max is one IEEE division, ×2^30 exact, round-half-away ≡
+    // Spark's HALF_UP on positives). MATERIALIZED (DuckDB-only; the
+    // oracle never parses in Spark) is load-bearing: the read-out and
+    // the snap reference each level more than once, and default inlined
+    // CTEs would re-execute the whole chain per reference.
     val hitsChain = (1 to HitsIters).map { k =>
       s"""a$k AS MATERIALIZED (SELECT e.dst AS node, sum(h.s) AS s
          |  FROM h${k - 1} h JOIN edges e ON e.src = h.node GROUP BY 1),
-         |h$k AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS s
-         |  FROM a$k a JOIN edges e ON e.dst = a.node GROUP BY 1)""".stripMargin
+         |hr$k AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS s
+         |  FROM a$k a JOIN edges e ON e.dst = a.node GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT node,
+         |  round(s / (SELECT max(s) FROM hr$k) * $HitsSnapScale, 0) AS s
+         |  FROM hr$k)""".stripMargin
     }.mkString(",\n")
     Map(
       "q176_hits" ->

@@ -496,17 +496,19 @@ object Scoring {
     * measurements): every KN count — c(u,w), c(u), N1+(u,·), N1+(·,w),
     * |types| — is a function of the bigram TYPE alone, so p is
     * assembled entirely on the vocabulary-sized TYPE sliver and rides
-    * ONE equi-join back onto the occurrence stream, versus r13's four
-    * consecutive corpus-stream joins on Zipf-skewed token keys
-    * (measured 11.3×/decade at sf100). The occurrence stream keys on
-    * 16-byte md5 hashes (no raw text in any exchange, q133 idiom) and
-    * is MAP-ONLY (recomputed for its two uses — a parquet scan plus
-    * per-row md5, the cheap side of the trade); the one checkpoint is
-    * the TYPE table, which feeds five consumers and is
-    * vocabulary-sized. The r14 intermediate that collapsed occurrences
-    * to per-doc TYPE counts first was measured out: its corpus-sized
-    * checkpoint OOM'd sf100 where this shape's biggest materialized
-    * object is the type sliver. */
+    * ONE equi-join back onto the PER-(doc, type) count table, versus
+    * r13's four consecutive corpus-stream joins on Zipf-skewed token
+    * keys (measured 11.3×/decade at sf100) and r14's raw-occurrence
+    * join-back (11.6×/decade — the Zipf head still carried one row per
+    * OCCURRENCE into the skewed-key shuffle). Everything keys on
+    * 16-byte md5 hashes (no raw text in any exchange, q133 idiom); the
+    * occurrence stream itself is MAP-ONLY and recomputed for its two
+    * aggregate uses (type counts, per-doc type counts — a parquet scan
+    * plus per-row md5, the cheap side of the trade); the one checkpoint
+    * is the TYPE table, which feeds five consumers and is
+    * vocabulary-sized (the per-doc count aggregate flows straight into
+    * the join, never materialized — the r14-rejected intermediate died
+    * on checkpointing that frame, not on aggregating it). */
   def knXent(spark: SparkSession, dir: String): DataFrame = {
     val big = bigramsOf(spark, dir).select(col("doc_id"),
       unhex(md5(col("bg"))).as("bgh"),
@@ -531,10 +533,24 @@ object Scoring {
         (greatest(col("c") - lit(0.75), lit(0.0)) / col("cu") +
           lit(0.75) * col("fol") / col("cu") *
             (col("pre").cast("double") / col("nbt"))).as("p"))
-    big.select(col("doc_id"), col("bgh")).join(tp, "bgh")
+    // The join-back input is pre-aggregated to ONE row per (doc, type)
+    // — the r14 shape joined the raw occurrence stream on bgh, so the
+    // Zipf head ("of the", once per occurrence) still landed on one
+    // reducer and the third decade measured 11.6×/decade (VERDICT r14
+    // item 1). The (doc_id, bgh) groupBy collapses map-side (a doc's
+    // bigrams are co-partitioned with the scan), the join cardinality
+    // drops by the within-doc duplication factor, and the skewed type
+    // key now carries at most one row per document. NO checkpoint: the
+    // aggregate flows straight into the join (the r14-rejected variant
+    // failed on CHECKPOINTING the corpus-sized frame, not on the
+    // aggregation itself). xent is the weighted mean Σ c·(−ln p)/Σ c —
+    // term-for-term equal to the per-occurrence average.
+    val dc = big.select(col("doc_id"), col("bgh"))
+      .groupBy(col("doc_id"), col("bgh")).agg(count(lit(1)).as("cd"))
+    dc.join(tp, "bgh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log(col("p"))), 6).as("xent_kn"))
+      .agg(sum(col("cd")).as("n_bigrams"),
+        round(sum(col("cd") * -log(col("p"))) / sum(col("cd")), 6).as("xent_kn"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -582,10 +598,11 @@ object Scoring {
          |         greatest(c - 0.75, 0.0) / cu
          |           + 0.75 * fol / cu * (CAST(pre AS DOUBLE) / nbt) AS p
          |       FROM cnt JOIN ustats USING (uh)
-         |       JOIN pre USING (wh) CROSS JOIN nbt)
-         |SELECT b.doc_id, count(*) AS n_bigrams,
-         |  round(avg(-ln(p)), 6) AS xent_kn
-         |FROM bh b JOIN tp USING (bgh)
+         |       JOIN pre USING (wh) CROSS JOIN nbt),
+         |dc AS (SELECT doc_id, bgh, count(*) AS cd FROM bh GROUP BY 1, 2)
+         |SELECT dc.doc_id, CAST(sum(cd) AS BIGINT) AS n_bigrams,
+         |  round(sum(cd * (-ln(p))) / sum(cd), 6) AS xent_kn
+         |FROM dc JOIN tp USING (bgh)
          |GROUP BY 1""".stripMargin,
     "q95_lm_xent" ->
       s"""WITH big AS ($bigramSql),

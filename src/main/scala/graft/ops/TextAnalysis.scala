@@ -465,24 +465,38 @@ object TextAnalysis {
     * [[bitextBandBits]]-bit mean-centered hyperplane signs each; a band
     * bucket's English population is capped at [[BitextBucketCap]]
     * (deterministic md5 thinning — a documented recall trade on
-    * pathological hot buckets, never a work blowup). */
-  private[graft] val BitextBands = 4
-  private[graft] val BitextMinBandBits = 8
+    * pathological hot buckets, never a work blowup).
+    *
+    * Band count is a RECALL knob set by measurement (RECALL_r15): the
+    * r14 config (4 bands, 2^r ≥ n/2) measured top-1 recall 0.33 vs the
+    * exact cosine nearest English neighbor — the banding was correct
+    * but the miner missed the true pair 2 times in 3. Sign-LSH recall
+    * is 1−(1−q)^bands for per-band collision q, but bands correlate on
+    * natural text (the multiprobe note below), so width does the heavy
+    * lifting: 16 bands of (2^r ≥ n/64)-width — expected English bucket
+    * load ~32, an 8× skew margin under the cap — measure top-1 recall
+    * 0.95 at sf1 / 0.93 at sf10 (vs 0.33 for the r14 config), with the
+    * cap's own cost ≤ 0.006 recall. Candidate work stays
+    * Θ(n · bands · bucketload) — linear per decade — and the hard
+    * ceiling bands·cap = 4096 candidates/query stands. */
+  private[graft] val BitextBands = 16
+  private[graft] val BitextMinBandBits = 4
   private[graft] val BitextMaxBandBits = 24
   private[graft] val BitextBucketCap = 256
 
   /** Band width as a function of corpus size: the smallest r in
-    * [8, 24] with 2^(r+1) ≥ n — integer-only (the oracle mirrors it as
+    * [4, 24] with 2^(r+6) ≥ n — integer-only (the oracle mirrors it as
     * an integer scan, no cross-engine log2 rounding). With the
     * mean-centered signs measured ≈ fair coins, expected English docs
-    * per (band, bucket) stays O(1), so candidate pair work is
-    * Θ(n · bands · bucketload) — linear per decade — instead of the
-    * Θ(n²/buckets) a FIXED bucket space degrades to; past the r cap
-    * the per-bucket population cap still enforces the hard linear
-    * bound candidates/query ≤ bands · cap. */
+    * per (band, bucket) stays O(1) (~32 at the rule point — the
+    * measured recall/work operating point, see [[BitextBands]]), so
+    * candidate pair work is Θ(n · bands · bucketload) — linear per decade —
+    * instead of the Θ(n²/buckets) a FIXED bucket space degrades to;
+    * past the r cap the per-bucket population cap still enforces the
+    * hard linear bound candidates/query ≤ bands · cap. */
   private[graft] def bitextBandBits(n: Long): Int =
     (BitextMinBandBits to BitextMaxBandBits)
-      .find(r => (2L << r) >= n)
+      .find(r => (64L << r) >= n)
       .getOrElse(BitextMaxBandBits)
 
   /** Centering moments of the embeddable corpus — one 1-row aggregate
@@ -491,8 +505,14 @@ object TextAnalysis {
     * does ONE codegen'd dot_long per plane instead of two plus a
     * broadcast-joined array column. */
   private[graft] def bitextStats(w: DataFrame): (Long, Array[Long]) = {
+    // sum() over zero rows is NULL — on an all-zero-norm (empty
+    // filtered) corpus the bare getLong would NPE unhelpfully inside
+    // bitextMining (ADVICE r14 item 2); coalesce makes the empty corpus
+    // a well-defined (0, zeros) moment pair and the plan downstream
+    // yields the empty result naturally
     val row = w.agg(count(lit(1)).as("nn"),
-      (0 until 16).map(i => sum(col("v").getItem(i)).as(s"s$i")): _*).head
+      (0 until 16).map(i =>
+        coalesce(sum(col("v").getItem(i)), lit(0L)).as(s"s$i")): _*).head
     (row.getLong(0), (1 to 16).map(row.getLong).toArray)
   }
 
@@ -510,10 +530,10 @@ object TextAnalysis {
     *
     * CALL ONCE AND PERSIST: [[bitextMining]] materializes this frame so
     * every downstream leg reads the cached longs — the r14 profile
-    * measured the un-cached form re-evaluating the 4·r-plane projection
+    * measured the un-cached form re-evaluating the bands·r-plane projection
     * three times (encnt, capped-English, query legs), 75 of q187's
     * 108 s at sf10. The projection itself is ONE codegen'd
-    * [[graft.functions.CenteredLshBands]] call: the compositional 4·r
+    * [[graft.functions.CenteredLshBands]] call: the compositional bands·r
     * `when(dot_long…)` columns fell out of whole-stage codegen at
     * r ≥ 18 and ran interpreted (35.7 s/500k rows vs ~1 s here). */
   private[graft] def bitextBanded(w: DataFrame, r: Int,
@@ -538,7 +558,8 @@ object TextAnalysis {
     * which hides the interior from EXPLAIN — the q87 lifecycle). */
   private[graft] def bitextPlan(spark: SparkSession, wb: DataFrame,
                                 r: Int, minCos: Double,
-                                multiprobe: Boolean = false): DataFrame = {
+                                multiprobe: Boolean = false,
+                                cap: Int = BitextBucketCap): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val bands = BitextBands
     val bandCols = (0 until bands).map(b =>
@@ -562,7 +583,7 @@ object TextAnalysis {
       .filter(expr(
         s"""CAST(conv(substring(md5(concat_ws(':',
            |  CAST(en_id AS STRING), CAST(band AS STRING))), 1, 8), 16, 10)
-           |  AS BIGINT) % cb < $BitextBucketCap""".stripMargin))
+           |  AS BIGINT) % cb < $cap""".stripMargin))
       .select(col("en_id"), col("en_v"), col("en_n2"), col("band"), col("bv"))
     val tb0 = wb.filter(col("lang") =!= "en")
       .select(col("doc_id").as("t_id"), col("lang"), col("v").as("t_v"),
@@ -574,7 +595,7 @@ object TextAnalysis {
     // buckets are themselves dense, and the sf10 measurement (500k
     // docs, r = 18) put multiprobe at 957 candidates/query vs 136
     // exact-bucket — a ~7× pair-work multiplier for marginal recall
-    // the 4 independent bands already provide. (q76 keeps ITS
+    // the independent bands already provide. (q76 keeps ITS
     // multiprobe: 6-bit bands over near-uniform buckets are the
     // regime where 1-bit neighbors are cheap.)
     val tb =
@@ -624,7 +645,7 @@ object TextAnalysis {
     * vectors (below the n2/filter step: the cache is what stops
     * predicate pushdown from re-inlining the interpreted HOF lambdas,
     * which alone cost 14.6 s/5k docs) and the banded frame (the
-    * 4·r-plane projection is paid once per doc, not once per
+    * bands·r-plane projection is paid once per doc, not once per
     * downstream leg — re-evaluation was 75 of 108 s at sf10).
     *
     * Determinism: hash-embed components are exact ints, so dots/norms
@@ -638,7 +659,9 @@ object TextAnalysis {
     * HARD linear ceiling of bands · BitextBucketCap candidates/query
     * once r caps; the rerank is a bounded map-side partial aggregation
     * over the deduped pair sliver; no window over corpus rows, no
-    * all-pairs. Recall comes from the 4 independent bands; 1-bit
+    * all-pairs. Recall comes from the [[BitextBands]] independent bands
+    * (measured top-1 recall vs exact cosine: RECALL_r15 / the
+    * CurationOpsSpec recall-floor law); 1-bit
     * multiprobe exists as an opt-in knob but measured a ~7× candidate
     * multiplier on correlated text (see [[bitextPlan]]). */
   def bitextMining(spark: SparkSession, dir: String,
@@ -653,6 +676,61 @@ object TextAnalysis {
     val wb = bitextBanded(w, r, nn, s)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = bitextPlan(spark, wb, r, minCos).localCheckpoint(true)
+    wb.unpersist(false)
+    hv.unpersist(false)
+    out
+  }
+
+  /** q187 recall instrumentation (VERDICT r14 item 2): per sampled
+    * non-English query doc, the EXACT cosine-top-1 English neighbor
+    * (q25's brute machinery — the English side rides one broadcast, the
+    * scored stream never shuffles, partial max-by aggregates map-side)
+    * joined against the banded miner's answer at the shipped cap AND
+    * uncapped — so top-1 recall and the bucket cap's separate
+    * contribution are both measurable from one frame. Queries are the
+    * deterministic md5-order prefix of the non-English side (re-runnable;
+    * at sampleN ≥ n_t this is the whole corpus). minCos is disabled on
+    * the banded legs: recall compares neighbor IDENTITY, not the
+    * mining threshold. Instrumentation only — [[bitextMining]] is the
+    * operator; nothing here runs in the gate path. */
+  private[graft] def bitextRecallFrame(spark: SparkSession, dir: String,
+                                       sampleN: Int,
+                                       rDelta: Int = 0): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val hv = hashVecOf(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = hv.withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
+    val n = w.count()
+    // rDelta < 0 probes WIDER buckets than the shipped rule (each −1
+    // doubles expected bucket load and candidate work) — recall-curve
+    // instrumentation for picking the rule's operating point
+    val r = math.max(1, bitextBandBits(n) + rDelta)
+    val (nn, s) = bitextStats(w)
+    val wb = bitextBanded(w, r, nn, s)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = wb.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("v"), col("n2"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(sampleN)
+    val en = w.filter(col("lang") === "en")
+      .select(col("doc_id").as("en_id"), col("v").as("en_v"),
+        col("n2").as("en_n2"))
+    val exact = q.crossJoin(broadcast(en))
+      .withColumn("cos",
+        expr("dot_long(v, en_v)").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("en_id")).as("nid"))).as("m"))
+      .select(col("doc_id").as("t_id"), col("m.c").as("exact_cos"),
+        (-col("m.nid")).as("exact_en"))
+    val banded = bitextPlan(spark, wb, r, minCos = -2.0)
+      .select(col("t_id"), col("en_id").as("band_en"), col("cos").as("band_cos"))
+    val noCap = bitextPlan(spark, wb, r, minCos = -2.0, cap = Int.MaxValue)
+      .select(col("t_id"), col("en_id").as("nocap_en"), col("cos").as("nocap_cos"))
+    val out = exact
+      .join(banded, Seq("t_id"), "left")
+      .join(noCap, Seq("t_id"), "left")
+      .localCheckpoint(true)
     wb.unpersist(false)
     hv.unpersist(false)
     out
@@ -1479,7 +1557,7 @@ object TextAnalysis {
          |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
          |par AS (SELECT coalesce(min(r), ${BitextMaxBandBits}) AS r
          |  FROM (SELECT unnest(range(${BitextMinBandBits}, ${BitextMaxBandBits + 1})) AS r)
-         |  WHERE (CAST(2 AS BIGINT) << r) >= (SELECT count(*) FROM w)),
+         |  WHERE (CAST(64 AS BIGINT) << r) >= (SELECT count(*) FROM w)),
          |stats AS (SELECT (SELECT count(*) FROM w) AS nn,
          |  (SELECT list(sv ORDER BY i) FROM (
          |     SELECT i, CAST(sum(v[CAST(i + 1 AS INT)]) AS BIGINT) AS sv

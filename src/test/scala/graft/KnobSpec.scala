@@ -58,13 +58,13 @@ class KnobSpec extends SparkSpec {
 
   test("bitext band-bits knob: integer rule, monotone in n, clamped to [8, 24]") {
     import graft.ops.TextAnalysis.bitextBandBits
-    assert(bitextBandBits(0) == 8 && bitextBandBits(50) == 8)
-    assert(bitextBandBits(512) == 8, "2 << 8 = 512 covers n = 512 exactly")
-    assert(bitextBandBits(513) == 9, "the first n past the boundary widens the band")
-    assert(bitextBandBits(5000) == 12)
-    assert(bitextBandBits(5000000) == 22)
-    assert(bitextBandBits(2L << 24) == 24, "the last covered n before the clamp")
-    assert(bitextBandBits((2L << 24) + 1) == 24,
+    assert(bitextBandBits(0) == 4 && bitextBandBits(50) == 4)
+    assert(bitextBandBits(1024) == 4, "64 << 4 = 1024 covers n = 1024 exactly")
+    assert(bitextBandBits(1025) == 5, "the first n past the boundary widens the band")
+    assert(bitextBandBits(5000) == 7)
+    assert(bitextBandBits(5000000) == 17)
+    assert(bitextBandBits(64L << 24) == 24, "the last covered n before the clamp")
+    assert(bitextBandBits((64L << 24) + 1) == 24,
       "r clamps at 24 (the en-population cap bounds candidates past it)")
     assert(bitextBandBits(Long.MaxValue) == 24)
     val rs = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L).map(bitextBandBits)

@@ -293,4 +293,40 @@ class ScoringSpec extends SparkSpec {
       assert(x > 0 && !x.isNaN && !x.isInfinite, s"doc ${r.get(0)}: xent $x")
     }
   }
+
+  test("q171 weighted (doc,type) mean equals the per-occurrence average") {
+    // the r15 de-skew pre-aggregates occurrences to per-(doc, type)
+    // counts and reports Σ c·(−ln p)/Σ c — this law pins that the
+    // weighted form IS the per-occurrence average (brute-forced here
+    // term by term in driver memory), i.e. the refactor changed the
+    // join cardinality and nothing a consumer can see
+    val occ = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bg")))
+    val c = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def u(bg: String) = bg.split(" ", 2)(0)
+    def w(bg: String) = bg.split(" ", 2)(1)
+    val byU = c.toSeq.groupBy(kv => u(kv._1))
+    val cu = byU.view.mapValues(_.map(_._2).sum).toMap
+    val fol = byU.view.mapValues(_.size.toLong).toMap
+    val pre = c.toSeq.groupBy(kv => w(kv._1)).view.mapValues(_.size.toLong).toMap
+    val nbt = c.size.toDouble
+    def p(bg: String): Double =
+      math.max(c(bg) - 0.75, 0.0) / cu(u(bg)) +
+        0.75 * fol(u(bg)) / cu(u(bg)) * (pre(w(bg)) / nbt)
+    val brute = occ.groupBy(_._1).map { case (id, os) =>
+      id -> os.map(o => -math.log(p(o._2))).sum / os.length
+    }
+    val got = Scoring.knXent(spark, sf).collect()
+    assert(got.length == brute.size, "per-doc row coverage")
+    got.foreach { r =>
+      val b = brute(r.getAs[Long]("doc_id"))
+      assert(math.abs(r.getAs[Double]("xent_kn") - b) < 1e-6,
+        s"doc ${r.get(0)}: weighted ${r.getAs[Double]("xent_kn")} vs per-occurrence $b")
+    }
+  }
 }
