@@ -38,7 +38,7 @@ object ABBench {
     val queries =
       if (args.length > 2) args(2).split(",").toSeq else DefaultFlagged
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tuning.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -81,7 +81,7 @@ object FamilyBench {
     // pre-coalesce width, independent of the reducer target — the
     // "32-reducers/128-initial" config of the probe matrix
     val aqeInitial = sys.env.getOrElse("SPARK_GRAFT_AQE_INITIAL", shuffle)
-    val spark = SparkSession.builder()
+    val spark = Tuning.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", aqeInitial)

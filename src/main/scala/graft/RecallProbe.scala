@@ -32,7 +32,7 @@ object RecallProbe {
     val sampleN = if (args.length > 2) args(2).toInt else 5000
     val rDelta = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tuning.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

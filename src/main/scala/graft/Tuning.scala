@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning this library recommends (and its own mains set),
+  * with the measurement behind each knob — the
+  * `spark.sql.shuffle.partitions = cores` convention lives at each
+  * builder; what belongs here is anything whose default silently
+  * changes an operator's EXECUTION MODE.
+  *
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * (default 128): every custom typed aggregator in this library
+  * (TopKAgg/TopKDistinctAgg, VectorSumAgg, BitsetOrAgg, MisraGriesAgg)
+  * runs through `ObjectHashAggregateExec`, which abandons hash
+  * aggregation and SORTS the remaining input once a partition's
+  * in-memory map passes the threshold. Per-document groupings pass 128
+  * keys/partition at any realistic corpus size, so the default turned
+  * every "bounded buffers combine map-side, the scored stream never
+  * shuffles" plan into a full disk sort of the stream — measured on
+  * q187 at sf100 as ENOSPC through 77 GB of sort spill, bounded ~8 GB
+  * once hash mode held. All these buffers are small by construction
+  * (top-k tuples, fixed-width vectors, k-entry sketch registers), so
+  * the hash-map memory is keys × O(100 B); 2²² keys/partition caps
+  * that at a few hundred MB per task, and past the raised bound the
+  * sort fallback still guards. */
+object Tuning {
+  val ObjectAggFallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  val ObjectAggFallbackKeys: Int = 1 << 22
+
+  /** Apply the library's session tuning to a builder (the mains and
+    * the test harness route through this; an externally-built session
+    * — e.g. the driver's t1 smoke — gets correct results either way,
+    * just the default execution modes). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    b.config(ObjectAggFallbackKey, ObjectAggFallbackKeys.toString)
+}
