@@ -578,8 +578,16 @@ object TextAnalysis {
     // English doc (x % cb < cb ≤ cap); a hot bucket keeps the ≈cap docs
     // whose md5 residue lands under the cap — bounded pair work with a
     // documented recall effect, never a single-task skew straggler
+    // SHUFFLE_HASH on every band-bucket join build side: both joins key
+    // on (band, bv) whose build inputs are bucket-bounded (encnt is one
+    // row per occupied bucket; enCap ≤ cap docs/bucket), so a
+    // per-partition hash build is small by construction — while the
+    // default SortMergeJoin SORTS two banded vector-carrying streams
+    // (bands · n rows × ~200 B), which at sf100 measured ENOSPC through
+    // 77 GB of sort spill in the join stage. Hash build also reuses the
+    // (band, bv) exchange encnt's own aggregation already paid.
     val encnt = en.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("cb"))
-    val enCap = en.join(encnt, Seq("band", "bv"))
+    val enCap = en.join(encnt.hint("SHUFFLE_HASH"), Seq("band", "bv"))
       .filter(expr(
         s"""CAST(conv(substring(md5(concat_ws(':',
            |  CAST(en_id AS STRING), CAST(band AS STRING))), 1, 8), 16, 10)
@@ -608,7 +616,7 @@ object TextAnalysis {
     // tuple-dedup inside the bounded aggregator makes this equal to
     // distinct-pairs-then-rank without ever exchanging the pair stream
     val top2 = udaf(new graft.functions.TopKDistinctAgg(2))
-    tb.join(enCap, Seq("band", "bv"))
+    tb.join(enCap.hint("SHUFFLE_HASH"), Seq("band", "bv"))
       .withColumn("cos",
         expr("dot_long(t_v, en_v)").cast("double") /
           (sqrt(col("t_n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
@@ -675,7 +683,25 @@ object TextAnalysis {
     val (nn, s) = bitextStats(w)
     val wb = bitextBanded(w, r, nn, s)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bitextPlan(spark, wb, r, minCos).localCheckpoint(true)
+    // The top-2 rerank runs through ObjectHashAggregateExec, whose
+    // default sort-based fallback fires after 128 distinct keys per
+    // partition — which turns the Θ(candidates) scored stream into a
+    // full disk sort (the sf100 ENOSPC, with the SMJ sorts, burned
+    // 77 GB of scratch on ~1.3 B scored rows). The TopKDistinctAgg
+    // buffer is ≤ 2 tuples, so hash mode is the right regime: raise
+    // the fallback to 2²² keys/partition (~a few hundred MB of tiny
+    // buffers worst-case; past it the sort fallback still guards).
+    // Scoped: the checkpoint below executes eagerly, then the session
+    // default is restored.
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbOld = spark.conf.getOption(fbKey)
+    spark.conf.set(fbKey, (1 << 22).toString)
+    val out =
+      try bitextPlan(spark, wb, r, minCos).localCheckpoint(true)
+      finally fbOld match {
+        case Some(v) => spark.conf.set(fbKey, v)
+        case None => spark.conf.unset(fbKey)
+      }
     wb.unpersist(false)
     hv.unpersist(false)
     out

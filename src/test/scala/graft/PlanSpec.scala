@@ -622,6 +622,14 @@ class PlanSpec extends SparkSpec {
     // unbroadcast all-pairs form
     assert(!p.contains("CartesianProduct"),
       s"candidates must come from the (band, bv) equi-join, never all-pairs:\n$p")
+    // both band-bucket joins hash-build their bucket-bounded side — a
+    // SortMergeJoin here sorts two banded vector-carrying streams
+    // (bands · n rows), which measured ENOSPC through 77 GB of sort
+    // spill at sf100
+    assert(p.contains("ShuffledHashJoin"),
+      s"the band join must hash-build its bucket-bounded side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no banded stream may be sorted for a merge join:\n$p")
     assert(p.toLowerCase.contains("partial_topkdistinctagg"),
       s"top-2 buffers must combine map-side before the per-doc exchange:\n$p")
     // candidate/cap shuffles carry ids, band longs, and vectors — never
