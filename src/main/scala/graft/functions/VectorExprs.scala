@@ -71,7 +71,7 @@ case class DotProductLong(left: Expression, right: Expression)
   * array<bigint> of `bands` bucket values, bit j of band b =
   * (nn · (v · h_{b·r+j}) ≥ thrs_{b·r+j}), packed big-endian.
   *
-  * Exists because the compositional form — 4·r separate
+  * Exists because the compositional form — bands·r separate
   * `when(nn * dot_long(v, c) >= thr, …)` columns — grew past what
   * Catalyst would whole-stage-compile at r = 18+ and fell back to
   * interpreted projection: measured 35.7 s for 500k rows where this
