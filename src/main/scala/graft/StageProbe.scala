@@ -55,11 +55,17 @@ object StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Record EVERY task-end (no on/off flag): Spark's listener bus is
+    // async, so a flag flipped when the action returns both drops the
+    // probed run's final task wave (exactly the slowest tasks the
+    // max/med verdict needs) and lets the warm-up run's stragglers leak
+    // into a freshly-cleared map. Instead the run boundary is a
+    // QUIESCE — poll the recorded task count until it is stable — and
+    // the probed run is isolated by clearing after the pre-run quiesce.
     val stages = mutable.LinkedHashMap.empty[Int, Acc]
-    @volatile var recording = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (recording && e.taskMetrics != null) stages.synchronized {
+        if (e.taskMetrics != null) stages.synchronized {
           val a = stages.getOrElseUpdate(e.stageId, new Acc)
           a.tasks += 1
           a.runMs += e.taskMetrics.executorRunTime
@@ -70,23 +76,33 @@ object StageProbe {
           a.input += e.taskMetrics.inputMetrics.bytesRead
         }
     })
+    def quiesce(): Unit = {
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 10000) {
+        val cur = stages.synchronized(stages.valuesIterator.map(_.tasks.toLong).sum)
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(250); waited += 250
+      }
+    }
 
     val fn = SparkEntry.queries(queryName)
     val loadBefore = Bench.loadAvg()
     var probedSec = 0.0
     val warmSecs = (1 to runs).map { i =>
-      if (i == runs) { stages.clear(); recording = true }
+      if (i == runs) { quiesce(); stages.synchronized(stages.clear()) }
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
-      if (i == runs) { recording = false; probedSec = t }
+      if (i == runs) { quiesce(); probedSec = t }
       spark.catalog.clearCache()
       t
     }
     val loadAfter = Bench.loadAvg()
 
     def mb(b: Long): String = f"${b / (1024.0 * 1024.0)}%.1f"
-    val rows = stages.toSeq
+    val rows = stages.synchronized(stages.toSeq)
       .sortBy { case (_, a) => -a.runMs.sum }
       .take(12)
       .map { case (id, a) =>

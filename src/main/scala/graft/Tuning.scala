@@ -31,10 +31,10 @@ object Tuning {
   /** Apply the library's session tuning to a builder (the mains and
     * the test harness route through this; an externally-built session
     * — e.g. the driver's t1 smoke — gets correct results either way,
-    * just the default execution modes). */
-  /** Apply the tuning; `SPARK_GRAFT_NO_TUNING=1` disables it (the A/B
-    * switch — an r15 sf1 A/B measured the raise neutral on the
-    * family's plain-hash-aggregate members, within ±10% run noise). */
+    * just the default execution modes). `SPARK_GRAFT_NO_TUNING=1`
+    * disables it — the A/B switch; the r15 sf1 A/B measured the raise
+    * neutral on the family's plain-hash-aggregate members
+    * (AB_r15_objectagg_tuning.json). */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     if (sys.env.get("SPARK_GRAFT_NO_TUNING").contains("1")) b
     else b.config(ObjectAggFallbackKey, ObjectAggFallbackKeys.toString)

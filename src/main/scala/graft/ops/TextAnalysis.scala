@@ -693,9 +693,9 @@ object TextAnalysis {
     // buffers worst-case; past it the sort fallback still guards).
     // Scoped: the checkpoint below executes eagerly, then the session
     // default is restored.
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbKey = graft.Tuning.ObjectAggFallbackKey
     val fbOld = spark.conf.getOption(fbKey)
-    spark.conf.set(fbKey, (1 << 22).toString)
+    spark.conf.set(fbKey, graft.Tuning.ObjectAggFallbackKeys.toString)
     val out =
       try bitextPlan(spark, wb, r, minCos).localCheckpoint(true)
       finally fbOld match {
@@ -749,9 +749,18 @@ object TextAnalysis {
       .agg(max(struct(col("cos").as("c"), (-col("en_id")).as("nid"))).as("m"))
       .select(col("doc_id").as("t_id"), col("m.c").as("exact_cos"),
         (-col("m.nid")).as("exact_en"))
-    val banded = bitextPlan(spark, wb, r, minCos = -2.0)
+    // Mine only the SAMPLED queries: the English side (which alone
+    // determines bucket populations and the cap) stays whole, but the
+    // non-English side is semi-joined down to the sample — per-query
+    // results are identical (top-2 rerank is independent across t_ids)
+    // and the two mining legs stop paying for the >99% of non-English
+    // docs the probe then discards at corpus scale.
+    val qIds = broadcast(q.select(col("doc_id")).distinct())
+    val wbQ = wb.filter(col("lang") === "en").unionByName(
+      wb.filter(col("lang") =!= "en").join(qIds, Seq("doc_id"), "left_semi"))
+    val banded = bitextPlan(spark, wbQ, r, minCos = -2.0)
       .select(col("t_id"), col("en_id").as("band_en"), col("cos").as("band_cos"))
-    val noCap = bitextPlan(spark, wb, r, minCos = -2.0, cap = Int.MaxValue)
+    val noCap = bitextPlan(spark, wbQ, r, minCos = -2.0, cap = Int.MaxValue)
       .select(col("t_id"), col("en_id").as("nocap_en"), col("cos").as("nocap_cos"))
     val out = exact
       .join(banded, Seq("t_id"), "left")

@@ -56,7 +56,7 @@ class KnobSpec extends SparkSpec {
     assertSameRows(graft.etl.Normalize.fuzzyNameMatch(spark, sf), brute)
   }
 
-  test("bitext band-bits knob: integer rule, monotone in n, clamped to [8, 24]") {
+  test("bitext band-bits knob: integer rule, monotone in n, clamped to [4, 24]") {
     import graft.ops.TextAnalysis.bitextBandBits
     assert(bitextBandBits(0) == 4 && bitextBandBits(50) == 4)
     assert(bitextBandBits(1024) == 4, "64 << 4 = 1024 covers n = 1024 exactly")
