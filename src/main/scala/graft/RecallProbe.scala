@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * `runMain graft.RecallProbe <sfDir> [outFile] [sampleN=5000]` → one
   * JSON line with:
   *  - `recall_top1`: fraction of sampled non-English queries whose
-  *    banded answer IS the exact top-1 English neighbor (id match, or
-  *    cosine equal within 5e-7 — a tie by score is a correct top-1;
-  *    the tolerance covers the 6-dp grid the miner's reported cosine
-  *    is rounded onto, so a tied-score different-id answer compares
-  *    round(c, 6) against the raw exact cosine and still credits);
+  *    banded answer IS the exact top-1 English neighbor — the
+  *    `band_hit` verdict computed inside
+  *    [[graft.ops.TextAnalysis.bitextRecallFrame]] (id match, or
+  *    exact raw-cosine equality recomputed from the vectors — a
+  *    genuine score tie; no tolerance), the same column
+  *    CurationOpsSpec's recall-floor law reads, so the probe and the
+  *    spec cannot drift (ADVICE r15 item 4);
   *  - `recall_top1_nocap`: the same with the English bucket cap
   *    disabled — the difference isolates what [[graft.ops.TextAnalysis
   *    .BitextBucketCap]] costs vs what the 4-band LSH itself costs;
@@ -48,12 +50,8 @@ object RecallProbe {
     val f = ops.TextAnalysis.bitextRecallFrame(spark, sfDir, sampleN, rDelta)
     val row = f.agg(
       count(lit(1)).as("n_q"),
-      sum(when(col("band_en") === col("exact_en") ||
-        abs(col("band_cos") - col("exact_cos")) < 5e-7, 1L).otherwise(0L))
-        .as("hit"),
-      sum(when(col("nocap_en") === col("exact_en") ||
-        abs(col("nocap_cos") - col("exact_cos")) < 5e-7, 1L).otherwise(0L))
-        .as("hit_nocap"),
+      sum(when(col("band_hit"), 1L).otherwise(0L)).as("hit"),
+      sum(when(col("nocap_hit"), 1L).otherwise(0L)).as("hit_nocap"),
       sum(when(col("band_en").isNotNull, 1L).otherwise(0L)).as("answered"),
       avg(when(col("band_en").isNotNull,
         col("exact_cos") - col("band_cos"))).as("cos_gap")).head

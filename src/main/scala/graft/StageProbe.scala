@@ -76,6 +76,13 @@ object StageProbe {
           a.input += e.taskMetrics.inputMetrics.bytesRead
         }
     })
+    // A quiesce that hits the 10 s cap without the bus going stable
+    // means the run boundary leaked — a warm-up straggler may land in
+    // the probed map, or the probed tail may be read early — skewing
+    // exactly the max/med stats this tool adjudicates with. That run
+    // must be DISTINGUISHABLE from a clean one (ADVICE r15 item 5):
+    // the JSON carries `quiesce_timeout` and stderr gets a warning.
+    var quiesceTimeout = false
     def quiesce(): Unit = {
       var last = -1L
       var stable = 0
@@ -84,6 +91,13 @@ object StageProbe {
         val cur = stages.synchronized(stages.valuesIterator.map(_.tasks.toLong).sum)
         if (cur == last) stable += 1 else { stable = 0; last = cur }
         Thread.sleep(250); waited += 250
+      }
+      if (stable < 2) {
+        quiesceTimeout = true
+        System.err.println(
+          "WARN: StageProbe quiesce hit the 10s cap with task-ends still " +
+            "arriving — probe boundaries are contaminated; treat this " +
+            "probe's stage stats as unreliable (quiesce_timeout=true)")
       }
     }
 
@@ -113,7 +127,7 @@ object StageProbe {
         f"""{"stage":$id,"tasks":${a.tasks},"task_time_sum_s":${sorted.sum / 1e3}%.1f,"task_time_max_s":${mx / 1e3}%.2f,"task_time_med_s":${med / 1e3}%.2f,"max_over_med":$ratio%.2f,"spill_mem_mb":${mb(a.spillMem)},"spill_disk_mb":${mb(a.spillDisk)},"shuffle_read_mb":${mb(a.shufRead)},"shuffle_write_mb":${mb(a.shufWrite)},"input_mb":${mb(a.input)}}"""
       }
     val json =
-      f"""{"metric":"stage_probe","query":"$queryName","sf":"$sfDir","cpus":$cpus,"runs":$runs,"probed_run_sec":$probedSec%.2f,"all_run_secs":[${warmSecs.map(s => f"$s%.2f").mkString(",")}],"loadavg_before":${loadBefore},"loadavg_after":${loadAfter},"stages":[${rows.mkString(",")}]}"""
+      f"""{"metric":"stage_probe","query":"$queryName","sf":"$sfDir","cpus":$cpus,"runs":$runs,"probed_run_sec":$probedSec%.2f,"all_run_secs":[${warmSecs.map(s => f"$s%.2f").mkString(",")}],"quiesce_timeout":$quiesceTimeout,"loadavg_before":${loadBefore},"loadavg_after":${loadAfter},"stages":[${rows.mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

@@ -28,14 +28,23 @@ object Tuning {
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
   val ObjectAggFallbackKeys: Int = 1 << 22
 
+  /** `SPARK_GRAFT_NO_TUNING=1` — the A/B switch. Disables the
+    * session-level tuning below AND the operator-scoped sets inside
+    * [[graft.ops.TextAnalysis.bitextMining]] (ADVICE r15 item 3: the
+    * scoped raise used to pin itself regardless, so the switch could
+    * not produce an untuned q187 run). An untuned q187 at sf100 runs
+    * the measured scratch-disk wall — SMJ band-join sorts plus the
+    * 128-key sort fallback, 77 GB of spill → ENOSPC on this host —
+    * which is exactly what the switch exists to demonstrate. */
+  def disabled: Boolean = sys.env.get("SPARK_GRAFT_NO_TUNING").contains("1")
+
   /** Apply the library's session tuning to a builder (the mains and
     * the test harness route through this; an externally-built session
     * — e.g. the driver's t1 smoke — gets correct results either way,
-    * just the default execution modes). `SPARK_GRAFT_NO_TUNING=1`
-    * disables it — the A/B switch; the r15 sf1 A/B measured the raise
-    * neutral on the family's plain-hash-aggregate members
-    * (AB_r15_objectagg_tuning.json). */
+    * just the default execution modes). [[disabled]] turns it off;
+    * the r15 sf1 A/B measured the raise neutral on the family's
+    * plain-hash-aggregate members (AB_r15_objectagg_tuning.json). */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
-    if (sys.env.get("SPARK_GRAFT_NO_TUNING").contains("1")) b
+    if (disabled) b
     else b.config(ObjectAggFallbackKey, ObjectAggFallbackKeys.toString)
 }

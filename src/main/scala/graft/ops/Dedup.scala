@@ -140,8 +140,49 @@ object Dedup {
     * op reports the corpus-level operating point). Pair sets are
     * slivers, so the audit costs three near-dup runs plus sliver-sized
     * semi-joins; the truth set persists across its three uses. */
-  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val truth = jaccardNearDup(spark, dir).select(col("a_id"), col("b_id"))
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame =
+    agreementOf(spark, Tables.documents(spark, dir))
+
+  /** q188: the q182 audit at 100-TB-feasible cost — the same
+    * precision/recall measurement over a DETERMINISTIC md5-residue
+    * document sample (`md5('ag:' || doc_id) residue % mod = 0`,
+    * [[AgreementSampleMod]] ⇒ ~1/4 of the corpus; salt 'ag:'
+    * decorrelates the sample from every other residue split in the
+    * library). Doc-level sampling is the sound unit here: all three
+    * pair sets are PAIRWISE predicates (exact jaccard ≥ t, shared
+    * minhash band, simhash Hamming ≤ 3 — none depends on other
+    * documents), so the sampled audit's pair sets are EXACTLY the full
+    * audit's restricted to sampled-endpoint pairs (DedupSpec pins the
+    * law), and precision/recall are measured on a uniform pair
+    * subsample — an unbiased audit of the same operating point. The
+    * point: q22's exact-jaccard truth leg is the documented
+    * scratch-disk wall at sf100 (SURVEY §8.3 ENOSPC arithmetic);
+    * sampling at mod=4 prices the truth leg at ~sf25 — under the
+    * measured sf30 point — so the cross-method audit can run AT the
+    * scale the deployment paths (q23/q24) are probed at. */
+  def dedupAgreementSampled(spark: SparkSession, dir: String,
+                            mod: Int = AgreementSampleMod): DataFrame =
+    agreementOf(spark, sampledDocs(spark, dir, mod))
+
+  /** Audit sample rate: 1/mod of documents. mod=4 prices the sf100
+    * exact-truth leg at ~sf25 equivalent — inside the measured sf30
+    * feasibility point on this host's scratch disk. */
+  private[graft] val AgreementSampleMod = 4
+
+  /** The deterministic audit sample: md5 residue on the salted doc id —
+    * re-runnable, engine-portable (the oracle replays the identical
+    * residue), and independent of every other md5 split in the library
+    * (different salt ⇒ different hash bits). mod=1 keeps everything. */
+  private[graft] def sampledDocs(spark: SparkSession, dir: String,
+                                 mod: Int): DataFrame = {
+    require(mod >= 1, "sample modulus must be >= 1")
+    Tables.documents(spark, dir).filter(expr(
+      s"""CAST(conv(substring(md5(concat('ag:', CAST(doc_id AS STRING))), 1, 8),
+         |  16, 10) AS BIGINT) % $mod = 0""".stripMargin))
+  }
+
+  private def agreementOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val truth = jaccardNearDupOf(docs).select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     def leg(name: String, pairs0: DataFrame): DataFrame = {
@@ -151,12 +192,17 @@ object Dedup {
           .agg(count(lit(1)).as("n_hit")))
         .select(lit(name).as("method"), col("n_pairs"), col("n_hit"))
     }
-    val out = leg("minhash", minhashLsh(spark, dir))
-      .unionAll(leg("simhash", simhashNearDup(spark, dir)))
+    // degenerate-denominator guard: a sampled audit (q188) can leave a
+    // leg with zero pairs; Spark's double 0/0 is NaN while the oracle
+    // engine NULLs on division by zero — emit null on both engines
+    val out = leg("minhash", minhashLshOf(docs))
+      .unionAll(leg("simhash", simhashNearDupOf(docs)))
       .crossJoin(broadcast(nTrue))
       .select(col("method"), col("n_pairs"), col("n_true"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_pairs"), 6).as("prec"),
-        round(col("n_hit").cast("double") / col("n_true"), 6).as("rec"))
+        when(col("n_pairs") > 0,
+          round(col("n_hit").cast("double") / col("n_pairs"), 6)).as("prec"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 6)).as("rec"))
       .localCheckpoint(true)
     truth.unpersist(false)
     out
@@ -256,13 +302,24 @@ object Dedup {
     * verifier to reject, never drop a true pair; at the default t = 0.5
     * every bound is exactly the ⌊sz/2⌋+1 / 2× / (sa+sb)/3 form. */
   def jaccardNearDup(spark: SparkSession, dir: String,
-                     threshold: Double = 0.5): DataFrame = {
+                     threshold: Double = 0.5): DataFrame =
+    jaccardNearDupOf(Tables.documents(spark, dir), threshold)
+
+  /** q22 over an arbitrary (possibly pre-filtered) documents frame —
+    * the seam the sampled audit (q188) runs the exact truth leg
+    * through. The output is exactly "all pairs with jaccard ≥ t among
+    * the input docs": candidate enumeration's df-ranked global order
+    * shifts with the input corpus, but the prefix/positional filters
+    * are lossless for ANY consistent order and verification is exact,
+    * so restricting the input restricts the OUTPUT exactly. */
+  private[graft] def jaccardNearDupOf(docs: DataFrame,
+                                      threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val t = threshold
     // the shingle index feeds candidate enumeration AND verification —
     // persist it once instead of re-exploding the corpus per use (the
     // standard candidate/verify diamond; spills to disk at scale)
-    val sh = shingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shinglesOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     // shuffle_hash beats the default sort-merge here: both sides shuffle
@@ -434,9 +491,19 @@ object Dedup {
     * and b bucket rows per doc. */
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = NumHashes, bandRows: Int = BandRows,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5): DataFrame =
+    minhashLshOf(Tables.documents(spark, dir), numHashes, bandRows, threshold)
+
+  /** q23 over an arbitrary documents frame (the q188 seam). Signatures
+    * and band hashes are per-doc md5 functions — corpus-independent —
+    * so restricting the input restricts candidates (and therefore the
+    * verified output) exactly. */
+  private[graft] def minhashLshOf(docs: DataFrame,
+                                  numHashes: Int = NumHashes,
+                                  bandRows: Int = BandRows,
+                                  threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must split evenly into bands")
-    val sh = shingles(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shinglesOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // the band-bucket self-join reads sig from both sides and one side
     // broadcasts, so the numHashes-min signature aggregate would run
     // twice; one short row per doc is the cheapest thing in this plan to
@@ -580,7 +647,14 @@ object Dedup {
     * shuffled 64-byte keys where 8 bytes carry the same information. */
   def simhashNearDup(spark: SparkSession, dir: String,
                      maxHamming: Int = 3): DataFrame =
-    hammingBandPairs(simhashSignatures(spark, dir), chunkBits = 8, maxHamming)
+    simhashNearDupOf(Tables.documents(spark, dir), maxHamming)
+
+  /** q24 over an arbitrary documents frame (the q188 seam): signatures
+    * are per-doc token-hash sums and the Hamming predicate is pairwise,
+    * so restriction is exact. */
+  private[graft] def simhashNearDupOf(docs: DataFrame,
+                                      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(simhashSignaturesOf(docs), chunkBits = 8, maxHamming)
 
   /** The banded Hamming-join machinery shared by q24 (64-bit SimHash,
     * 8-bit chunks) and q148 (56-bit media dHash, 7-bit chunks): group
@@ -657,8 +731,11 @@ object Dedup {
     * pays per-row object ser/de. The fixed compile-time dimension is what
     * makes the column expansion possible; VectorSumAgg remains the right
     * tool where the dimension is data-driven (label centroids). */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val docTok = Tables.documents(spark, dir)
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    simhashSignaturesOf(Tables.documents(spark, dir))
+
+  private[graft] def simhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val docTok = docs
       // per-doc distinct tokens via array_distinct — map-side, no shuffle
       .select(col("doc_id"),
         explode(array_distinct(split(normText(col("text")), " "))).as("tok"))
@@ -952,6 +1029,36 @@ object Dedup {
         |FROM d GROUP BY 1""".stripMargin,
     "q182_dedup_agreement" ->
       s"""WITH tr AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (${baseOracle("q22_jaccard_neardup")}) x),
+         |m1 AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (${baseOracle("q23_minhash_lsh")}) x),
+         |m2 AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (${baseOracle("q24_simhash_neardup")}) x),
+         |legs AS (
+         |  SELECT 'minhash' AS method,
+         |    (SELECT count(*) FROM m1) AS n_pairs,
+         |    (SELECT count(*) FROM m1 JOIN tr USING (a_id, b_id)) AS n_hit
+         |  UNION ALL
+         |  SELECT 'simhash',
+         |    (SELECT count(*) FROM m2),
+         |    (SELECT count(*) FROM m2 JOIN tr USING (a_id, b_id)))
+         |SELECT method, n_pairs, (SELECT count(*) FROM tr) AS n_true, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_pairs, 6) AS prec,
+         |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM tr), 6) AS rec
+         |FROM legs""".stripMargin,
+    // q188: identical audit arithmetic to q182 over the md5-residue
+    // document sample — the `documents` CTE shadows the base table for
+    // every nested leg (CTE name resolution wins over the catalog), so
+    // the three legs replay the Spark side's sampled corpus exactly;
+    // inside its own definition the base table must be schema-qualified
+    // (`main.documents` — the engine otherwise reads the unqualified
+    // name as a circular CTE reference)
+    "q188_dedup_agreement_sampled" ->
+      s"""WITH documents AS MATERIALIZED (
+         |  SELECT * FROM main.documents
+         |  WHERE CAST('0x' || substring(md5('ag:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |          AS BIGINT) % $AgreementSampleMod = 0),
+         |tr AS MATERIALIZED (
          |  SELECT a_id, b_id FROM (${baseOracle("q22_jaccard_neardup")}) x),
          |m1 AS MATERIALIZED (
          |  SELECT a_id, b_id FROM (${baseOracle("q23_minhash_lsh")}) x),

@@ -119,8 +119,17 @@ object Graph {
     * for any in-degree ≤ 2²³ and any per-round degree product
     * d_hub·d_auth ≤ 2²³ (~8.4M), versus the r14 deferred-normalization
     * bound of (d_hub·d_auth)^rounds ≤ 2⁵³ ⇔ degree product ≲ 100.
-    * Snap quantization is ≤ 2⁻³⁰ relative per round (~8·10⁻⁹ over the
-    * 8 rounds) — three orders below the 5-dp read-out grid. */
+    * Snap quantization error is ABSOLUTE, not relative (ADVICE r15
+    * item 2): round-to-grid moves a score by ≤ 2⁻³¹ of the per-round
+    * MAX (half a grid unit), so a hub at fraction f of the round max
+    * carries relative error ≤ 2⁻³¹/f — scores below 2⁻³¹ of the max
+    * snap to 0 outright, which a power-law hub distribution's tail
+    * will do. The top-25 read-out sits at f ≈ 1, where the
+    * accumulated ~8 rounds × 2⁻³¹ ≈ 4·10⁻⁹ is three orders below the
+    * 5-dp grid; cross-engine agreement is unaffected at ANY f because
+    * the oracle replays the identical snap — only closeness to
+    * UN-snapped HITS degrades in the tail, and the 1e-4-tolerance
+    * reference test covers only the gate graph's near-max range. */
   private[graft] val HitsSnapScale = 1L << 30
 
   /** q176: HITS hubs & authorities (Kleinberg, JACM 1999) on the

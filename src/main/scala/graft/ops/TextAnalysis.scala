@@ -484,6 +484,30 @@ object TextAnalysis {
   private[graft] val BitextMaxBandBits = 24
   private[graft] val BitextBucketCap = 256
 
+  /** Per-row bytes estimate for the capped-English build side of the
+    * band-bucket joins (16 longs of vector + ids/band/bv + unsafe-row
+    * overhead) — sizes the SHUFFLE_HASH build-side gate in
+    * [[bitextPlan]] and the shuffle-partition floor in
+    * [[bitextMining]]. Deliberately fat vs the ~8 GB measured sf100
+    * peak: the gate must err toward "add partitions / fall back to
+    * SMJ", never toward an un-spillable OOM. */
+  private[graft] val BitextBuildRowBytes = 224L
+
+  /** Per-partition hash-build bytes the scoped shuffle-partition floor
+    * in [[bitextMining]] sizes for (256 MB — small against any sane
+    * executor, large enough that gate-scale runs never bump). */
+  private[graft] val BitextHashBuildTarget = 256L << 20
+
+  /** Hard SHUFFLE_HASH gate (ADVICE r15 item 1): a ShuffledHashJoin
+    * builds ONE in-memory hash map per shuffle PARTITION, not per
+    * bucket — "the build side is bucket-bounded" bounds the map only
+    * when the partition count scales with the corpus. Past this
+    * estimated per-partition build size [[bitextPlan]] DROPS the hints
+    * and the band joins degrade to SortMergeJoin: slow and
+    * scratch-hungry (the measured 77 GB sf100 spill), but spillable —
+    * never an un-spillable build OOM on a low-partition session. */
+  private[graft] val BitextHashBuildMax = 512L << 20
+
   /** Band width as a function of corpus size: the smallest r in
     * [4, 24] with 2^(r+6) ≥ n — integer-only (the oracle mirrors it as
     * an integer scan, no cross-engine log2 rounding). With the
@@ -551,17 +575,73 @@ object TextAnalysis {
          |  array(${thrs.map(t => s"${t}L").mkString(",")}))""".stripMargin))
   }
 
+  /** Execute `body` (which must run its plan EAGERLY — a checkpoint or
+    * action) under the q187 scoped session tuning, restoring session
+    * defaults after. Two knobs:
+    *  - ObjectHashAggregate sort-fallback raise: the top-2 rerank runs
+    *    through ObjectHashAggregateExec, whose default 128-keys/
+    *    partition fallback turns the Θ(candidates) scored stream into
+    *    a full disk sort (the sf100 ENOSPC, with the SMJ sorts, burned
+    *    77 GB of scratch on ~1.3 B scored rows). TopKDistinctAgg
+    *    buffers are ≤ 2 tuples, so hash mode is the right regime:
+    *    2²² keys/partition is a few hundred MB worst-case, and past it
+    *    the sort fallback still guards.
+    *  - Shuffle-partition floor (ADVICE r15 item 1): enough partitions
+    *    that the band joins' per-partition SHUFFLE_HASH build stays
+    *    under [[BitextHashBuildTarget]] — a low-cpu session at a big
+    *    corpus gets more (smaller) reduce partitions instead of either
+    *    an un-spillable hash-build OOM or the SMJ spill wall.
+    * Both honor SPARK_GRAFT_NO_TUNING=1 (ADVICE r15 item 3): the A/B
+    * switch now yields a genuinely untuned run — which at sf100 means
+    * SortMergeJoin band joins and the 128-key sort fallback, i.e. the
+    * measured scratch-disk wall. That is the point of the switch.
+    * Shared by [[bitextMining]] and [[bitextRecallFrame]] so the probe
+    * measures the miner's own execution config. */
+  private def withBitextTuning[T](spark: SparkSession, n: Long)(body: => T): T = {
+    val scoped: Map[String, String] =
+      if (graft.Tuning.disabled) Map.empty
+      else {
+        val spKey = "spark.sql.shuffle.partitions"
+        val floor = ((BitextBands.toLong * n * BitextBuildRowBytes +
+          BitextHashBuildTarget - 1) / BitextHashBuildTarget).toInt
+        val cur = spark.conf.get(spKey).toInt
+        Map(graft.Tuning.ObjectAggFallbackKey ->
+          graft.Tuning.ObjectAggFallbackKeys.toString) ++
+          (if (floor > cur) Map(spKey -> floor.toString) else Map.empty)
+      }
+    val olds = scoped.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** The bucket legs + candidate join + rerank as ONE lazy plan over a
     * caller-supplied banded frame (`wb` = [[bitextBanded]], persisted
     * by the caller) — split out so PlanSpec can audit the physical
     * shape (the public [[bitextMining]] checkpoints the tiny result,
     * which hides the interior from EXPLAIN — the q87 lifecycle). */
   private[graft] def bitextPlan(spark: SparkSession, wb: DataFrame,
-                                r: Int, minCos: Double,
+                                n: Long, r: Int, minCos: Double,
                                 multiprobe: Boolean = false,
                                 cap: Int = BitextBucketCap): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val bands = BitextBands
+    // SHUFFLE_HASH build gate (ADVICE r15 item 1, see
+    // [[BitextHashBuildMax]]): estimate the FAT build side — enCap is
+    // ≤ bands·n_en rows carrying a 16-long vector; `n` (whole corpus)
+    // conservatively bounds n_en — against the partition count the
+    // session will actually hash-build at. [[bitextMining]]'s scoped
+    // shuffle-partition floor keeps tuned runs under the gate, so the
+    // fast path is unchanged where it was measured; an untuned
+    // low-partition session falls back to spillable SortMergeJoin
+    // instead of an un-spillable build OOM.
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val hashBuildOk =
+      bands.toLong * math.max(0L, n) * BitextBuildRowBytes / parts <= BitextHashBuildMax
+    def bhint(df: DataFrame): DataFrame =
+      if (hashBuildOk) df.hint("SHUFFLE_HASH") else df
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), col("bb").getItem(b).as("bv")))
     // both bucket legs CARRY their vectors (the q155 r13f lesson:
@@ -578,16 +658,17 @@ object TextAnalysis {
     // English doc (x % cb < cb ≤ cap); a hot bucket keeps the ≈cap docs
     // whose md5 residue lands under the cap — bounded pair work with a
     // documented recall effect, never a single-task skew straggler
-    // SHUFFLE_HASH on every band-bucket join build side: both joins key
-    // on (band, bv) whose build inputs are bucket-bounded (encnt is one
-    // row per occupied bucket; enCap ≤ cap docs/bucket), so a
-    // per-partition hash build is small by construction — while the
+    // SHUFFLE_HASH on every band-bucket join build side (via the
+    // gated `bhint` above): both joins key on (band, bv) whose build
+    // inputs are bucket-bounded (encnt is one row per occupied bucket;
+    // enCap ≤ cap docs/bucket), so a per-partition hash build stays
+    // small whenever partitions scale with the corpus — while the
     // default SortMergeJoin SORTS two banded vector-carrying streams
     // (bands · n rows × ~200 B), which at sf100 measured ENOSPC through
     // 77 GB of sort spill in the join stage. Hash build also reuses the
     // (band, bv) exchange encnt's own aggregation already paid.
     val encnt = en.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("cb"))
-    val enCap = en.join(encnt.hint("SHUFFLE_HASH"), Seq("band", "bv"))
+    val enCap = en.join(bhint(encnt), Seq("band", "bv"))
       .filter(expr(
         s"""CAST(conv(substring(md5(concat_ws(':',
            |  CAST(en_id AS STRING), CAST(band AS STRING))), 1, 8), 16, 10)
@@ -616,7 +697,7 @@ object TextAnalysis {
     // tuple-dedup inside the bounded aggregator makes this equal to
     // distinct-pairs-then-rank without ever exchanging the pair stream
     val top2 = udaf(new graft.functions.TopKDistinctAgg(2))
-    tb.join(enCap.hint("SHUFFLE_HASH"), Seq("band", "bv"))
+    tb.join(bhint(enCap), Seq("band", "bv"))
       .withColumn("cos",
         expr("dot_long(t_v, en_v)").cast("double") /
           (sqrt(col("t_n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
@@ -683,25 +764,9 @@ object TextAnalysis {
     val (nn, s) = bitextStats(w)
     val wb = bitextBanded(w, r, nn, s)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The top-2 rerank runs through ObjectHashAggregateExec, whose
-    // default sort-based fallback fires after 128 distinct keys per
-    // partition — which turns the Θ(candidates) scored stream into a
-    // full disk sort (the sf100 ENOSPC, with the SMJ sorts, burned
-    // 77 GB of scratch on ~1.3 B scored rows). The TopKDistinctAgg
-    // buffer is ≤ 2 tuples, so hash mode is the right regime: raise
-    // the fallback to 2²² keys/partition (~a few hundred MB of tiny
-    // buffers worst-case; past it the sort fallback still guards).
-    // Scoped: the checkpoint below executes eagerly, then the session
-    // default is restored.
-    val fbKey = graft.Tuning.ObjectAggFallbackKey
-    val fbOld = spark.conf.getOption(fbKey)
-    spark.conf.set(fbKey, graft.Tuning.ObjectAggFallbackKeys.toString)
-    val out =
-      try bitextPlan(spark, wb, r, minCos).localCheckpoint(true)
-      finally fbOld match {
-        case Some(v) => spark.conf.set(fbKey, v)
-        case None => spark.conf.unset(fbKey)
-      }
+    val out = withBitextTuning(spark, n) {
+      bitextPlan(spark, wb, n, r, minCos).localCheckpoint(true)
+    }
     wb.unpersist(false)
     hv.unpersist(false)
     out
@@ -713,7 +778,11 @@ object TextAnalysis {
     * scored stream never shuffles, partial max-by aggregates map-side)
     * joined against the banded miner's answer at the shipped cap AND
     * uncapped — so top-1 recall and the bucket cap's separate
-    * contribution are both measurable from one frame. Queries are the
+    * contribution are both measurable from one frame. The frame also
+    * carries the authoritative hit verdicts (`band_hit`/`nocap_hit`:
+    * id match with the exact top-1, or exact raw-cosine equality — a
+    * genuine score tie; see the predicate comment in the body), so
+    * every consumer scores recall identically. Queries are the
     * deterministic md5-order prefix of the non-English side (re-runnable;
     * at sampleN ≥ n_t this is the whole corpus). minCos is disabled on
     * the banded legs: recall compares neighbor IDENTITY, not the
@@ -758,13 +827,52 @@ object TextAnalysis {
     val qIds = broadcast(q.select(col("doc_id")).distinct())
     val wbQ = wb.filter(col("lang") === "en").unionByName(
       wb.filter(col("lang") =!= "en").join(qIds, Seq("doc_id"), "left_semi"))
-    val banded = bitextPlan(spark, wbQ, r, minCos = -2.0)
-      .select(col("t_id"), col("en_id").as("band_en"), col("cos").as("band_cos"))
-    val noCap = bitextPlan(spark, wbQ, r, minCos = -2.0, cap = Int.MaxValue)
-      .select(col("t_id"), col("en_id").as("nocap_en"), col("cos").as("nocap_cos"))
-    val out = exact
+    // the two mining legs run under the miner's own scoped tuning (the
+    // probe must measure the config [[bitextMining]] ships); their
+    // results are sampleN-row slivers, checkpointed eagerly inside the
+    // scope
+    val (banded, noCap) = withBitextTuning(spark, n) {
+      (bitextPlan(spark, wbQ, n, r, minCos = -2.0)
+        .select(col("t_id"), col("en_id").as("band_en"), col("cos").as("band_cos"))
+        .localCheckpoint(true),
+        bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = Int.MaxValue)
+          .select(col("t_id"), col("en_id").as("nocap_en"), col("cos").as("nocap_cos"))
+          .localCheckpoint(true))
+    }
+    val joined = exact
       .join(banded, Seq("t_id"), "left")
       .join(noCap, Seq("t_id"), "left")
+      .join(q.select(col("doc_id").as("t_id"), col("v").as("q_v"),
+        col("n2").as("q_n2")), Seq("t_id"))
+      .localCheckpoint(true) // the exact brute leg runs ONCE, here
+    // Hit predicate, computed HERE so CurationOpsSpec's recall-floor
+    // law and RecallProbe read the SAME `band_hit`/`nocap_hit` columns
+    // and cannot drift (ADVICE r15 item 4). A banded answer is a
+    // correct top-1 iff it IS the exact neighbor by id OR attains the
+    // exact max cosine (a genuine score tie). The r15 criterion
+    // compared the miner's 6-dp ROUNDED cosine against the raw exact
+    // one within a strict 5e-7, which (a) credited near-ties within
+    // half a grid step that are NOT score ties and (b) missed a true
+    // tie landing exactly on the boundary. Recomputing the answer's
+    // cosine from the VECTORS with the identical expression makes the
+    // comparison exact double equality (same exact-int inputs →
+    // bit-identical double), no tolerance at all.
+    val needEn = joined.select(explode(array(col("band_en"),
+      col("nocap_en"))).as("en_id")).filter(col("en_id").isNotNull).distinct()
+    val enSliver = en.join(broadcast(needEn), Seq("en_id"), "left_semi")
+      .localCheckpoint(true) // ≤ 2·sampleN rows of answer vectors
+    def withHit(df: DataFrame, enCol: String, hitCol: String): DataFrame =
+      df.join(broadcast(enSliver.select(col("en_id").as(enCol),
+        col("en_v").as("h_v"), col("en_n2").as("h_n2"))), Seq(enCol), "left")
+        .withColumn(hitCol, col(enCol).isNotNull &&
+          (col(enCol) === col("exact_en") ||
+            (expr("dot_long(q_v, h_v)").cast("double") /
+              (sqrt(col("q_n2").cast("double")) *
+                sqrt(col("h_n2").cast("double")))) === col("exact_cos")))
+        .drop("h_v", "h_n2")
+    val out = withHit(withHit(joined, "band_en", "band_hit"),
+      "nocap_en", "nocap_hit")
+      .drop("q_v", "q_n2")
       .localCheckpoint(true)
     wb.unpersist(false)
     hv.unpersist(false)

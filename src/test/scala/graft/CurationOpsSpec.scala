@@ -774,14 +774,14 @@ class CurationOpsSpec extends SparkSpec {
     val rows = TextAnalysis.bitextRecallFrame(spark, sf, sampleN = 1000000)
       .collect()
     assert(rows.nonEmpty, "no non-English queries in corpus")
-    def hit(r: org.apache.spark.sql.Row, en: String, cosc: String): Boolean =
-      !r.isNullAt(r.fieldIndex(en)) &&
-        (r.getAs[Long](en) == r.getAs[Long]("exact_en") ||
-          // 5e-7 covers the 6-dp grid the miner's cosine is rounded
-          // onto (exact_cos is raw) — a tie by score is a correct top-1
-          math.abs(r.getAs[Double](cosc) - r.getAs[Double]("exact_cos")) < 5e-7)
-    val hits = rows.count(hit(_, "band_en", "band_cos"))
-    val hitsNoCap = rows.count(hit(_, "nocap_en", "nocap_cos"))
+    // the hit verdict lives IN the frame (band_hit/nocap_hit: id match
+    // with the exact top-1 or exact raw-cosine equality recomputed from
+    // the vectors — a genuine score tie, no tolerance), so this law and
+    // RecallProbe score recall identically (ADVICE r15 item 4)
+    def hit(r: org.apache.spark.sql.Row, hitCol: String): Boolean =
+      r.getAs[Boolean](hitCol)
+    val hits = rows.count(hit(_, "band_hit"))
+    val hitsNoCap = rows.count(hit(_, "nocap_hit"))
     val recall = hits.toDouble / rows.length
     // floor set from measurement (RECALL_r15 artifacts): 0.95+ at
     // sf0.001/sf0.01 — alert margin below, not a tuned-to-pass bound

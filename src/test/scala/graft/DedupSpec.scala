@@ -205,6 +205,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q188 sampled agreement: doc-sampling restricts every pair set exactly; mod=1 is q182") {
+    // All three pair predicates (exact jaccard ≥ t, shared minhash
+    // band, simhash Hamming ≤ 3) are PAIRWISE — no dependence on other
+    // documents — so the sampled audit's pair sets must be EXACTLY the
+    // full-corpus sets restricted to sampled-endpoint pairs. (Candidate
+    // ENUMERATION inside q22 re-ranks by the sub-corpus df order, but
+    // the prefix/positional filters are lossless for any consistent
+    // order and verification is exact, so the OUTPUT restricts.)
+    def pairSet(df: DataFrame) = df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Dedup.sampledDocs(spark, sf, Dedup.AgreementSampleMod)
+    val sIds = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val nAll = Tables.documents(spark, sf).count()
+    assert(sIds.nonEmpty && sIds.size < nAll,
+      s"sample ${sIds.size}/$nAll must be a proper non-empty subset")
+    def restrict(ps: Set[(Long, Long)]) = ps.filter(p => sIds(p._1) && sIds(p._2))
+    val trFull = pairSet(Dedup.jaccardNearDup(spark, sf))
+    val mhFull = pairSet(Dedup.minhashLsh(spark, sf))
+    val shFull = pairSet(Dedup.simhashNearDup(spark, sf))
+    val trS = pairSet(Dedup.jaccardNearDupOf(sampled))
+    val mhS = pairSet(Dedup.minhashLshOf(sampled))
+    val shS = pairSet(Dedup.simhashNearDupOf(sampled))
+    assert(trS == restrict(trFull), "exact-jaccard truth must restrict exactly")
+    assert(mhS == restrict(mhFull), "minhash pair set must restrict exactly")
+    assert(shS == restrict(shFull), "simhash pair set must restrict exactly")
+    // the published audit rows carry the restricted-set arithmetic,
+    // with null (not NaN) on a zero denominator
+    val got = Dedup.dedupAgreementSampled(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(got.keySet == Set("minhash", "simhash"))
+    Seq("minhash" -> mhS, "simhash" -> shS).foreach { case (m, ps) =>
+      val r = got(m)
+      val hit = ps.intersect(trS).size.toLong
+      assert(r.getAs[Long]("n_pairs") == ps.size && r.getAs[Long]("n_true") == trS.size
+        && r.getAs[Long]("n_hit") == hit, s"$m counts")
+      if (ps.isEmpty) assert(r.isNullAt(r.fieldIndex("prec")), s"$m prec must be null on 0 pairs")
+      if (trS.isEmpty) assert(r.isNullAt(r.fieldIndex("rec")), s"$m rec must be null on 0 truth")
+    }
+    // mod=1 keeps every document: the sampled audit degenerates to q182
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.dedupAgreementSampled(spark, sf, mod = 1))
+      == rows(Dedup.dedupAgreement(spark, sf)), "mod=1 must equal the unsampled audit")
+  }
+
   test("q183 source matrix: cells equal a recompute from the q23 pairs; shares sum to 1") {
     val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

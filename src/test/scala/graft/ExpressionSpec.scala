@@ -74,4 +74,58 @@ class ExpressionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dot_long") || e.getMessage.contains("DATATYPE"))
   }
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null || (t.getCause eq t)) t else rootCause(t.getCause)
+
+  test("lsh_bands fails loudly on a non-16-element vector, both eval paths (VERDICT r15 item 1)") {
+    // lsh_bands is publicly registered and its 16-element read loops
+    // are unguarded by construction — a short array<bigint> would read
+    // past UnsafeArrayData's payload and band SILENTLY on garbage.
+    // Both eval paths must throw instead.
+    VectorExprs.register(spark)
+    val coefs = (1 to 16).mkString(",")
+    // codegen path (whole-stage generated java)
+    val e = intercept[Exception] {
+      Seq(Seq(1L, 2L, 3L)).toDF("v")
+        .select(expr(s"lsh_bands(v, 1L, 1, 1, array($coefs), array(0L))"))
+        .collect()
+    }
+    assert(rootCause(e).getMessage.contains("16-element"),
+      s"codegen path must name the dimension contract: ${rootCause(e).getMessage}")
+    // interpreted path (direct expression eval, no codegen)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(1L, 2L),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    val ie = graft.functions.CenteredLshBands(lit, 1L, 1, 1,
+      Array.fill(16)(1), Array(0L))
+    val e2 = intercept[IllegalArgumentException] { ie.eval(null) }
+    assert(e2.getMessage.contains("16-element"))
+    // and a well-formed 16-element vector agrees across both paths
+    val v16 = (1L to 16L).toSeq
+    val fromDf = Seq(v16).toDF("v")
+      .select(expr(s"lsh_bands(v, 1L, 1, 1, array($coefs), array(0L))").as("b"))
+      .collect()(0).getSeq[Long](0)
+    val lit16 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      v16, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    val fromEval = graft.functions.CenteredLshBands(lit16, 1L, 1, 1,
+      (1 to 16).toArray, Array(0L)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(fromDf == fromEval, s"$fromDf vs $fromEval")
+  }
+
+  test("lsh_bands requires literal config args with a clear error (VERDICT r15 item 3)") {
+    // the builder evals config args eagerly at registration-call time;
+    // a non-literal config arg must surface as this require message,
+    // not an obscure unbound-attribute eval error
+    VectorExprs.register(spark)
+    val coefs = (1 to 16).mkString(",")
+    val e = intercept[Exception] {
+      Seq((Seq.fill(16)(1L), 2L)).toDF("v", "k")
+        .select(expr(s"lsh_bands(v, k, 1, 1, array($coefs), array(0L))"))
+        .collect()
+    }
+    assert(rootCause(e).getMessage.contains("must be literals"),
+      s"got: ${rootCause(e).getMessage}")
+  }
 }

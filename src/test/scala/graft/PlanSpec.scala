@@ -613,7 +613,9 @@ class PlanSpec extends SparkSpec {
       .withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
     val (nn, s) = graft.ops.TextAnalysis.bitextStats(w)
     val wb = graft.ops.TextAnalysis.bitextBanded(w, 8, nn, s)
-    val df = graft.ops.TextAnalysis.bitextPlan(spark, wb, 8, 0.5)
+    // n is the gate-scale corpus count: the SHUFFLE_HASH build gate
+    // must keep the hints at every measured configuration
+    val df = graft.ops.TextAnalysis.bitextPlan(spark, wb, 1000L, 8, 0.5)
     val p = plan(df)
     assert(!p.contains("Window"),
       s"rerank must be the bounded TopKAgg, never a row_number window:\n$p")
@@ -641,6 +643,46 @@ class PlanSpec extends SparkSpec {
       assert(!cols.contains("cos"),
         s"scored pairs must aggregate where born, never shuffle [${cols.mkString(", ")}]:\n$p")
     }
+  }
+
+  test("q187 bitext: hash-build gate falls back to spillable SMJ past the per-partition bound (ADVICE r15 item 1)") {
+    import org.apache.spark.sql.functions._
+    // a ShuffledHashJoin builds one un-spillable map per shuffle
+    // PARTITION — on a session whose partition count does NOT scale
+    // with the corpus, the gate must drop the hints so the band joins
+    // degrade to (slow, spillable) SortMergeJoin instead of an OOM.
+    // bitextMining's scoped shuffle-partition floor keeps tuned runs
+    // under the gate; here the floor is bypassed on purpose by calling
+    // the interior plan directly with a corpus count far past what the
+    // session's partitions can hash-build.
+    graft.functions.VectorExprs.register(spark)
+    val w = graft.ops.TextAnalysis.hashVecOf(spark, sf)
+      .withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
+    val (nn, s) = graft.ops.TextAnalysis.bitextStats(w)
+    val wb = graft.ops.TextAnalysis.bitextBanded(w, 8, nn, s)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    // smallest n past the gate for this session's partition count
+    val nOver = parts * graft.ops.TextAnalysis.BitextHashBuildMax /
+      (graft.ops.TextAnalysis.BitextBands * graft.ops.TextAnalysis.BitextBuildRowBytes) + 1
+    val p = plan(graft.ops.TextAnalysis.bitextPlan(spark, wb, nOver, 8, 0.5))
+    // the gate's observable effect is NO un-spillable hash build; what
+    // Catalyst picks instead depends on size stats (broadcast at this
+    // fixture's scale, spillable SMJ once the sides outgrow the
+    // autoBroadcast threshold — both safe)
+    assert(!p.contains("ShuffledHashJoin"),
+      s"past the build gate no band join may hash-build:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"past the build gate the band joins must use a spillable/broadcast mode:\n$p")
+    // and the floor bitextMining would scope for that corpus brings the
+    // estimate back under the gate, so the tuned path keeps the hints
+    val floor = (graft.ops.TextAnalysis.BitextBands * nOver *
+      graft.ops.TextAnalysis.BitextBuildRowBytes +
+      graft.ops.TextAnalysis.BitextHashBuildTarget - 1) /
+      graft.ops.TextAnalysis.BitextHashBuildTarget
+    assert(graft.ops.TextAnalysis.BitextBands * nOver *
+      graft.ops.TextAnalysis.BitextBuildRowBytes / floor
+      <= graft.ops.TextAnalysis.BitextHashBuildMax,
+      "the scoped partition floor must satisfy the hash-build gate")
   }
 
   test("q178 label margins: centroids broadcast, no vector-vector join") {
