@@ -52,6 +52,10 @@ object StageProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // liveness tolerance for single-JVM probe runs: a long driver
+      // pause (GC, big task-result processing) must not let the
+      // heartbeat receiver declare the local executor dead mid-probe
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -810,14 +810,31 @@ object TextAnalysis {
     val en = w.filter(col("lang") === "en")
       .select(col("doc_id").as("en_id"), col("v").as("en_v"),
         col("n2").as("en_n2"))
-    val exact = q.crossJoin(broadcast(en))
+    // The exact brute leg, in the shape a 100 TB exact-audit needs (both
+    // lessons measured at sf100 this round):
+    //  - broadcast the SAMPLE and stream the English corpus, not the
+    //    reverse — collecting the 2.5 M-row en side for a broadcast
+    //    stalled the local-mode driver's RPC dispatcher past the 120 s
+    //    heartbeat timeout and the executor got declared dead mid-probe;
+    //  - rank with the bounded TopKAgg(1) (ordering ≡ the old
+    //    max(struct(cos, −en_id)): score desc, id asc), NOT max(struct) —
+    //    a struct-typed agg buffer is not HashAggregate-mutable, so
+    //    Catalyst planned SortAggregate and SORTED the n_en × sampleN
+    //    scored stream (7.5 B rows at sf100 — ENOSPC through the
+    //    scratch disk). TopKAgg reduces each partition to ≤ sampleN
+    //    1-tuple buffers map-side; nothing corpus-sized ever sorts,
+    //    shuffles, or collects. Runs under withBitextTuning so the
+    //    ObjectHashAggregate fallback (default 128 keys/partition —
+    //    which would re-introduce the very same input sort) stays hash.
+    val top1 = udaf(new graft.functions.TopKAgg(1))
+    val exact = en.crossJoin(broadcast(q))
       .withColumn("cos",
         expr("dot_long(v, en_v)").cast("double") /
           (sqrt(col("n2").cast("double")) * sqrt(col("en_n2").cast("double"))))
       .groupBy(col("doc_id"))
-      .agg(max(struct(col("cos").as("c"), (-col("en_id")).as("nid"))).as("m"))
-      .select(col("doc_id").as("t_id"), col("m.c").as("exact_cos"),
-        (-col("m.nid")).as("exact_en"))
+      .agg(top1(col("cos"), col("en_id")).as("m"))
+      .select(col("doc_id").as("t_id"),
+        expr("m[0]._1").as("exact_cos"), expr("m[0]._2").as("exact_en"))
     // Mine only the SAMPLED queries: the English side (which alone
     // determines bucket populations and the cap) stays whole, but the
     // non-English side is semi-joined down to the sample — per-query
@@ -827,24 +844,25 @@ object TextAnalysis {
     val qIds = broadcast(q.select(col("doc_id")).distinct())
     val wbQ = wb.filter(col("lang") === "en").unionByName(
       wb.filter(col("lang") =!= "en").join(qIds, Seq("doc_id"), "left_semi"))
-    // the two mining legs run under the miner's own scoped tuning (the
-    // probe must measure the config [[bitextMining]] ships); their
-    // results are sampleN-row slivers, checkpointed eagerly inside the
-    // scope
-    val (banded, noCap) = withBitextTuning(spark, n) {
-      (bitextPlan(spark, wbQ, n, r, minCos = -2.0)
+    // the two mining legs AND the exact leg run under the miner's own
+    // scoped tuning (the probe must measure the config [[bitextMining]]
+    // ships, and the exact leg's top-1 aggregate needs the hash-mode
+    // fallback raise — see the `exact` comment); results are
+    // sampleN-row slivers, checkpointed eagerly inside the scope
+    val joined = withBitextTuning(spark, n) {
+      val banded = bitextPlan(spark, wbQ, n, r, minCos = -2.0)
         .select(col("t_id"), col("en_id").as("band_en"), col("cos").as("band_cos"))
-        .localCheckpoint(true),
-        bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = Int.MaxValue)
-          .select(col("t_id"), col("en_id").as("nocap_en"), col("cos").as("nocap_cos"))
-          .localCheckpoint(true))
+        .localCheckpoint(true)
+      val noCap = bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = Int.MaxValue)
+        .select(col("t_id"), col("en_id").as("nocap_en"), col("cos").as("nocap_cos"))
+        .localCheckpoint(true)
+      exact
+        .join(banded, Seq("t_id"), "left")
+        .join(noCap, Seq("t_id"), "left")
+        .join(q.select(col("doc_id").as("t_id"), col("v").as("q_v"),
+          col("n2").as("q_n2")), Seq("t_id"))
+        .localCheckpoint(true) // the exact brute leg runs ONCE, here
     }
-    val joined = exact
-      .join(banded, Seq("t_id"), "left")
-      .join(noCap, Seq("t_id"), "left")
-      .join(q.select(col("doc_id").as("t_id"), col("v").as("q_v"),
-        col("n2").as("q_n2")), Seq("t_id"))
-      .localCheckpoint(true) // the exact brute leg runs ONCE, here
     // Hit predicate, computed HERE so CurationOpsSpec's recall-floor
     // law and RecallProbe read the SAME `band_hit`/`nocap_hit` columns
     // and cannot drift (ADVICE r15 item 4). A banded answer is a

@@ -582,12 +582,13 @@ class PlanSpec extends SparkSpec {
       s"nothing may reshuffle after the checkpointed moment table:\n$p")
   }
 
-  test("q182/q183 composition tails: sliver arithmetic only, no window, no cartesian") {
-    // both ops compose full dedup pipelines (audited via q22/q23/q24)
+  test("q182/q183/q188 composition tails: sliver arithmetic only, no window, no cartesian") {
+    // these ops compose full dedup pipelines (audited via q22/q23/q24)
     // and checkpoint the pair slivers; the visible tails must stay
     // sliver-sized arithmetic — any Window or CartesianProduct here
     // means a composition regression, not a member regression
-    for (name <- Seq("q182_dedup_agreement", "q183_source_dup_matrix")) {
+    for (name <- Seq("q182_dedup_agreement", "q183_source_dup_matrix",
+      "q188_dedup_agreement_sampled")) {
       val p = plan(q(name))
       assert(!p.contains("Window") && !p.contains("CartesianProduct"),
         s"$name tail must stay sliver arithmetic:\n$p")
