@@ -36,6 +36,12 @@ object RecallProbe {
     val outFile = if (args.length > 1) args(1) else "RECALL.json"
     val sampleN = if (args.length > 2) args(2).toInt else 5000
     val rDelta = if (args.length > 3) args(3).toInt else 0
+    // probe-only bucket-cap override (5th arg): the capped leg's cap —
+    // measures what raising BitextBucketCap would buy at a given scale
+    // (the binding recall constraint at sf100); the shipped default is
+    // TextAnalysis.BitextBucketCap, and nocap stays the limit case
+    val cap = if (args.length > 4) args(4).toInt
+              else ops.TextAnalysis.BitextBucketCap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tuning.tune(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -51,7 +57,7 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = Bench.loadAvg()
     val t0 = System.nanoTime()
-    val f = ops.TextAnalysis.bitextRecallFrame(spark, sfDir, sampleN, rDelta)
+    val f = ops.TextAnalysis.bitextRecallFrame(spark, sfDir, sampleN, rDelta, cap)
     val row = f.agg(
       count(lit(1)).as("n_q"),
       sum(when(col("band_hit"), 1L).otherwise(0L)).as("hit"),
@@ -65,7 +71,7 @@ object RecallProbe {
       if (nQ == 0) 0.0 else row.getLong(i).toDouble / nQ
     val gap = if (row.isNullAt(4)) 0.0 else row.getDouble(4)
     val json =
-      f"""{"metric":"bitext_recall_top1","sf":"$sfDir","sample_n":$sampleN,"r_delta":$rDelta,"n_q":$nQ,"recall_top1":${frac(1)}%.4f,"recall_top1_nocap":${frac(2)}%.4f,"coverage":${frac(3)}%.4f,"mean_cos_gap":$gap%.6f,"sec":$sec%.1f,"cpus":$cpus,"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()}}"""
+      f"""{"metric":"bitext_recall_top1","sf":"$sfDir","sample_n":$sampleN,"r_delta":$rDelta,"cap":$cap,"n_q":$nQ,"recall_top1":${frac(1)}%.4f,"recall_top1_nocap":${frac(2)}%.4f,"coverage":${frac(3)}%.4f,"mean_cos_gap":$gap%.6f,"sec":$sec%.1f,"cpus":$cpus,"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

@@ -753,8 +753,19 @@ object TextAnalysis {
     * CurationOpsSpec recall-floor law); 1-bit
     * multiprobe exists as an opt-in knob but measured a ~7× candidate
     * multiplier on correlated text (see [[bitextPlan]]). */
+  /** `cap` is the per-(band, bucket) English population ceiling
+    * ([[BitextBucketCap]] default — what the gate oracle replays).
+    * r16's sf100 recall probes measured the cap as the BINDING recall
+    * constraint at that scale (shipped 256: top-1 recall 0.8013 vs
+    * 0.8803 uncapped; cap 1024 recovers 0.8690 at the same probe cost
+    * — the cap only pays in hot buckets — with the hard
+    * candidates/query ceiling still bands·cap). Deployments at
+    * n ≳ 5 M docs/shard should raise it; width (rDelta) is NOT the
+    * lever there — wider buckets measured recall DOWN at sf100
+    * (0.7910) because they push more buckets past the cap. */
   def bitextMining(spark: SparkSession, dir: String,
-                   minCos: Double = 0.5): DataFrame = {
+                   minCos: Double = 0.5,
+                   cap: Int = BitextBucketCap): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val hv = hashVecOf(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -765,7 +776,7 @@ object TextAnalysis {
     val wb = bitextBanded(w, r, nn, s)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = withBitextTuning(spark, n) {
-      bitextPlan(spark, wb, n, r, minCos).localCheckpoint(true)
+      bitextPlan(spark, wb, n, r, minCos, cap = cap).localCheckpoint(true)
     }
     wb.unpersist(false)
     hv.unpersist(false)
@@ -790,7 +801,8 @@ object TextAnalysis {
     * operator; nothing here runs in the gate path. */
   private[graft] def bitextRecallFrame(spark: SparkSession, dir: String,
                                        sampleN: Int,
-                                       rDelta: Int = 0): DataFrame = {
+                                       rDelta: Int = 0,
+                                       cap: Int = BitextBucketCap): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val hv = hashVecOf(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -850,7 +862,7 @@ object TextAnalysis {
     // fallback raise — see the `exact` comment); results are
     // sampleN-row slivers, checkpointed eagerly inside the scope
     val joined = withBitextTuning(spark, n) {
-      val banded = bitextPlan(spark, wbQ, n, r, minCos = -2.0)
+      val banded = bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = cap)
         .select(col("t_id"), col("en_id").as("band_en"), col("cos").as("band_cos"))
         .localCheckpoint(true)
       val noCap = bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = Int.MaxValue)
