@@ -21,6 +21,47 @@ object Curation {
     * definition lives in TextAnalysis so q50/q79/q84/q88 cannot drift. */
   private def isEval(c: Column) = TextAnalysis.isEval(c)
 
+  /** Corpus-wide first occurrence as ONE hash-aggregable packed LONG.
+    *
+    * `min(struct(doc_id, pos))` is the natural spelling, but a
+    * struct-typed aggregation buffer is not HashAggregate-mutable, so
+    * Catalyst silently plans **SortAggregate** — which SORTS the input
+    * stream by group key in every partition, map-side AND reduce-side.
+    * On these operators the input is the corpus-sized gram/chunk
+    * stream (n·tokens rows), i.e. the largest frames in the library
+    * paying a hidden per-partition sort (the same execution-mode class
+    * as r16's q187 probe ENOSPC, where the identical spelling sorted a
+    * 7.5 B-row stream). `min(doc_id · 2²⁰ + pos)` is the identical
+    * total order while both fields are in bounds — doc_id ∈ [0, 2⁴³),
+    * pos ∈ [0, 2²⁰) — and stays in whole-stage-codegen hash
+    * aggregation. Bounds are enforced, not assumed: the same hash
+    * aggregate carries the group's min/max of both fields (four plain
+    * LONG slots), and [[firstOccField]] raises on any out-of-bounds
+    * group before a silently-wrong min can leave the operator.
+    * (Sliver-sized `min(struct)` sites — q140's per-cluster argmax,
+    * q155's K-row filing — keep the struct spelling: sorting a sliver
+    * is harmless and their keys are doubles.) */
+  private[graft] val FirstOccPosBits = 20
+  private[graft] def firstOccAggs: Seq[Column] = Seq(
+    min(col("doc_id") * (1L << FirstOccPosBits) + col("pos")).as("_kp"),
+    min(col("doc_id")).as("_mnd"), max(col("doc_id")).as("_mxd"),
+    min(col("pos")).as("_mnp"), max(col("pos")).as("_mxp"))
+  private def firstOccBoundsOk: Column =
+    col("_mnd") >= 0 && col("_mxd") < (1L << (63 - FirstOccPosBits)) &&
+      col("_mnp") >= 0 && col("_mxp") < (1L << FirstOccPosBits)
+  /** The unpacked first-occurrence field ("doc" or "pos"), bound-guarded.
+    * "pos" comes back as INT — posexplode produced an int at every call
+    * site, and the unpack must not drift the published schema. */
+  private[graft] def firstOccField(which: String): Column = {
+    val v = which match {
+      case "doc" => shiftright(col("_kp"), FirstOccPosBits)
+      case "pos" => col("_kp").bitwiseAND((1L << FirstOccPosBits) - 1).cast("int")
+    }
+    when(firstOccBoundsOk, v).otherwise(raise_error(lit(
+      s"first-occurrence packing bounds violated: doc_id must be in [0, 2^${63 - FirstOccPosBits}) and pos in [0, 2^$FirstOccPosBits)")))
+  }
+  private[graft] val FirstOccHelperCols = Seq("_kp", "_mnd", "_mxd", "_mnp", "_mxp")
+
   /** Two md5-derived bit positions (k = 2) for a shingle — 60-bit uniform
     * ints from disjoint hex ranges, mod the filter width. md5 keeps the
     * construction engine-portable: DuckDB derives the IDENTICAL bitset,
@@ -115,8 +156,9 @@ object Curation {
            |  c -> md5(concat_ws(' ', slice(toks, c * $ct + 1, $ct))))""".stripMargin)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
     val keep = chunks.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+      .agg(firstOccAggs.head, firstOccAggs.tail: _*)
+      .select(col("h"), firstOccField("doc").as("k_doc"),
+        firstOccField("pos").as("k_pos"))
     val keptPos = chunks.join(keep, "h")
       .filter(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
       .groupBy(col("doc_id"))
@@ -182,9 +224,10 @@ object Curation {
     * groupBy(hash) with map-side partials. */
   private def sdDupFirst(grams: DataFrame): DataFrame =
     grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("k"))
+      .agg(count(lit(1)).as("c"), firstOccAggs: _*)
       .filter(col("c") > 1)
-      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+      .select(col("h"), firstOccField("doc").as("k_doc"),
+        firstOccField("pos").as("k_pos"))
 
   def substringDedup(spark: SparkSession, dir: String,
                      minSpan: Int = MinSpanTokens): DataFrame = {
@@ -357,11 +400,10 @@ object Curation {
     sdGrams(sdToks(spark, dir), L)
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("tf"),
-        min(struct(col("doc_id"), col("pos"))).as("k"))
+        (count(lit(1)).as("tf") +: firstOccAggs): _*)
       .filter(col("df") >= minDf)
       .select(lower(hex(col("h"))).as("gram_hash"), col("df"), col("tf"),
-        col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+        firstOccField("doc").as("k_doc"), firstOccField("pos").as("k_pos"))
 
   /** q147: per-document boilerplate fraction + flag — the apply step:
     * each document's grams probe the q146 boilerplate set and the doc

@@ -325,7 +325,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // encode: per subspace, the centroid minimizing (d, c_id) — the
     // struct min is the deterministic argmin (same total order as the
-    // oracle's row_number over (d, c_id))
+    // oracle's row_number over (d, c_id)). A struct-min buffer is not
+    // HashAggregate-mutable, so this plans SortAggregate (the r16
+    // Curation lesson) — accepted HERE because the input is n·codebookK
+    // rows (16/vector, ≪ the corpus-token streams Curation fixed), the
+    // c_id field is a raw vec_id with no packing-safe bound, and the
+    // measured runs show no spill; revisit only if codebooks grow.
     val enc = pairs.groupBy(col("vec_id"))
       .agg(min(struct(col("d0"), col("c_id"))).as("m0"),
         (1 until subspaces).map(s =>

@@ -686,6 +686,21 @@ class PlanSpec extends SparkSpec {
       "the scoped partition floor must satisfy the hash-build gate")
   }
 
+  test("q89/q133/q138/q146 first-occurrence aggregates hash, never sort, the gram stream") {
+    // min(struct(doc_id, pos)) has a non-HashAggregate-mutable buffer,
+    // so Catalyst silently planned SortAggregate — sorting the
+    // corpus-sized gram/chunk stream (n·tokens rows) per partition on
+    // both sides of the exchange (the r16 q187-probe ENOSPC class).
+    // The packed-long first-occurrence key keeps these in whole-stage
+    // hash aggregation; the bound guards live in the same aggregate.
+    for (name <- Seq("q89_chunk_dedup", "q133_substring_dedup",
+      "q138_substring_apply", "q146_boilerplate")) {
+      val p = plan(q(name))
+      assert(!p.contains("SortAggregate"),
+        s"$name must not sort its token-scale stream to aggregate:\n$p")
+    }
+  }
+
   test("q178 label margins: centroids broadcast, no vector-vector join") {
     val p = plan(q("q178_label_margin"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
