@@ -13,6 +13,24 @@ import java.nio.file.{Files, Paths}
   * skew was ~5s on whichever query ran first in round 1).
   */
 object Bench {
+  /** Execute a query's FULL physical plan and return its row count.
+    *
+    * `df.count()` is NOT that: Catalyst re-optimizes around the count —
+    * every output column is pruned, and any cardinality-preserving tail
+    * is eliminated outright (a left join whose build side is an
+    * aggregate has provably-unique keys, so q133's entire substring-
+    * dedup pipeline collapsed to `FileScan parquet []` + count(1):
+    * measured 0.97 s "at sf100" while reading 2.4 MB of an 811 MB
+    * corpus — r16 found the bench had been timing a metadata count for
+    * such queries since the operator landed). `queryExecution.toRdd`
+    * compiles the dataframe's own physical plan — every column, every
+    * operator — and counting THAT RDD executes it without giving the
+    * optimizer a count to collapse. Eager operators (the checkpointing
+    * pipelines) are unaffected; lazy operators with row-preserving
+    * tails now pay their real cost. */
+  private[graft] def runFully(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** 1/5/15-min system load averages — recorded in the artifact so a
     * judge can adjudicate cross-session timing swings (the box carries
     * external load; SURVEY §12.1) from the artifact itself instead of
@@ -43,7 +61,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { runFully(fn(spark, sfDir)); true }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         ((System.nanoTime() - t0) / 1e9, ok)

@@ -111,7 +111,10 @@ object StageProbe {
     val warmSecs = (1 to runs).map { i =>
       if (i == runs) { quiesce(); stages.synchronized(stages.clear()) }
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // full-plan execution, NOT df.count(): the count re-optimization
+      // prunes columns and eliminates row-preserving tails, so a lazy
+      // operator can collapse to a metadata scan (see Bench.runFully)
+      Bench.runFully(fn(spark, sfDir))
       val t = (System.nanoTime() - t0) / 1e9
       if (i == runs) { quiesce(); probedSec = t }
       spark.catalog.clearCache()
