@@ -4,16 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev utility: time and/or explain individual SparkEntry queries.
   *
-  * Usage: runMain graft.Explain <sfDir> [--explain] <queryName>...
-  * Times each named query (count + wall-clock, 2 runs) and optionally
-  * prints the formatted physical plan — the feedback loop for checking
-  * pushdown/broadcast/codegen claims (SURVEY.md §4).
+  * Usage: runMain graft.Explain <sfDir> [--explain] [--plan-only] <queryName>...
+  * Times each named query (full-plan execution + wall-clock, 2 runs)
+  * and optionally prints the formatted physical plan — the feedback
+  * loop for checking pushdown/broadcast/codegen claims (SURVEY.md §4).
+  * `--plan-only` implies --explain and skips the timed runs (the
+  * whole-library execution-mode sweeps grep these plans).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val showPlan = args.contains("--explain")
-    val names = args.drop(1).filterNot(_ == "--explain")
+    val planOnly = args.contains("--plan-only")
+    val showPlan = args.contains("--explain") || planOnly
+    val names = args.drop(1).filterNot(a => a == "--explain" || a == "--plan-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tuning.tune(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -33,10 +36,12 @@ object Explain {
         case Some(fn) =>
           if (showPlan) { println(s"== $name =="); fn(spark, sfDir).explain("formatted") }
           // time the full invocation (some queries materialize eagerly
-          // inside fn and release their caches — same shape Bench times)
-          (1 to 2).foreach { i =>
+          // inside fn and release their caches — same shape Bench times);
+          // full-plan execution, NOT df.count() (the r16 hollow-timing
+          // collapse — see Bench.runFully)
+          if (!planOnly) (1 to 2).foreach { i =>
             val t0 = System.nanoTime()
-            val n = fn(spark, sfDir).count()
+            val n = Bench.runFully(fn(spark, sfDir))
             println(f"TIME $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
           }
       }

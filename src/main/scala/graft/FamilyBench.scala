@@ -91,7 +91,7 @@ object FamilyBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: codegen/classload once, uncounted
-    SparkEntry.queries("q21_dedup_exact")(spark, sfDir).count()
+    Bench.runFully(SparkEntry.queries("q21_dedup_exact")(spark, sfDir))
     // the declared q118/q27 entries carry the SCALE configuration
     // themselves since round 9 (auto-K ∝ n via semDedupAuto /
     // embeddingNearDupAuto), so no override is needed here
@@ -100,7 +100,11 @@ object FamilyBench {
       val fn = fns(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // full-plan execution, NOT df.count(): the count re-optimization
+        // prunes columns and eliminates row-preserving tails, collapsing
+        // lazy operators to a metadata scan (the r16 hollow-timing bug,
+        // see Bench.runFully — this tool kept the bug one round longer)
+        Bench.runFully(fn(spark, sfDir))
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t
@@ -126,7 +130,7 @@ object FamilyBench {
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

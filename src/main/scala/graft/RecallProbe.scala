@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * CurationOpsSpec proves, and "the miner finds the right pairs", which
   * only a measurement can).
   *
-  * `runMain graft.RecallProbe <sfDir> [outFile] [sampleN=5000]` → one
+  * `runMain graft.RecallProbe <sfDir> [outFile] [sampleN=5000]
+  * [rDelta=0] [cap=0 → the shipped bitextBucketCap(n) rule]` → one
   * JSON line with:
   *  - `recall_top1`: fraction of sampled non-English queries whose
   *    banded answer IS the exact top-1 English neighbor — the
@@ -21,7 +22,7 @@ import org.apache.spark.sql.functions._
   *    spec cannot drift (ADVICE r15 item 4);
   *  - `recall_top1_nocap`: the same with the English bucket cap
   *    disabled — the difference isolates what [[graft.ops.TextAnalysis
-  *    .BitextBucketCap]] costs vs what the 4-band LSH itself costs;
+  *    .bitextBucketCap]](n) costs vs what the banded LSH itself costs;
   *  - `coverage`: fraction of queries for which the banded miner
   *    produced ANY candidate (a query sharing no band bucket with any
   *    English doc yields nothing and counts as a miss in recall_top1);
@@ -37,11 +38,10 @@ object RecallProbe {
     val sampleN = if (args.length > 2) args(2).toInt else 5000
     val rDelta = if (args.length > 3) args(3).toInt else 0
     // probe-only bucket-cap override (5th arg): the capped leg's cap —
-    // measures what raising BitextBucketCap would buy at a given scale
-    // (the binding recall constraint at sf100); the shipped default is
-    // TextAnalysis.BitextBucketCap, and nocap stays the limit case
-    val cap = if (args.length > 4) args(4).toInt
-              else ops.TextAnalysis.BitextBucketCap
+    // measures a specific cap at a given scale; ≤ 0 (the default) is
+    // the shipped bitextBucketCap(n) rule, resolved inside the frame
+    // from the corpus it measures, and nocap stays the limit case
+    val cap = if (args.length > 4) args(4).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tuning.tune(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -64,14 +64,18 @@ object RecallProbe {
       sum(when(col("nocap_hit"), 1L).otherwise(0L)).as("hit_nocap"),
       sum(when(col("band_en").isNotNull, 1L).otherwise(0L)).as("answered"),
       avg(when(col("band_en").isNotNull,
-        col("exact_cos") - col("band_cos"))).as("cos_gap")).head
+        col("exact_cos") - col("band_cos"))).as("cos_gap"),
+      // the EFFECTIVE cap the frame resolved (constant column) — under
+      // the default rule the artifact records the value, not "auto"
+      max(col("cap_used")).as("cap_used")).head
     val sec = (System.nanoTime() - t0) / 1e9
     val nQ = row.getLong(0)
     def frac(i: Int): Double =
       if (nQ == 0) 0.0 else row.getLong(i).toDouble / nQ
     val gap = if (row.isNullAt(4)) 0.0 else row.getDouble(4)
+    val capUsed = if (row.isNullAt(5)) cap else row.getInt(5)
     val json =
-      f"""{"metric":"bitext_recall_top1","sf":"$sfDir","sample_n":$sampleN,"r_delta":$rDelta,"cap":$cap,"n_q":$nQ,"recall_top1":${frac(1)}%.4f,"recall_top1_nocap":${frac(2)}%.4f,"coverage":${frac(3)}%.4f,"mean_cos_gap":$gap%.6f,"sec":$sec%.1f,"cpus":$cpus,"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()}}"""
+      f"""{"metric":"bitext_recall_top1","sf":"$sfDir","sample_n":$sampleN,"r_delta":$rDelta,"cap":$capUsed,"cap_arg":$cap,"n_q":$nQ,"recall_top1":${frac(1)}%.4f,"recall_top1_nocap":${frac(2)}%.4f,"coverage":${frac(3)}%.4f,"mean_cos_gap":$gap%.6f,"sec":$sec%.1f,"cpus":$cpus,"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

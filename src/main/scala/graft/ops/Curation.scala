@@ -31,17 +31,27 @@ object Curation {
     * stream (n·tokens rows), i.e. the largest frames in the library
     * paying a hidden per-partition sort (the same execution-mode class
     * as r16's q187 probe ENOSPC, where the identical spelling sorted a
-    * 7.5 B-row stream). `min(doc_id · 2²⁰ + pos)` is the identical
-    * total order while both fields are in bounds — doc_id ∈ [0, 2⁴³),
-    * pos ∈ [0, 2²⁰) — and stays in whole-stage-codegen hash
+    * 7.5 B-row stream). `min(doc_id · 2²⁶ + pos)` is the identical
+    * total order while both fields are in bounds — doc_id ∈ [0, 2³⁷),
+    * pos ∈ [0, 2²⁶) — and stays in whole-stage-codegen hash
     * aggregation. Bounds are enforced, not assumed: the same hash
     * aggregate carries the group's min/max of both fields (four plain
     * LONG slots), and [[firstOccField]] raises on any out-of-bounds
     * group before a silently-wrong min can leave the operator.
+    *
+    * INPUT CONTRACT (ADVICE r16 item 2): the packing accepts positions
+    * up to 2²⁶ − 1 ≈ 67 M tokens/chunks per document and doc_ids up to
+    * 2³⁷ − 1 ≈ 137 B — both far outside any real corpus shard (a
+    * 67 M-token "document" is a concatenation bug upstream, and 137 B
+    * docs/shard exceeds a whole 100 TB corpus at 1 KB/doc). A corpus
+    * violating either bound fails LOUDLY via raise_error rather than
+    * publishing a silently wrong exemplar; ingestion should segment
+    * (not clamp) oversized documents — clamping would report a wrong
+    * first-occurrence position for the surviving exemplar.
     * (Sliver-sized `min(struct)` sites — q140's per-cluster argmax,
     * q155's K-row filing — keep the struct spelling: sorting a sliver
     * is harmless and their keys are doubles.) */
-  private[graft] val FirstOccPosBits = 20
+  private[graft] val FirstOccPosBits = 26
   private[graft] def firstOccAggs: Seq[Column] = Seq(
     min(col("doc_id") * (1L << FirstOccPosBits) + col("pos")).as("_kp"),
     min(col("doc_id")).as("_mnd"), max(col("doc_id")).as("_mxd"),
@@ -60,7 +70,6 @@ object Curation {
     when(firstOccBoundsOk, v).otherwise(raise_error(lit(
       s"first-occurrence packing bounds violated: doc_id must be in [0, 2^${63 - FirstOccPosBits}) and pos in [0, 2^$FirstOccPosBits)")))
   }
-  private[graft] val FirstOccHelperCols = Seq("_kp", "_mnd", "_mxd", "_mnp", "_mxp")
 
   /** Two md5-derived bit positions (k = 2) for a shingle — 60-bit uniform
     * ints from disjoint hex ranges, mod the filter width. md5 keeps the
@@ -567,11 +576,17 @@ object Curation {
   def shardManifest(spark: SparkSession, dir: String,
                     nShards: Int = NumShards): DataFrame = {
     require(nShards > 0, "shard count must be positive")
+    // min_by(doc_id, ord) is the natural spelling, but its declarative
+    // buffer carries the STRING ordering key → not UnsafeRow-mutable →
+    // SortAggregate over the whole doc stream (the r16 min(struct)
+    // class, found by the r17 sweep; see MinByStrAgg). The typed
+    // aggregator keeps the manifest a hash-mode partial aggregation.
+    val minByOrd = udaf(new graft.functions.MinByStrAgg)
     shardKeys(spark, dir, nShards)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
-        min_by(col("doc_id"), col("ord")).as("first_doc_id"))
+        minByOrd(col("ord"), col("doc_id")).as("first_doc_id"))
   }
 
   /** (doc_id, n_tok, shard_id, ord) — the sharding keys, shared by the
@@ -619,13 +634,19 @@ object Curation {
     require(capacity > 0, "capacity must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard_id")).orderBy(col("ord"))
+    // typed arg-min, not min_by: the string ordering buffer plans
+    // SortAggregate over the corpus stream (see shardManifest) — worse
+    // here, where the stream arrives ALREADY window-sorted and the
+    // built-in re-sorts it anyway because pack_id's monotonicity in ord
+    // is invisible to the optimizer
+    val minByOrd = udaf(new graft.functions.MinByStrAgg)
     keyed
       .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("pack_id", floor(col("before") / capacity))
       .groupBy(col("shard_id"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
-        min_by(col("doc_id"), col("ord")).as("first_doc_id"))
+        minByOrd(col("ord"), col("doc_id")).as("first_doc_id"))
       .withColumn("fill_ratio", col("n_tokens").cast("double") / capacity)
   }
 

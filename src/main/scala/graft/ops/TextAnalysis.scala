@@ -463,7 +463,7 @@ object TextAnalysis {
 
   /** q187 banding knobs. [[BitextBands]] band slices of
     * [[bitextBandBits]]-bit mean-centered hyperplane signs each; a band
-    * bucket's English population is capped at [[BitextBucketCap]]
+    * bucket's English population is capped at [[bitextBucketCap]](n)
     * (deterministic md5 thinning — a documented recall trade on
     * pathological hot buckets, never a work blowup).
     *
@@ -478,11 +478,32 @@ object TextAnalysis {
     * 0.95 at sf1 / 0.93 at sf10 (vs 0.33 for the r14 config), with the
     * cap's own cost ≤ 0.006 recall. Candidate work stays
     * Θ(n · bands · bucketload) — linear per decade — and the hard
-    * ceiling bands·cap = 4096 candidates/query stands. */
+    * ceiling bands·bitextBucketCap(n) candidates/query stands (4096
+    * until the n/4096 rule engages past n = 1 M). */
   private[graft] val BitextBands = 16
   private[graft] val BitextMinBandBits = 4
   private[graft] val BitextMaxBandBits = 24
   private[graft] val BitextBucketCap = 256
+  private[graft] val BitextCapDivisor = 4096L
+
+  /** Bucket cap as a function of corpus size: max([[BitextBucketCap]],
+    * n / [[BitextCapDivisor]]) — the r17 fix for the one knob that
+    * silently degraded with corpus growth. r16 measured the FIXED cap
+    * 256 as the binding recall constraint at sf100 (n = 5 M): shipped
+    * recall 0.8013 vs 0.8803 uncapped, with cap 1024 recovering 0.8690
+    * at the same probe cost, while at sf0.001–sf10 the cap cost
+    * ≤ 0.023. n/4096 reproduces that measured operating point (1220 at
+    * n = 5 M ≥ the measured-good 1024) and keeps the floor 256
+    * everywhere the r15/r16 curves were already healthy (n/4096 < 256
+    * until n > 1 M). The hard candidates/query ceiling becomes
+    * bands · max(256, n/4096) — i.e. n/256 once the rule engages:
+    * still vanishing vs the n_en-candidate exact scan (1/256 of it),
+    * linear per decade, and it buys back the hot-bucket recall the
+    * fixed cap was discarding. The oracle replays the same integer
+    * rule (greatest(256, count(w) // 4096)), so the gate checks the
+    * rule itself, not a frozen constant. */
+  private[graft] def bitextBucketCap(n: Long): Int =
+    math.max(BitextBucketCap.toLong, n / BitextCapDivisor).toInt
 
   /** Per-row bytes estimate for the capped-English build side of the
     * band-bucket joins (16 longs of vector + ids/band/bv + unsafe-row
@@ -607,7 +628,15 @@ object TextAnalysis {
         val cur = spark.conf.get(spKey).toInt
         Map(graft.Tuning.ObjectAggFallbackKey ->
           graft.Tuning.ObjectAggFallbackKeys.toString) ++
-          (if (floor > cur) Map(spKey -> floor.toString) else Map.empty)
+          // the floor must survive AQE: coalescePartitions merges reduce
+          // partitions toward the 64 MB advisory size at RUNTIME, so a
+          // plan-time shuffle.partitions floor alone does not enforce the
+          // per-partition hash-build bound the SHUFFLE_HASH gate assumes
+          // (ADVICE r16 item 1) — minPartitionNum pins the same floor on
+          // the coalescer itself
+          (if (floor > cur) Map(spKey -> floor.toString,
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum" ->
+              floor.toString) else Map.empty)
       }
     val olds = scoped.keys.map(k => k -> spark.conf.getOption(k)).toMap
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -745,38 +774,42 @@ object TextAnalysis {
     *
     * Scale shape: candidate pairs ≈ n_t · bands · bucketload with
     * r = bitextBandBits(n) growing the bucket space per decade, and a
-    * HARD linear ceiling of bands · BitextBucketCap candidates/query
-    * once r caps; the rerank is a bounded map-side partial aggregation
+    * HARD ceiling of bands · bitextBucketCap(n) candidates/query —
+    * bands·256 until n > 1 M, then n/256 (see [[bitextBucketCap]] for
+    * the measured recall trade that buys); the rerank is a bounded
+    * map-side partial aggregation
     * over the deduped pair sliver; no window over corpus rows, no
     * all-pairs. Recall comes from the [[BitextBands]] independent bands
     * (measured top-1 recall vs exact cosine: RECALL_r15 / the
     * CurationOpsSpec recall-floor law); 1-bit
     * multiprobe exists as an opt-in knob but measured a ~7× candidate
     * multiplier on correlated text (see [[bitextPlan]]). */
-  /** `cap` is the per-(band, bucket) English population ceiling
-    * ([[BitextBucketCap]] default — what the gate oracle replays).
-    * r16's sf100 recall probes measured the cap as the BINDING recall
-    * constraint at that scale (shipped 256: top-1 recall 0.8013 vs
-    * 0.8803 uncapped; cap 1024 recovers 0.8690 at the same probe cost
-    * — the cap only pays in hot buckets — with the hard
-    * candidates/query ceiling still bands·cap). Deployments at
-    * n ≳ 5 M docs/shard should raise it; width (rDelta) is NOT the
-    * lever there — wider buckets measured recall DOWN at sf100
-    * (0.7910) because they push more buckets past the cap. */
+  /** `cap` ≤ 0 (the default) means the [[bitextBucketCap]](n) rule —
+    * the per-(band, bucket) English population ceiling as a documented
+    * function of corpus size, which the gate oracle replays as the
+    * same integer rule. An explicit positive `cap` overrides it (probe
+    * instrumentation; the r16 knob probes that MEASURED the rule's
+    * operating point). r16 background: the fixed cap 256 was the
+    * binding recall constraint at sf100 (0.8013 vs 0.8803 uncapped;
+    * 1024 recovered 0.8690 at the same probe cost — the cap only pays
+    * in hot buckets), and width (rDelta) is NOT the lever there —
+    * wider buckets measured recall DOWN (0.7910) because they push
+    * more buckets past the cap. */
   def bitextMining(spark: SparkSession, dir: String,
                    minCos: Double = 0.5,
-                   cap: Int = BitextBucketCap): DataFrame = {
+                   cap: Int = 0): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val hv = hashVecOf(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = hv.withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
     val n = w.count()
     val r = bitextBandBits(n)
+    val capEff = if (cap > 0) cap else bitextBucketCap(n)
     val (nn, s) = bitextStats(w)
     val wb = bitextBanded(w, r, nn, s)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = withBitextTuning(spark, n) {
-      bitextPlan(spark, wb, n, r, minCos, cap = cap).localCheckpoint(true)
+      bitextPlan(spark, wb, n, r, minCos, cap = capEff).localCheckpoint(true)
     }
     wb.unpersist(false)
     hv.unpersist(false)
@@ -802,12 +835,17 @@ object TextAnalysis {
   private[graft] def bitextRecallFrame(spark: SparkSession, dir: String,
                                        sampleN: Int,
                                        rDelta: Int = 0,
-                                       cap: Int = BitextBucketCap): DataFrame = {
+                                       cap: Int = 0): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val hv = hashVecOf(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = hv.withColumn("n2", expr("dot_long(v, v)")).filter(col("n2") > 0)
     val n = w.count()
+    // cap ≤ 0 = the shipped bitextBucketCap(n) rule, exactly as
+    // bitextMining resolves it — the probe measures the config the
+    // miner ships; the output carries `cap_used` so artifacts
+    // self-describe the effective value under the rule
+    val capEff = if (cap > 0) cap else bitextBucketCap(n)
     // rDelta < 0 probes WIDER buckets than the shipped rule (each −1
     // doubles expected bucket load and candidate work) — recall-curve
     // instrumentation for picking the rule's operating point
@@ -862,7 +900,7 @@ object TextAnalysis {
     // fallback raise — see the `exact` comment); results are
     // sampleN-row slivers, checkpointed eagerly inside the scope
     val joined = withBitextTuning(spark, n) {
-      val banded = bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = cap)
+      val banded = bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = capEff)
         .select(col("t_id"), col("en_id").as("band_en"), col("cos").as("band_cos"))
         .localCheckpoint(true)
       val noCap = bitextPlan(spark, wbQ, n, r, minCos = -2.0, cap = Int.MaxValue)
@@ -903,6 +941,7 @@ object TextAnalysis {
     val out = withHit(withHit(joined, "band_en", "band_hit"),
       "nocap_en", "nocap_hit")
       .drop("q_v", "q_n2")
+      .withColumn("cap_used", lit(capEff))
       .localCheckpoint(true)
     wb.unpersist(false)
     hv.unpersist(false)
@@ -1712,8 +1751,10 @@ object TextAnalysis {
          |WHERE rn <= 3 AND ppmi > 0.0""".stripMargin,
     // q187: the oracle recomputes the SAME md5-derived hyperplanes and
     // replays the identical adaptive-width banding (integer r scan),
-    // mean-centering stats, English-side md5 population cap, DISTINCT
-    // candidate set, and top-2 rerank (default path: no multiprobe).
+    // mean-centering stats, English-side md5 population cap — as the
+    // bitextBucketCap(n) RULE (greatest(256, count(w) // 4096)), not a
+    // frozen constant, so the gate checks the scaling rule itself —
+    // DISTINCT candidate set, and top-2 rerank (default: no multiprobe).
     "q187_bitext_mining" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, list_transform($toksSql, t ->
@@ -1756,7 +1797,7 @@ object TextAnalysis {
          |encnt AS (SELECT band, bv, count(*) AS cb FROM enb GROUP BY 1, 2),
          |encap AS (SELECT en_id, band, bv FROM enb JOIN encnt USING (band, bv)
          |  WHERE CAST('0x' || substring(md5(CAST(en_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)), 1, 8) AS BIGINT)
-         |          % cb < ${BitextBucketCap}),
+         |          % cb < greatest(${BitextBucketCap}, (SELECT count(*) FROM w) // ${BitextCapDivisor})),
          |tb AS (SELECT bk.doc_id AS t_id, band, bv
          |  FROM bk JOIN w ON w.doc_id = bk.doc_id WHERE w.lang <> 'en'),
          |cand AS (SELECT DISTINCT t_id, en_id FROM tb JOIN encap USING (band, bv)),

@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
   * the row-compare oracle can't articulate. */
 class CurationOpsSpec extends SparkSpec {
 
+  test("first-occurrence packing: exact unpack in bounds, loud failure out of bounds (ADVICE r16 item 2)") {
+    import spark.implicits._
+    import graft.ops.Curation
+    def firstOcc(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(Curation.firstOccAggs.head, Curation.firstOccAggs.tail: _*)
+        .select(col("g"), Curation.firstOccField("doc").as("doc"),
+          Curation.firstOccField("pos").as("pos"))
+    // the packed min equals lexicographic min(doc_id, pos), including at
+    // the exact corner of the domain (packed value = Long.MaxValue)
+    val ok = Seq((1L, 7L, 5), (1L, 3L, 9), (1L, 3L, 2),
+      (2L, (1L << 37) - 1, (1 << 26) - 1)).toDF("g", "doc_id", "pos")
+    val got = firstOcc(ok).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((3L, 2)), s"got ${got(1L)}")
+    assert(got(2L) == (((1L << 37) - 1, (1 << 26) - 1)), s"got ${got(2L)}")
+    // one past either bound must raise, never publish a wrong exemplar
+    val badPos = Seq((1L, 1L, 1 << 26)).toDF("g", "doc_id", "pos")
+    intercept[Exception] { firstOcc(badPos).collect() }
+    val badDoc = Seq((1L, 1L << 37, 0)).toDF("g", "doc_id", "pos")
+    intercept[Exception] { firstOcc(badDoc).collect() }
+  }
+
   test("decontamination: flagged docs really share a shingle with eval; counts add up") {
     val sh = Dedup.shingles(spark, sf)
       .withColumn("eval", md5(col("doc_id").cast("string")) >= "e6")
@@ -734,9 +756,14 @@ class CurationOpsSpec extends SparkSpec {
     val enB = vecs.filter(_._2 == "en").flatMap { case (id, _, v) =>
       bandsOf(v).map { case (b, bv) => (b, bv, id) } }
     val cnt = enB.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    // the cap the miner resolves under its shipped rule — at gate scale
+    // the n/4096 term is far below the 256 floor, but the model mirrors
+    // the RULE (as the oracle does) so a corpus-size change cannot
+    // silently diverge model and miner
+    val capRule = TextAnalysis.bitextBucketCap(nn)
     val enMap = enB
       .filter { case (b, bv, id) =>
-        md5u32(s"$id:$b") % cnt((b, bv)) < TextAnalysis.BitextBucketCap }
+        md5u32(s"$id:$b") % cnt((b, bv)) < capRule }
       .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3)).toMap
     val enVec = vecs.filter(_._2 == "en").map(t => t._1 -> t._3).toMap
     // default path: exact bucket per band, no multiprobe

@@ -71,6 +71,23 @@ class KnobSpec extends SparkSpec {
     assert(rs == rs.sorted, "band width must be non-decreasing in corpus size")
   }
 
+  test("bitext bucket-cap knob: 256 floor, n/4096 rule, covers the measured sf100 point") {
+    import graft.ops.TextAnalysis.bitextBucketCap
+    // floor regime: everywhere the r15/r16 recall curves were healthy
+    // (n ≤ 1 M) the rule is the old constant — the gate replay and the
+    // small-scale recall points are unchanged by construction
+    assert(bitextBucketCap(0) == 256 && bitextBucketCap(500) == 256)
+    assert(bitextBucketCap(1L << 20) == 256, "n = 2^20 is the last floor point")
+    assert(bitextBucketCap((1L << 20) + 4096) == 257,
+      "first step past the floor")
+    // the r16 sf100 measurement: cap 1024 recovered recall 0.8690 (vs
+    // 0.8013 at the fixed 256) at the same probe cost; the rule must
+    // sit at-or-above that measured-good point at n = 5 M
+    assert(bitextBucketCap(5000000) == 1220 && bitextBucketCap(5000000) >= 1024)
+    val caps = Seq(1L, 1000000L, 5000000L, 50000000L).map(bitextBucketCap(_).toLong)
+    assert(caps == caps.sorted, "cap must be non-decreasing in corpus size")
+  }
+
   test("ivf knobs: non-default cell count still yields exactly k bounded centroids") {
     val v = Similarity.scaled(spark, sf)
     assert(Similarity.centroids(v, 8).count() == 8)
