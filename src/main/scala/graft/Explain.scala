@@ -15,8 +15,13 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val planOnly = args.contains("--plan-only")
+    // --executed: run the query, then print the FINAL adaptive plan
+    // (AQE reuse/conversion decisions are runtime — the static EXPLAIN
+    // can't show ReusedExchange or an SMJ→SHJ conversion under AQE)
+    val executed = args.contains("--executed")
     val showPlan = args.contains("--explain") || planOnly
-    val names = args.drop(1).filterNot(a => a == "--explain" || a == "--plan-only")
+    val names = args.drop(1).filterNot(a =>
+      a == "--explain" || a == "--plan-only" || a == "--executed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tuning.tune(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -39,6 +44,12 @@ object Explain {
           // inside fn and release their caches — same shape Bench times);
           // full-plan execution, NOT df.count() (the r16 hollow-timing
           // collapse — see Bench.runFully)
+          if (executed) {
+            val df = fn(spark, sfDir)
+            Bench.runFully(df)
+            println(s"== $name (executed/adaptive) ==")
+            println(df.queryExecution.executedPlan.toString.take(20000))
+          }
           if (!planOnly) (1 to 2).foreach { i =>
             val t0 = System.nanoTime()
             val n = Bench.runFully(fn(spark, sfDir))

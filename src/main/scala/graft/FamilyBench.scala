@@ -72,6 +72,7 @@ object FamilyBench {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         qs
       } else Family
+    val loadBefore = Bench.loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // the r11 verdict's environment-constant question (linear q21 at
     // 13.7×/decade): shuffle partitioning is the suspect — let the
@@ -130,7 +131,7 @@ object FamilyBench {
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

@@ -28,6 +28,27 @@ object Tuning {
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
   val ObjectAggFallbackKeys: Int = 1 << 22
 
+  /** `spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold`
+    * (default 0 = off): lets AQE convert a SortMergeJoin to a
+    * ShuffledHashJoin at RUNTIME when every build-side partition's
+    * measured shuffle bytes are under the threshold — the
+    * runtime-measured twin of q187's plan-time SHUFFLE_HASH gate, and
+    * it applies library-wide. Motivation (r17, STAGE_r17_q133_sf100):
+    * q133/q138's gram⋈dup-gram join keys 16-byte hashes whose build
+    * side is bucket-bounded, but past memory scale Catalyst's SMJ
+    * SORTS the corpus-sized gram stream — 18.4 GB memory / 7.8 GB
+    * disk spill in the join stage at sf100 where sf10 spills zero, a
+    * 36× task-time decade on 10× data. 256 MB matches the bitext
+    * build target; the trade is explicit: an SHJ build map does not
+    * spill, so threshold × concurrent tasks must fit execution memory
+    * (256 MB × 32 slots = 8 GB worst case — sized for the probe/driver
+    * heaps; gate-scale partitions are KBs and convert trivially). AQE
+    * only converts when the RUNTIME sizes satisfy the bound, which is
+    * exactly the gating the plan-time hint cannot have. */
+  val ShjConvertKey =
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+  val ShjConvertBytes: Long = 256L << 20
+
   /** `SPARK_GRAFT_NO_TUNING=1` — the A/B switch. Disables the
     * session-level tuning below AND the operator-scoped sets inside
     * [[graft.ops.TextAnalysis.bitextMining]] (ADVICE r15 item 3: the
@@ -47,4 +68,5 @@ object Tuning {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     if (disabled) b
     else b.config(ObjectAggFallbackKey, ObjectAggFallbackKeys.toString)
+      .config(ShjConvertKey, ShjConvertBytes.toString)
 }

@@ -211,10 +211,52 @@ object Curation {
     * follow-up groupBy(doc_id) reuses the window's exchange. At 100 TB
     * nothing here is corpus-global: the heavy tables carry 32 bytes per
     * token position. */
-  /** Tokenized documents (shared by q133/q138). */
+  /** Tokenized documents (shared by q133/q138). The explicit
+    * doc_id-not-null filter (a no-op on the PK) keeps the gram branches
+    * CANONICALLY IDENTICAL: the occurrence-join branch picks up an
+    * inferred isnotnull(doc_id) pushdown from the downstream joins that
+    * the aggregate branch doesn't, and that one-filter asymmetry is all
+    * that blocked AQE's shuffle-stage reuse — without it the md5 gram
+    * materialization (the dominant map cost at scale) runs once per
+    * branch instead of once per query. */
   private def sdToks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+
+  /** Raw gram-exchange bytes per on-disk corpus byte — measured at
+    * sf100 (STAGE_r17_q133_sf100: 7.85 GB gram shuffle for an 811 MB
+    * parquet corpus ≈ 9.7×; 32 B of hash+ids per token position vs
+    * ~3.3 compressed bytes per token). Deliberately round-up: an
+    * overestimate only makes partitions smaller. */
+  private val GramBytesPerInputByte = 10L
+  private val GramTargetPartBytes = 64L << 20
+
+  /** Shuffle width for the corpus-sized gram streams (q133/q138/q146/
+    * q147) — max(session width, corpus-proportional), from ONE
+    * filesystem metadata listing of the documents table (the q110
+    * compaction idiom; no data scan). Why it exists
+    * (STAGE_r17_q133_sf100, the r17 third-decade probe): at the
+    * session convention `shuffle.partitions = cores`, the gram
+    * exchange is corpus-sized but the reduce width is FIXED, so at
+    * sf100 every reduce partition carries ~200 MB — the final
+    * hash aggregate falls back to sort mode and the stage spills
+    * 18 GB memory / 7.8 GB disk where sf10 spills zero (a 36×
+    * task-time decade on 10× data). An explicit corpus-proportional
+    * width keeps partitions at ~64 MB at any scale; explicit
+    * `repartition(n, h)` also pins the width against AQE's
+    * parallelismFirst coalescing (which would merge back to
+    * `defaultParallelism` and re-create the fat partitions). */
+  private[graft] def gramWidth(spark: SparkSession, dir: String): Int = {
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
+    math.max(sessionParts,
+      (bytes * GramBytesPerInputByte / GramTargetPartBytes).toInt)
+  }
 
   /** (doc_id, pos, 128-bit gram hash as 16 raw bytes); docs shorter
     * than L emit none. Full md5 width matters: at ~10^13 gram
@@ -228,6 +270,13 @@ object Curation {
            |         i -> unhex(md5(concat_ws(' ', slice(toks, i + 1, $L)))))
            |  ELSE array() END""".stripMargin)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
+      // no-op on real data (md5 of a non-null string is never null) —
+      // exists so EVERY consumer branch carries the same filter the
+      // inner-join branches get by inference, keeping the branches
+      // canonically identical for AQE shuffle-stage reuse (q147's LEFT
+      // join infers isnotnull(h) on the build side only, which was the
+      // one-filter asymmetry blocking the gram exchange from reusing)
+      .filter(col("h").isNotNull)
 
   /** Duplicated grams with their corpus-wide first occurrence — ONE
     * groupBy(hash) with map-side partials. */
@@ -243,9 +292,18 @@ object Curation {
     require(minSpan > 0, "span length must be positive")
     val L = minSpan
     val toks = sdToks(spark, dir)
-    val grams = sdGrams(toks, L)
+    // ONE corpus-width hash exchange shared by the dup-gram aggregate
+    // AND the occurrence join (identical repartition child → Catalyst
+    // plans a ReusedExchange, so the md5 gram materialization — the
+    // probe's dominant map cost, 2× ~2700 task-s at sf100 — runs ONCE);
+    // the aggregate and the join both read it exchange-free. The
+    // SHUFFLE_HASH build side is the dup-gram sliver of the SAME
+    // width-scaled partitioning, so the per-partition build is bounded
+    // by GramTargetPartBytes BY CONSTRUCTION (vs the default SMJ, which
+    // re-sorts the corpus-sized gram stream in the join stage).
+    val grams = sdGrams(toks, L).repartition(gramWidth(spark, dir), col("h"))
     val dupFirst = sdDupFirst(grams)
-    val dup = grams.join(dupFirst, "h")
+    val dup = grams.join(dupFirst.hint("SHUFFLE_HASH"), "h")
       .select(col("doc_id"), col("pos"),
         (col("doc_id") === col("k_doc") && col("pos") === col("k_pos")).as("is_first"))
     val wPrev = org.apache.spark.sql.expressions.Window
@@ -293,8 +351,9 @@ object Curation {
     require(minSpan > 0, "span length must be positive")
     val L = minSpan
     val toks = sdToks(spark, dir)
-    val grams = sdGrams(toks, L)
-    val cuts = grams.join(sdDupFirst(grams), "h")
+    // same shared-exchange + bounded-hash-build shape as substringDedup
+    val grams = sdGrams(toks, L).repartition(gramWidth(spark, dir), col("h"))
+    val cuts = grams.join(sdDupFirst(grams).hint("SHUFFLE_HASH"), "h")
       .filter(!(col("doc_id") === col("k_doc") && col("pos") === col("k_pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
@@ -407,6 +466,9 @@ object Curation {
                         L: Int = BoilerGramL,
                         minDf: Long = BoilerMinDf): DataFrame =
     sdGrams(sdToks(spark, dir), L)
+      // corpus-proportional width (see gramWidth): keeps the df
+      // aggregate's reduce partitions at ~64 MB at any corpus size
+      .repartition(gramWidth(spark, dir), col("h"))
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"),
         (count(lit(1)).as("tf") +: firstOccAggs): _*)
@@ -428,12 +490,16 @@ object Curation {
                        L: Int = BoilerGramL,
                        minDf: Long = BoilerMinDf): DataFrame = {
     val toks = sdToks(spark, dir)
-    val grams = sdGrams(toks, L)
+    // same shared-exchange + bounded-hash-build shape as substringDedup
+    // (one gram materialization feeds both the df aggregate and the
+    // probe join via ReusedExchange; the boiler set is df-thresholded —
+    // boilerplate-sized — and rides the same width-scaled partitioning)
+    val grams = sdGrams(toks, L).repartition(gramWidth(spark, dir), col("h"))
     val boiler = grams
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("h"), lit(1L).as("b"))
-    val per = grams.join(boiler, Seq("h"), "left")
+    val per = grams.join(boiler.hint("SHUFFLE_HASH"), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("b"), lit(0L))).as("n_boiler"))

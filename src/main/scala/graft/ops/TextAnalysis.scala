@@ -503,7 +503,11 @@ object TextAnalysis {
     * rule (greatest(256, count(w) // 4096)), so the gate checks the
     * rule itself, not a frozen constant. */
   private[graft] def bitextBucketCap(n: Long): Int =
-    math.max(BitextBucketCap.toLong, n / BitextCapDivisor).toInt
+    // Int.MaxValue clamp: n > 2^43 docs/shard would overflow the Int —
+    // purely theoretical (8.8 T docs), and a clamped cap that large is
+    // effectively "uncapped", which is the right limit behavior
+    math.min(Int.MaxValue.toLong,
+      math.max(BitextBucketCap.toLong, n / BitextCapDivisor)).toInt
 
   /** Per-row bytes estimate for the capped-English build side of the
     * band-bucket joins (16 longs of vector + ids/band/bv + unsafe-row
