@@ -497,9 +497,22 @@ object TextAnalysis {
     * everywhere the r15/r16 curves were already healthy (n/4096 < 256
     * until n > 1 M). The hard candidates/query ceiling becomes
     * bands · max(256, n/4096) — i.e. n/256 once the rule engages:
-    * still vanishing vs the n_en-candidate exact scan (1/256 of it),
-    * linear per decade, and it buys back the hot-bucket recall the
-    * fixed cap was discarding. The oracle replays the same integer
+    * still 1/256th of the n_en-candidate exact scan, and it buys back
+    * the hot-bucket recall the fixed cap was discarding (sf100
+    * shipped recall 0.8013 → 0.8727 of the 0.8803 uncapped limit,
+    * RECALL_r17.json).
+    *
+    * THE TRADE, measured (STAGE_r17_q187_sf100 vs STAGE_r16): a
+    * cap ∝ n re-admits the hot-bucket pair mass the fixed cap culled,
+    * so total pair work gains an n²/4096-class tail on heavy-tailed
+    * text — at n = 5 M that is 2.2× the sf100 mining wall-clock
+    * (692 s vs 311 s, zero spill both, candidate mass still balanced
+    * across partitions: BITEXT_SKEW_r17_sf100 max/med 1.197). The
+    * rule is sized for corpus SHARDS up to O(10 M) docs — the same
+    * per-shard convention every §8.1 operator uses; past that, either
+    * shard (n is per-shard, so the quadratic term stays bounded) or
+    * pass an explicit `cap` (256 restores the r16 constant ceiling
+    * and its measured recall). The oracle replays the same integer
     * rule (greatest(256, count(w) // 4096)), so the gate checks the
     * rule itself, not a frozen constant. */
   private[graft] def bitextBucketCap(n: Long): Int =

@@ -701,6 +701,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q90/q93 manifest arg-mins hash, never sort, the doc stream (r17 sweep)") {
+    // min_by(doc_id, ord) carries the STRING ordering key in its
+    // declarative buffer — not UnsafeRow-mutable, so Catalyst silently
+    // planned SortAggregate on both sides of the exchange (verified on
+    // q90's physical plan), sorting the whole doc stream: the same
+    // execution-mode class as the r16 min(struct) fix, found by the
+    // r17 repo-wide sweep. MinByStrAgg (typed, bounded one-pair
+    // buffer) keeps these in hash-mode ObjectHashAggregate.
+    for (name <- Seq("q90_shard_manifest", "q93_sequence_packing",
+      "q161_unigram_packing")) {
+      val p = plan(q(name))
+      assert(!p.contains("SortAggregate"),
+        s"$name must not sort its doc stream to find shard/pack heads:\n$p")
+    }
+  }
+
   test("q178 label margins: centroids broadcast, no vector-vector join") {
     val p = plan(q("q178_label_margin"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
