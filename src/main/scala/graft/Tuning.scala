@@ -38,16 +38,30 @@ object Tuning {
     * side is bucket-bounded, but past memory scale Catalyst's SMJ
     * SORTS the corpus-sized gram stream — 18.4 GB memory / 7.8 GB
     * disk spill in the join stage at sf100 where sf10 spills zero, a
-    * 36× task-time decade on 10× data. 256 MB matches the bitext
-    * build target; the trade is explicit: an SHJ build map does not
-    * spill, so threshold × concurrent tasks must fit execution memory
-    * (256 MB × 32 slots = 8 GB worst case — sized for the probe/driver
-    * heaps; gate-scale partitions are KBs and convert trivially). AQE
-    * only converts when the RUNTIME sizes satisfy the bound, which is
-    * exactly the gating the plan-time hint cannot have. */
+    * 36× task-time decade on 10× data. The trade is explicit: an SHJ
+    * build map does not spill, so threshold × concurrent task slots
+    * must fit execution memory. The threshold is therefore DERIVED
+    * from this JVM's heap and slot count (ADVICE r17: a flat 256 MB ×
+    * 32 slots = 8 GB of un-spillable builds OOMs a deployment with a
+    * smaller heap or more slots than the 64 GB probe box it was sized
+    * on): heap/4 ÷ slots bounds the worst-case concurrent build maps
+    * to ~1/4 of the heap — under Spark's ~0.6 execution-memory share
+    * with headroom for each task's probe/aggregate side — floored at
+    * 16 MB (gate-scale partitions are KBs and convert trivially) and
+    * capped at 256 MB, the r17 measured operating point (64 GB heap /
+    * 32 slots lands exactly there). AQE only converts when the
+    * RUNTIME sizes satisfy the bound, which is exactly the gating the
+    * plan-time hint cannot have. */
   val ShjConvertKey =
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
-  val ShjConvertBytes: Long = 256L << 20
+  val ShjConvertBytesMax: Long = 256L << 20
+  val ShjConvertBytesMin: Long = 16L << 20
+  def shjConvertBytes: Long = {
+    val heap = Runtime.getRuntime.maxMemory
+    val slots = math.max(1L, Runtime.getRuntime.availableProcessors.toLong)
+    math.min(ShjConvertBytesMax,
+      math.max(ShjConvertBytesMin, heap / 4 / slots))
+  }
 
   /** `SPARK_GRAFT_NO_TUNING=1` — the A/B switch. Disables the
     * session-level tuning below AND the operator-scoped sets inside
@@ -68,5 +82,8 @@ object Tuning {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     if (disabled) b
     else b.config(ObjectAggFallbackKey, ObjectAggFallbackKeys.toString)
-      .config(ShjConvertKey, ShjConvertBytes.toString)
+      // local-mode derivation: this JVM IS the executor. A cluster
+      // deployment should size this from ITS executors instead:
+      // min(256MB, executor_heap/4 / spark.executor.cores)
+      .config(ShjConvertKey, shjConvertBytes.toString)
 }

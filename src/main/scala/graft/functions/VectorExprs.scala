@@ -198,11 +198,19 @@ case class HashEmbed16(child: Expression)
 }
 
 object HashEmbed16 {
+  /** Embedding width. The digest extraction below (`dig(3) & 0xf`) IS
+    * mod 16 — the low nibble — so this constant, the extraction, the
+    * q170 HOF pipeline, and the DuckDB oracle mirror change TOGETHER.
+    * Downstream build-side sizing (TextAnalysis.BitextBuildRowBytes)
+    * derives from this constant (ADVICE r17 item 4) so widening the
+    * embedding cannot silently under-size the SHUFFLE_HASH gate. */
+  val Dims = 16
+
   /** Shared by interpreted eval and generated code: one md5 per token,
     * tight loop, no per-element boxing. */
   def embed(toks: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val v = new Array[Long](16)
+    val v = new Array[Long](Dims)
     var i = 0
     val n = toks.numElements()
     while (i < n) {

@@ -149,7 +149,21 @@ object Curation {
     * its kept-position list (one equi-join on doc_id), instead of
     * shuffling chunk strings back together. At 100 TB the alternative
     * (window over md5(chunk) carrying text, or reassembling from shuffled
-    * chunk strings) moves the whole corpus through the exchange twice. */
+    * chunk strings) moves the whole corpus through the exchange twice.
+    *
+    * The chunk-hash stream additionally repartitions to a
+    * corpus-proportional width shared by the keep-first aggregate and
+    * the occurrence join-back — the r17 q133 fix applied to this stream
+    * in r18 after FAMILY_r17b_grams2_sf100 measured its third decade at
+    * 21.6× (133.8 s at sf100): at a FIXED session width the reduce
+    * partitions fatten linearly with the corpus until the hash
+    * aggregate falls back to sort mode and spills, the same regime
+    * change STAGE_r17_q133_sf100 decomposed for the gram stream. The
+    * explicit isnotnull filter keeps both consumer branches canonically
+    * identical (the inner join infers it on the probe side only — the
+    * one asymmetry that blocks AQE shuffle-stage reuse), so the chunk
+    * materialization runs ONCE; the keep-first sliver joins back as a
+    * SHUFFLE_HASH build bounded per-partition by the shared width. */
   def chunkDedup(spark: SparkSession, dir: String,
                  chunkTokens: Int = ChunkTokens): DataFrame = {
     require(chunkTokens > 0, "chunk size must be positive")
@@ -162,13 +176,17 @@ object Curation {
     val chunks = toksOf(Tables.documents(spark, dir))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(toks) / $ct.0) AS INT) - 1),
-           |  c -> md5(concat_ws(' ', slice(toks, c * $ct + 1, $ct))))""".stripMargin)))
+           |  c -> unhex(md5(concat_ws(' ', slice(toks, c * $ct + 1, $ct)))))""".stripMargin)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
+      // no-op on real data (md5 is never null) — keeps this branch
+      // canonically identical to the join's probe branch (see sdGrams)
+      .filter(col("h").isNotNull)
+      .repartition(streamWidth(spark, dir, ChunkBytesPerInputByte), col("h"))
     val keep = chunks.groupBy(col("h"))
       .agg(firstOccAggs.head, firstOccAggs.tail: _*)
       .select(col("h"), firstOccField("doc").as("k_doc"),
         firstOccField("pos").as("k_pos"))
-    val keptPos = chunks.join(keep, "h")
+    val keptPos = chunks.join(keep.hint("SHUFFLE_HASH"), "h")
       .filter(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
@@ -232,6 +250,18 @@ object Curation {
   private val GramBytesPerInputByte = 10L
   private val GramTargetPartBytes = 64L << 20
 
+  /** Exchange bytes per compressed input byte for the CHUNK streams —
+    * the [[streamWidth]] factors for q89/q154, which emit one row per
+    * chunk rather than per token. q89: one ~55 B row (16 B raw hash +
+    * doc_id + pos + UnsafeRow overhead) per `ChunkTokens` = 10 tokens
+    * ≈ 33 compressed input bytes (~3.3 B/token) → ~1.7×. q154's CDC
+    * rows are fatter (~80 B: 32-char hex fp — part of the OUTPUT
+    * schema — plus id/spans) per ~`CdcDivisor` = 8 expected tokens
+    * ≈ 26 input bytes → ~3×. Both round UP: an overestimate only
+    * makes partitions smaller. */
+  private val ChunkBytesPerInputByte = 2L
+  private val CdcBytesPerInputByte = 4L
+
   /** Shuffle width for the corpus-sized gram streams (q133/q138/q146/
     * q147) — max(session width, corpus-proportional), from ONE
     * filesystem metadata listing of the documents table (the q110
@@ -247,15 +277,40 @@ object Curation {
     * `repartition(n, h)` also pins the width against AQE's
     * parallelismFirst coalescing (which would merge back to
     * `defaultParallelism` and re-create the fat partitions). */
-  private[graft] def gramWidth(spark: SparkSession, dir: String): Int = {
+  private[graft] def gramWidth(spark: SparkSession, dir: String): Int =
+    streamWidth(spark, dir, GramBytesPerInputByte)
+
+  /** The general corpus-proportional shuffle width behind [[gramWidth]]
+    * — `bytesPerInputByte` is the stream's estimated exchange bytes per
+    * compressed input byte (grams emit one ~40 B row per token; chunk
+    * streams emit one row per `ChunkTokens`/CDC-window tokens, so their
+    * factors are smaller — each is documented at its constant).
+    *
+    * The metadata-listing fallback catches IOException ONLY and logs
+    * loudly (ADVICE r17: a catch-all silently reverted to the fixed
+    * session width — the exact fat-partition sort-fallback/spill regime
+    * this width exists to prevent — on any listing failure). A
+    * non-IO failure propagates: better a visible error than a silent
+    * 36×-decade regression. */
+  private[graft] def streamWidth(spark: SparkSession, dir: String,
+                                 bytesPerInputByte: Long): Int = {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val bytes = try {
       val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
-    } catch { case _: Throwable => 0L }
+    } catch {
+      case e: java.io.IOException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"streamWidth: metadata listing of $dir/documents.parquet failed" +
+            s" (${e.getMessage}); FALLING BACK to the fixed session shuffle" +
+            s" width ($sessionParts) — corpus-proportional partition sizing" +
+            " is OFF for this plan and large corpora may hit the" +
+            " sort-fallback/spill regime (see STAGE_r17_q133_sf100)")
+        0L
+    }
     math.max(sessionParts,
-      (bytes * GramBytesPerInputByte / GramTargetPartBytes).toInt)
+      (bytes * bytesPerInputByte / GramTargetPartBytes).toInt)
   }
 
   /** (doc_id, pos, 128-bit gram hash as 16 raw bytes); docs shorter
@@ -546,13 +601,27 @@ object Curation {
     * only shuffle is the fingerprint groupBy (16-byte-hash keys), and
     * the count join-back keys on the fingerprint with no text column
     * in any exchange (chunk text never leaves the map side — the
-    * output carries fp, not text). */
+    * output carries fp, not text). The fingerprint stream shares q89's
+    * r18 width fix: ONE corpus-proportional-width exchange feeds both
+    * the occurrence-count aggregate and the join-back (canonically
+    * identical branches via the explicit isnotnull no-op → AQE reuses
+    * the exchange, the chunking transform runs once), and the count
+    * sliver joins back as a SHUFFLE_HASH build bounded per-partition
+    * by the shared width — q89's fixed-width sibling measured 21.6×
+    * in its third decade (FAMILY_r17b_grams2_sf100) from exactly this
+    * occurrence-join-back shape at session width. */
   def cdcChunks(spark: SparkSession, dir: String,
                 d: Int = CdcDivisor): DataFrame =
-    cdcChunksOf(Tables.documents(spark, dir), d)
+    cdcChunksOf(Tables.documents(spark, dir), d,
+      streamWidth(spark, dir, CdcBytesPerInputByte))
 
-  private[graft] def cdcChunksOf(docs: DataFrame, d: Int): DataFrame = {
+  /** `width` ≤ 0 (the spec path, which has no table directory to size
+    * from) falls back to the session shuffle width. */
+  private[graft] def cdcChunksOf(docs: DataFrame, d: Int,
+                                 width: Int = 0): DataFrame = {
     require(d > 0, "divisor must be positive")
+    val w = if (width > 0) width
+      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val t = docs.select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
     // 0-based chunk starts: 0, plus every j in [1, n) whose straddling
     // pair hashes to the anchor class
@@ -573,8 +642,12 @@ object Curation {
           |        (IF(k = size(ss) - 1, size(toks), element_at(ss, k + 2))) - s)))))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col.start_tok"), col("col.chunk_len"), col("col.chunk_fp"))
+      // no-op on real data (md5 is never null) — keeps this branch
+      // canonically identical to the join's probe branch (see sdGrams)
+      .filter(col("chunk_fp").isNotNull)
+      .repartition(w, col("chunk_fp"))
     val occ = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_occ"))
-    chunks.join(occ, "chunk_fp")
+    chunks.join(occ.hint("SHUFFLE_HASH"), "chunk_fp")
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
         col("chunk_len"), col("chunk_fp"), col("n_occ"))
   }

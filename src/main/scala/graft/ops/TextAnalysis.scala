@@ -523,13 +523,17 @@ object TextAnalysis {
       math.max(BitextBucketCap.toLong, n / BitextCapDivisor)).toInt
 
   /** Per-row bytes estimate for the capped-English build side of the
-    * band-bucket joins (16 longs of vector + ids/band/bv + unsafe-row
-    * overhead) — sizes the SHUFFLE_HASH build-side gate in
-    * [[bitextPlan]] and the shuffle-partition floor in
-    * [[bitextMining]]. Deliberately fat vs the ~8 GB measured sf100
-    * peak: the gate must err toward "add partitions / fall back to
-    * SMJ", never toward an un-spillable OOM. */
-  private[graft] val BitextBuildRowBytes = 224L
+    * band-bucket joins — DERIVED from the embedding width (8 bytes per
+    * vector long, + 96 B for ids/band/bv + unsafe-row overhead) so a
+    * future HashEmbed widening re-sizes this gate with it (ADVICE r17:
+    * a frozen 224 would silently under-size the un-spillable build).
+    * Sizes the SHUFFLE_HASH build-side gate in [[bitextPlan]] and the
+    * shuffle-partition floor in [[bitextMining]]. Deliberately fat vs
+    * the ~8 GB measured sf100 peak: the gate must err toward "add
+    * partitions / fall back to SMJ", never toward an un-spillable
+    * OOM. */
+  private[graft] val BitextBuildRowBytes: Long =
+    graft.functions.HashEmbed16.Dims * 8L + 96L
 
   /** Per-partition hash-build bytes the scoped shuffle-partition floor
     * in [[bitextMining]] sizes for (256 MB — small against any sane

@@ -124,4 +124,34 @@ class AggregatorPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MinByStrAgg matches min_by semantics on nulls and orders by code points") {
+    val agg = new graft.functions.MinByStrAgg
+    def run(rows: Seq[(String, java.lang.Long)]): java.lang.Long =
+      agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    // all-null ordering keys → NULL, never a fabricated id (ADVICE r17)
+    assert(run(Seq((null, 1L), (null, 2L))) == null)
+    assert(run(Seq.empty) == null)
+    // null-ord rows are ignored, like min_by
+    assert(run(Seq((null, 9L), ("b", 2L), ("a", 1L))) == 1L)
+    // a null id under the winning key returns NULL, not an NPE
+    assert(run(Seq(("a", null), ("b", 2L))) == null)
+    // code-point order (= UTF8String byte order), NOT UTF-16 code-unit
+    // order: U+1F600 (surrogate pair D83D DE00) ranks ABOVE U+FFFD even
+    // though its first UTF-16 unit is smaller
+    assert(run(Seq(("😀", 1L), ("�", 2L))) == 2L)
+    // tie on ord → smaller id, null id first — and merge-order invariant
+    val rnd = new Random(29)
+    val rows: Seq[(String, java.lang.Long)] =
+      Seq(("k", 5L), ("k", 3L), ("a", null), ("a", 7L), (null, 0L), ("z", 1L))
+    for (_ <- 1 to 20) {
+      val shuffled = rnd.shuffle(rows)
+      val nChunks = 1 + rnd.nextInt(4)
+      val chunks = (0 until nChunks)
+        .map(i => shuffled.zipWithIndex.collect { case (x, j) if j % nChunks == i => x })
+      val partials = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+      assert(agg.finish(partials.foldLeft(agg.zero)(agg.merge)) == null,
+        "ord='a' wins and its null id must return NULL under any partitioning")
+    }
+  }
 }

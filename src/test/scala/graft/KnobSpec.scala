@@ -111,4 +111,16 @@ class KnobSpec extends SparkSpec {
     assert(scoped.subsetOf(allPairs),
       "cluster-scoped pairs must be true near-dups at any (k, nAssign, minCos)")
   }
+
+  test("bitext build-row estimate is tied to the embedding width") {
+    // ADVICE r17 item 4: BitextBuildRowBytes sizes the un-spillable
+    // SHUFFLE_HASH build gate; it must track HashEmbed16.Dims so a
+    // widened embedding can never silently under-size the gate. The
+    // derivation (Dims longs + fixed overhead) keeps the r17 measured
+    // operating point at the current width.
+    import graft.ops.TextAnalysis.BitextBuildRowBytes
+    assert(BitextBuildRowBytes == graft.functions.HashEmbed16.Dims * 8L + 96L)
+    assert(BitextBuildRowBytes >= graft.functions.HashEmbed16.Dims * 8L,
+      "per-row estimate must at least cover the vector longs")
+  }
 }

@@ -701,6 +701,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q89/q154 chunk streams: width-pinned exchange, bounded hash join-back (r18)") {
+    // the r17 gram-stream fix applied to the chunk streams after
+    // FAMILY_r17b_grams2_sf100 measured q89's third decade at 21.6×:
+    // the keep-first/occurrence sliver joins back to the chunk stream
+    // as a SHUFFLE_HASH build over the shared corpus-proportional
+    // partitioning — never an SMJ that re-sorts the corpus-sized chunk
+    // stream in the join stage (STAGE_r17_q133_sf100's 18 GB spill
+    // class), and never a nested loop.
+    for (name <- Seq("q89_chunk_dedup", "q154_cdc_chunks")) {
+      val p = plan(q(name))
+      assert(p.contains("ShuffledHashJoin"),
+        s"$name join-back must build a bounded hash map, not sort-merge:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must stay equi-keyed on the chunk hash:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$name must not sort its chunk stream to aggregate:\n$p")
+    }
+  }
+
   test("q90/q93 manifest arg-mins hash, never sort, the doc stream (r17 sweep)") {
     // min_by(doc_id, ord) carries the STRING ordering key in its
     // declarative buffer — not UnsafeRow-mutable, so Catalyst silently
