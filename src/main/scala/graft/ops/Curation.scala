@@ -151,19 +151,19 @@ object Curation {
     * (window over md5(chunk) carrying text, or reassembling from shuffled
     * chunk strings) moves the whole corpus through the exchange twice.
     *
-    * The chunk-hash stream additionally repartitions to a
-    * corpus-proportional width shared by the keep-first aggregate and
-    * the occurrence join-back — the r17 q133 fix applied to this stream
-    * in r18 after FAMILY_r17b_grams2_sf100 measured its third decade at
-    * 21.6× (133.8 s at sf100): at a FIXED session width the reduce
-    * partitions fatten linearly with the corpus until the hash
-    * aggregate falls back to sort mode and spills, the same regime
-    * change STAGE_r17_q133_sf100 decomposed for the gram stream. The
-    * explicit isnotnull filter keeps both consumer branches canonically
-    * identical (the inner join infers it on the probe side only — the
-    * one asymmetry that blocks AQE shuffle-stage reuse), so the chunk
-    * materialization runs ONCE; the keep-first sliver joins back as a
-    * SHUFFLE_HASH build bounded per-partition by the shared width. */
+    * The chunk-hash stream shuffles ONCE, at a corpus-proportional
+    * width (r18, after FAMILY_r17b_grams2_sf100 /
+    * FAMILY_r18_before_sf100 measured the third decade superlinear —
+    * 21.6× loaded, 24.6× quiet): a FIXED session width fattens the
+    * reduce partitions linearly with the corpus until the hash
+    * aggregate changes regime (the STAGE_r17_q133_sf100 class), and
+    * the r17-era join-back both re-materialized the chunking and
+    * re-shuffled the stream on (doc_id, pos, h) — Catalyst extracts
+    * the winner-equality filter into the join keys. The keep-first
+    * aggregate is now the chunk exchange's ONLY consumer and the
+    * winner rows are themselves the kept positions, so the whole
+    * operator is one corpus exchange + two sliver aggregates +
+    * the map-side rebuild. */
   def chunkDedup(spark: SparkSession, dir: String,
                  chunkTokens: Int = ChunkTokens): DataFrame = {
     require(chunkTokens > 0, "chunk size must be positive")
@@ -178,16 +178,21 @@ object Curation {
         s"""transform(sequence(0, CAST(ceil(size(toks) / $ct.0) AS INT) - 1),
            |  c -> unhex(md5(concat_ws(' ', slice(toks, c * $ct + 1, $ct)))))""".stripMargin)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
-      // no-op on real data (md5 is never null) — keeps this branch
-      // canonically identical to the join's probe branch (see sdGrams)
-      .filter(col("h").isNotNull)
       .repartition(streamWidth(spark, dir, ChunkBytesPerInputByte), col("h"))
-    val keep = chunks.groupBy(col("h"))
+    // keep-first winners in ONE aggregate over the width-scaled
+    // exchange. The winners ARE the kept (doc, pos) pairs — unlike the
+    // gram family, which needs every duplicated occurrence, q89 never
+    // joins back to the chunk stream at all. (The r17-era join-back was
+    // worse than redundant: Catalyst extracted its
+    // `doc = k_doc AND pos = k_pos` filter INTO the join keys and
+    // re-shuffled the corpus-sized chunk stream on (doc_id, pos, h) —
+    // a full second exchange + a second chunking materialization,
+    // measured as 2 of the 4 dominant sf100 stages in
+    // STAGE_r18_q89_sf100_before/after.)
+    val keptPos = chunks.groupBy(col("h"))
       .agg(firstOccAggs.head, firstOccAggs.tail: _*)
-      .select(col("h"), firstOccField("doc").as("k_doc"),
-        firstOccField("pos").as("k_pos"))
-    val keptPos = chunks.join(keep.hint("SHUFFLE_HASH"), "h")
-      .filter(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+      .select(firstOccField("doc").as("doc_id"),
+        firstOccField("pos").as("pos"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
     toksOf(Tables.documents(spark, dir))
@@ -597,19 +602,18 @@ object Curation {
     * shared/duplicated somewhere).
     *
     * Scale shape: chunking is entirely map-side (one transform/filter
-    * over each doc's token array — per-doc bounded, no window); the
-    * only shuffle is the fingerprint groupBy (16-byte-hash keys), and
-    * the count join-back keys on the fingerprint with no text column
-    * in any exchange (chunk text never leaves the map side — the
-    * output carries fp, not text). The fingerprint stream shares q89's
-    * r18 width fix: ONE corpus-proportional-width exchange feeds both
-    * the occurrence-count aggregate and the join-back (canonically
-    * identical branches via the explicit isnotnull no-op → AQE reuses
-    * the exchange, the chunking transform runs once), and the count
-    * sliver joins back as a SHUFFLE_HASH build bounded per-partition
-    * by the shared width — q89's fixed-width sibling measured 21.6×
-    * in its third decade (FAMILY_r17b_grams2_sf100) from exactly this
-    * occurrence-join-back shape at session width. */
+    * over each doc's token array — per-doc bounded); the only shuffle
+    * keys on the fingerprint, with no text column in any exchange
+    * (chunk text never leaves the map side — the
+    * output carries fp, not text). r18: the fingerprint stream shuffles
+    * ONCE, at a corpus-proportional width (q89's fixed-width sibling
+    * measured 21.6× in its third decade, FAMILY_r17b_grams2_sf100), and
+    * the occurrence count rides a window over that exchange instead of
+    * a groupBy + join-back — the count branch's pruned exchange copy
+    * blocks AQE reuse, so the join-back shape pays the expensive CDC
+    * chunking transform TWICE (measured: stages 7+8 of
+    * STAGE_r18_q154_sf100_after). See the in-body comment for the
+    * bounded-sort argument. */
   def cdcChunks(spark: SparkSession, dir: String,
                 d: Int = CdcDivisor): DataFrame =
     cdcChunksOf(Tables.documents(spark, dir), d,
@@ -642,12 +646,22 @@ object Curation {
           |        (IF(k = size(ss) - 1, size(toks), element_at(ss, k + 2))) - s)))))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col.start_tok"), col("col.chunk_len"), col("col.chunk_fp"))
-      // no-op on real data (md5 is never null) — keeps this branch
-      // canonically identical to the join's probe branch (see sdGrams)
-      .filter(col("chunk_fp").isNotNull)
       .repartition(w, col("chunk_fp"))
-    val occ = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_occ"))
-    chunks.join(occ.hint("SHUFFLE_HASH"), "chunk_fp")
+    // occurrence count as a window over the width-bounded exchange —
+    // deliberately NOT a groupBy + join-back (r18): the output needs
+    // every chunk row, so a count-aggregate branch is column-pruned to
+    // chunk_fp only, its copy of the exchange canonicalizes DIFFERENT
+    // from the probe's, AQE cannot reuse the shuffle stage, and the
+    // whole CDC chunking transform materializes twice — measured as
+    // 1095 of 2419 task-s at sf100 (STAGE_r18_q154_sf100_after, stages
+    // 7+8). The window's partition-local sort is bounded at the ~64 MB
+    // width target BY CONSTRUCTION (corpus-proportional `w`), spillable
+    // past that, and costs a fraction of the chunking pass it saves;
+    // a pathological fingerprint duplicated across the corpus lands in
+    // one spillable window buffer, where a hash-agg collect would OOM.
+    chunks
+      .withColumn("n_occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
         col("chunk_len"), col("chunk_fp"), col("n_occ"))
   }

@@ -465,14 +465,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q154 cdc chunks: map-side chunking, fp-keyed count join, no text in any shuffle") {
+  test("q154 cdc chunks: map-side chunking, one fp exchange, no text in any shuffle") {
     val df = q("q154_cdc_chunks")
     val p = plan(df)
-    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"chunking is per-doc map-side; the only joins key on the fingerprint:\n$p")
-    assert(p.contains("partial"),
-      s"fingerprint occurrence counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunking is per-doc map-side; nothing may pair rows blindly:\n$p")
+    // no map-side count combine to ask for (r18): every chunk row must
+    // cross the fp exchange anyway (the output preserves rows), so the
+    // count rides that single exchange as a window — a partial-agg
+    // branch would be a SECOND exchange and a second chunking pass
+    assert(p.contains("windowspecdefinition(chunk_fp"),
+      s"the occurrence count must ride the single fp exchange:\n$p")
     // chunk text never leaves the map side — the output carries fp only
     exchangeOutputs(df).foreach { cols =>
       assert(!cols.exists(Set("text", "toks", "chunk_text")),
@@ -701,23 +704,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q89/q154 chunk streams: width-pinned exchange, bounded hash join-back (r18)") {
-    // the r17 gram-stream fix applied to the chunk streams after
-    // FAMILY_r17b_grams2_sf100 measured q89's third decade at 21.6×:
-    // the keep-first/occurrence sliver joins back to the chunk stream
-    // as a SHUFFLE_HASH build over the shared corpus-proportional
-    // partitioning — never an SMJ that re-sorts the corpus-sized chunk
-    // stream in the join stage (STAGE_r17_q133_sf100's 18 GB spill
-    // class), and never a nested loop.
+  test("q89/q154 chunk streams shuffle ONCE, at the pinned width (r18)") {
+    // the r17 gram-stream lesson applied to the chunk streams after
+    // FAMILY_r17b_grams2_sf100 / FAMILY_r18_before_sf100 measured
+    // q89's third decade superlinear (21.6× loaded / 24.6× quiet):
+    // both operators now move the corpus-sized chunk stream through
+    // exactly ONE exchange — the explicit corpus-proportional-width
+    // repartition — with no join back to the stream at all. q89's
+    // winners ARE its kept positions (one aggregate); q154's count
+    // rides a window over the same exchange (a count branch would be
+    // column-pruned into a canonically-different exchange copy, block
+    // AQE reuse, and re-run the chunking transform — the measured
+    // stages 7+8 of STAGE_r18_q154_sf100_after).
     for (name <- Seq("q89_chunk_dedup", "q154_cdc_chunks")) {
       val p = plan(q(name))
-      assert(p.contains("ShuffledHashJoin"),
-        s"$name join-back must build a bounded hash map, not sort-merge:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-        s"$name must stay equi-keyed on the chunk hash:\n$p")
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$name must pin its chunk exchange width explicitly:\n$p")
       assert(!p.contains("SortAggregate"),
         s"$name must not sort its chunk stream to aggregate:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must stay equi-keyed:\n$p")
+      // the r18 regression this pins against: Catalyst extracting a
+      // winner-equality filter into join keys and re-shuffling the
+      // chunk stream on (doc_id, pos, hash)
+      val multiKeyChunkExchange = p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(doc_id") && l.contains(", pos"))
+      assert(!multiKeyChunkExchange,
+        s"$name re-shuffles the chunk stream on a composite key:\n$p")
     }
+    // q154's count is the window over the single exchange — no join
+    val p154 = plan(q("q154_cdc_chunks"))
+    assert(p154.contains("windowspecdefinition(chunk_fp"),
+      s"q154's occurrence count must ride the chunk exchange:\n$p154")
+    assert(!p154.contains("Join"), s"q154 needs no join at all:\n$p154")
   }
 
   test("q90/q93 manifest arg-mins hash, never sort, the doc stream (r17 sweep)") {
