@@ -53,6 +53,47 @@ class CurationSpec extends SparkSpec {
       "kept chunk count consistent with reconstruction")
   }
 
+  test("chunk dedup: randomized differential vs sequential keep-first reference") {
+    import spark.implicits._
+    // a 6-token alphabet and 3-token chunks force heavy chunk collisions,
+    // both across docs and WITHIN one doc — the corner the set-property
+    // tests above and the copy/solo edge cases don't pin
+    val rnd = new scala.util.Random(42)
+    val ct = 3
+    val docs = (0L until 30L).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      id -> (0 until n).map(_ => s"t${rnd.nextInt(6)}")
+    }
+    // reference: one sequential pass in ascending (doc_id, pos) — exactly
+    // the operator's global min-(doc_id, pos) keep-first contract
+    val seen = scala.collection.mutable.Set[String]()
+    var withinDocCut = false
+    val expected = docs.map { case (id, toks) =>
+      val chunks = toks.grouped(ct).toSeq
+      val docSeen = scala.collection.mutable.Set[String]()
+      val kept = chunks.filter { c =>
+        val key = c.mkString(" ")
+        if (!docSeen.add(key)) withinDocCut = true
+        seen.add(key)
+      }
+      id -> ((chunks.size.toLong, kept.size.toLong, kept.map(_.mkString(" ")).mkString(" ")))
+    }.toMap
+    assert(withinDocCut, "fixture must exercise a within-doc repeated chunk")
+    assert(expected.values.map(_._2).sum < expected.values.map(_._1).sum,
+      "fixture must exercise cross-doc cuts")
+    val dir = java.nio.file.Files.createTempDirectory("prop_chunks").toString
+    docs.map { case (id, toks) =>
+      val t = toks.mkString(" "); (id, t, "en", "src", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.chunkDedup(spark, dir, chunkTokens = ct).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("text_clean")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, want $e") }
+  }
+
   test("shard manifest: partition-of-corpus, deterministic, knob-stable") {
     val m = Curation.shardManifest(spark, sf).cache()
     val docs = Tables.documents(spark, sf).count()
