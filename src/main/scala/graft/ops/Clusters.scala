@@ -139,17 +139,23 @@ object Clusters {
     *
     * Scale shape: clusters join quality on doc_id (cluster members are
     * the near-dup sliver of the corpus, so the join is small-side), the
-    * per-cluster argmax is one min(struct(-quality, doc_id)) aggregate —
+    * per-cluster argmax is one typed arg-min over (-quality, doc_id) —
     * map-side partials, no window — and the keep flag is a map-side
-    * compare after a re-join on the canonical id. */
+    * compare after a re-join on the canonical id. The natural
+    * `min(struct(-quality, doc_id))` spelling planned SortAggregate
+    * (struct buffers are not HashAggregate-mutable — the last such
+    * site after the r17 sweep); [[graft.functions.MinByDoubleAgg]]
+    * keeps the sliver argmax in hash mode with identical semantics
+    * (ord ASC nan-safe, ties to the lowest doc_id — the oracle's
+    * row_number ORDER BY quality DESC, doc_id). */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val clusters = dedupClusters(spark, dir) // (doc_id, canonical_id)
     val quality = graft.ops.TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
     val member = clusters.join(quality, "doc_id")
+    val minByNq = udaf(new graft.functions.MinByDoubleAgg)
     val best = member.groupBy(col("canonical_id"))
-      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("id"))).as("b"))
-      .select(col("canonical_id"), col("b.id").as("keep_id"))
+      .agg(minByNq(-col("quality"), col("doc_id")).as("keep_id"))
     member.join(best, "canonical_id")
       .select(col("doc_id"), col("canonical_id"), col("quality"),
         when(col("doc_id") === col("keep_id"), "keep").otherwise("drop").as("action"))

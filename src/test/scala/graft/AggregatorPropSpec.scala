@@ -154,4 +154,36 @@ class AggregatorPropSpec extends AnyFunSuite {
         "ord='a' wins and its null id must return NULL under any partitioning")
     }
   }
+
+  test("MinByDoubleAgg matches min(struct).id semantics incl. NaN / -0.0 / ties") {
+    val agg = new graft.functions.MinByDoubleAgg
+    def run(rows: Seq[(java.lang.Double, java.lang.Long)]): java.lang.Long =
+      agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    // empty / all-null ordering keys → NULL, never a fabricated id
+    assert(run(Seq.empty) == null)
+    assert(run(Seq((null, 1L), (null, 2L))) == null)
+    // null-ord rows ignored; null id under the winning key → NULL
+    assert(run(Seq((null, 9L), (2.0, 2L), (1.0, 1L))) == 1L)
+    assert(run(Seq((1.0, null), (2.0, 2L))) == null)
+    // Spark double ordering: NaN ranks LAST (not first, as raw
+    // Double.compare-based sorts of (bits) would; nan-safe compare),
+    // and -0.0 == 0.0 (so the winner among them is the LOWER id, which
+    // java.lang.Double.compare would get wrong by ranking -0.0 first)
+    assert(run(Seq((Double.NaN, 1L), (5.0, 2L))) == 2L)
+    assert(run(Seq((Double.NaN, 1L), (null, 2L))) == 1L) // NaN beats empty
+    assert(run(Seq((0.0, 9L), (-0.0, 7L), (0.0, 3L))) == 3L)
+    // ties on ord → smallest id, and merge-order invariance
+    val rnd = new Random(31)
+    val rows: Seq[(java.lang.Double, java.lang.Long)] =
+      Seq((3.5, 5L), (3.5, 3L), (-1.25, 8L), (-1.25, 7L), (null, 0L), (9.0, 1L))
+    for (_ <- 1 to 20) {
+      val shuffled = rnd.shuffle(rows)
+      val nChunks = 1 + rnd.nextInt(4)
+      val chunks = (0 until nChunks)
+        .map(i => shuffled.zipWithIndex.collect { case (x, j) if j % nChunks == i => x })
+      val partials = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+      assert(agg.finish(partials.foldLeft(agg.zero)(agg.merge)) == 7L,
+        "min ord -1.25 wins with its smallest id under any partitioning")
+    }
+  }
 }

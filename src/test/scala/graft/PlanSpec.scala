@@ -755,6 +755,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q129 cluster argmax hashes, never sorts, the member sliver (r18)") {
+    // min(struct(-quality, doc_id)) was the LAST SortAggregate in the
+    // library after the r17 sweep (struct buffers are not
+    // HashAggregate-mutable). MinByDoubleAgg — the MinByStrAgg pattern
+    // with a (Double, Long) buffer — keeps the per-cluster argmax in
+    // hash-mode ObjectHashAggregate. Though sliver-bounded (members of
+    // near-dup clusters, not the corpus), the sort ran ON BOTH SIDES
+    // of the canonical_id exchange; hash mode removes it outright.
+    val p = plan(q("q129_dedup_apply"))
+    assert(!p.contains("SortAggregate"),
+      s"q129 must not sort the cluster-member sliver to pick keeps:\n$p")
+  }
+
   test("q178 label margins: centroids broadcast, no vector-vector join") {
     val p = plan(q("q178_label_margin"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
