@@ -444,6 +444,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(fpsA.head != fpsB.head, "the edited chunk must re-fingerprint")
   }
 
+  test("cdc chunks (q154): a corpus-hot fingerprint counts correctly through the window") {
+    import spark.implicits._
+    // the disclosed degenerate case of the r18 single-exchange design:
+    // one fingerprint owning corpus-mass lands ENTIRELY in one hash
+    // partition of the chunk_fp exchange, where the occurrence count
+    // is a window (sort + count over the partition) rather than a
+    // hash aggregate. 200 identical docs make every fp 200×-hot;
+    // within-doc repeats (the doc is w0..w9 twice) multiply further.
+    val D = 8
+    val body = ((0 until 10) ++ (0 until 10)).map(i => s"w$i").mkString(" ")
+    val df = (0L until 200L).map(id => (id, body)).toDF("doc_id", "text")
+    val rows = graft.ops.Curation.cdcChunksOf(df, D).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(5)))
+    val perDoc = rows.filter(_._1 == 0L).map(_._2)
+    assert(perDoc.nonEmpty)
+    // identical docs ⇒ identical chunk structure; global occurrence =
+    // 200 × the fp's within-doc multiplicity, for EVERY row
+    val mult = perDoc.groupBy(identity).view.mapValues(_.size).toMap
+    rows.foreach { case (id, fp, n) =>
+      assert(n == 200L * mult(fp), s"doc $id fp $fp: n_occ $n != ${200 * mult(fp)}")
+    }
+  }
+
   test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
     val (w, s) = (16, 12)
     val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()
