@@ -324,19 +324,21 @@ object Similarity {
       .select(col("vec_id") +: dCols :+ col("c_id"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // encode: per subspace, the centroid minimizing (d, c_id) — the
-    // struct min is the deterministic argmin (same total order as the
-    // oracle's row_number over (d, c_id)). A struct-min buffer is not
-    // HashAggregate-mutable, so this plans SortAggregate (the r16
-    // Curation lesson) — accepted HERE because the input is n·codebookK
-    // rows (16/vector, ≪ the corpus-token streams Curation fixed), the
-    // c_id field is a raw vec_id with no packing-safe bound, and the
-    // measured runs show no spill; revisit only if codebooks grow.
+    // typed arg-min is the deterministic argmin (same total order as
+    // the oracle's row_number over (d, c_id)). The former
+    // min(struct(d, c_id)) spelling planned SortAggregate (struct
+    // buffers are not HashAggregate-mutable — the r16 Curation
+    // lesson), sorting the n·codebookK pair stream per encode; the r18
+    // ExecutedSweep counted it (4 SortAggregates inside this eager
+    // execution) and MinByLongAgg keeps all `subspaces` arg-mins in
+    // one hash-mode ObjectHashAggregate pass.
+    val minByD = udaf(new graft.functions.MinByLongAgg)
     val enc = pairs.groupBy(col("vec_id"))
-      .agg(min(struct(col("d0"), col("c_id"))).as("m0"),
+      .agg(minByD(col("d0"), col("c_id")).as("m0"),
         (1 until subspaces).map(s =>
-          min(struct(col(s"d$s"), col("c_id"))).as(s"m$s")): _*)
+          minByD(col(s"d$s"), col("c_id")).as(s"m$s")): _*)
     val codes = enc.select(col("vec_id"), explode(array((0 until subspaces).map(s =>
-        struct(lit(s).as("s"), col(s"m$s.c_id").as("code"))): _*)).as("k"))
+        struct(lit(s).as("s"), col(s"m$s").as("code"))): _*)).as("k"))
       .select(col("vec_id"), col("k.s").as("s"), col("k.code").as("code"))
     // query ADC tables: the SAME pair rows, restricted to query vectors
     val qd = pairs.filter(col("vec_id") % 50 === 0)
@@ -786,8 +788,8 @@ object Similarity {
     val sizes = ivfLevelSizes(k)
     // FILING pass, bottom-up: level 0 = the K centroids; each OCCUPIED
     // level-i node files under its nearest level-(i+1) center. Argmax
-    // cosine via struct-min over (-cos, cell): ties break to the lower
-    // parent id, matching the oracle's ORDER BY cos DESC, cell. Only
+    // cosine via typed arg-min over (-cos, cell): ties break to the
+    // lower parent id, matching the oracle's ORDER BY cos DESC, cell. Only
     // occupied parents (≥1 filed child) carry upward — the
     // KMeans.assignIvf empty-twin lesson: a childless cell must never
     // burn probe budget. Each filing is ≤K rows through codegen + one
@@ -797,14 +799,20 @@ object Similarity {
     val filings = sizes.map { li =>
       val parents = centroids(v, li).select(col("c_id").as("cell"),
         col("c_ai").as("cc_ai"), col("c_n2").as("cc_n2"))
+      // typed arg-min (r18): the min(struct(nd, cell)) spelling planned
+      // SortAggregate (ExecutedSweep counted 4 per filing chain);
+      // MinByDoubleAgg keeps the ≤K-row filing in hash mode, and the
+      // first(...) payload columns ride the same ObjectHashAggregate
+      // (the q187-rerank mixed-buffer precedent, §20 item 5)
+      val minByNd = udaf(new graft.functions.MinByDoubleAgg)
       val fm = members.crossJoin(broadcast(parents))
         .withColumn("nd", negate(
           expr("dot_long(c_ai, cc_ai)").cast("double") /
             (sqrt(col("cc_n2").cast("double")) * sqrt(col("c_n2").cast("double")))))
         .groupBy(col("c_id"))
-        .agg(min(struct(col("nd"), col("cell"))).as("m"),
+        .agg(minByNd(col("nd"), col("cell")).as("cell"),
           first(col("c_ai")).as("c_ai"), first(col("c_n2")).as("c_n2"))
-        .select(col("m.cell").as("cell"), col("c_id"), col("c_ai"), col("c_n2"))
+        .select(col("cell"), col("c_id"), col("c_ai"), col("c_n2"))
         .localCheckpoint(true)
       members = fm.select(col("cell")).distinct()
         .join(parents, Seq("cell"))

@@ -186,4 +186,29 @@ class AggregatorPropSpec extends AnyFunSuite {
         "min ord -1.25 wins with its smallest id under any partitioning")
     }
   }
+
+  test("MinByLongAgg matches min(struct).id semantics on longs") {
+    val agg = new graft.functions.MinByLongAgg
+    def run(rows: Seq[(java.lang.Long, java.lang.Long)]): java.lang.Long =
+      agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    assert(run(Seq.empty) == null)
+    assert(run(Seq((null, 1L), (null, 2L))) == null)
+    assert(run(Seq((null, 9L), (2L, 2L), (1L, 1L))) == 1L)
+    assert(run(Seq((1L, null), (2L, 2L))) == null)
+    // negative ords order correctly; ties break to the smallest id
+    assert(run(Seq((-5L, 4L), (3L, 1L), (-5L, 2L))) == 2L)
+    // merge-order invariance over a tie-heavy fixture
+    val rnd = new Random(37)
+    val rows: Seq[(java.lang.Long, java.lang.Long)] =
+      Seq((10L, 5L), (10L, 3L), (-7L, 8L), (-7L, 6L), (null, 0L), (90L, 1L))
+    for (_ <- 1 to 20) {
+      val shuffled = rnd.shuffle(rows)
+      val nChunks = 1 + rnd.nextInt(4)
+      val chunks = (0 until nChunks)
+        .map(i => shuffled.zipWithIndex.collect { case (x, j) if j % nChunks == i => x })
+      val partials = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+      assert(agg.finish(partials.foldLeft(agg.zero)(agg.merge)) == 6L,
+        "min ord -7 wins with its smallest id under any partitioning")
+    }
+  }
 }
