@@ -19,13 +19,20 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * sort fallback still guards (degrading to exactly the sort the
   * struct min always paid).
   *
-  * Semantics match `min(struct(ord, id)).id` under Spark's double
-  * ordering:
+  * Semantics match `min(struct(ord, id)).id` for NON-NULL ordering
+  * keys under Spark's double ordering, and DIVERGE on null ord (the
+  * same divergence [[MinByStrAgg]] documents vs `min_by`):
   *  - doubles compare nan-safe (NaN ranks LAST and equals itself;
   *    -0.0 equals 0.0) — `Utils.nanSafeCompareDoubles` semantics, NOT
   *    `java.lang.Double.compare` (which ranks -0.0 below 0.0);
-  *  - rows whose ordering key is null are ignored; a group with no
-  *    non-null ordering key finishes to NULL (never a fabricated id);
+  *  - rows whose ordering key is null are IGNORED; a group with no
+  *    non-null ordering key finishes to NULL (never a fabricated id).
+  *    The struct min ranks a null FIELD first, so `min(struct(ord,
+  *    id))` would let a null-ord row WIN its group — call sites must
+  *    either guarantee non-null ords or coalesce the ord to an
+  *    explicit worst/best sentinel (q129 maps null quality to
+  *    +Infinity ord so null-quality members lose, matching its
+  *    oracle's NULLS-LAST `ORDER BY quality DESC`);
   *  - a null id under the winning ordering key is returned as NULL.
   *
   * Determinism: total order (ord ASC, id ASC NULLS FIRST) — at the

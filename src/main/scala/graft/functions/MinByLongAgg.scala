@@ -13,9 +13,12 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * Same contract as the siblings: a (boxed) pair buffer runs in
   * hash-mode ObjectHashAggregate where the declarative struct-min's
   * non-mutable buffer planned SortAggregate; null ordering keys are
-  * ignored; an all-null group and a null winning id finish to NULL;
-  * total order (ord ASC, id ASC NULLS FIRST). Long ordering has no
-  * NaN/-0.0 subtleties — plain signed comparison matches Spark. */
+  * IGNORED (an all-null group and a null winning id finish to NULL —
+  * this DIVERGES from `min(struct(ord, id))`, which ranks a null
+  * field first and would let a null-ord row win; call sites rely on
+  * non-null ords); total order (ord ASC, id ASC NULLS FIRST). Long
+  * ordering has no NaN/-0.0 subtleties — plain signed comparison
+  * matches Spark. */
 class MinByLongAgg extends Aggregator[(java.lang.Long, java.lang.Long),
     (java.lang.Long, java.lang.Long), java.lang.Long] {
 

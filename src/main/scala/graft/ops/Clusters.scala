@@ -147,15 +147,31 @@ object Clusters {
     * site after the r17 sweep); [[graft.functions.MinByDoubleAgg]]
     * keeps the sliver argmax in hash mode with identical semantics
     * (ord ASC nan-safe, ties to the lowest doc_id — the oracle's
-    * row_number ORDER BY quality DESC, doc_id). */
+    * row_number ORDER BY quality DESC, doc_id).
+    *
+    * Null quality (q29's ratios are Spark divisions, NULL when
+    * text_len or n_tok is 0) coalesces to a +Infinity ordering key
+    * (ADVICE r18): MinByDoubleAgg IGNORES null-ord rows, so without
+    * the sentinel an all-null-quality cluster would get keep_id=NULL
+    * and every member 'drop' — the oracle's row_number (DuckDB
+    * defaults to NULLS LAST under DESC) always keeps one. +Infinity
+    * ranks a null-quality member behind every real quality and breaks
+    * all-null ties to the lowest doc_id, exactly the oracle's order. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val clusters = dedupClusters(spark, dir) // (doc_id, canonical_id)
     val quality = graft.ops.TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
-    val member = clusters.join(quality, "doc_id")
+    dedupApplyOf(clusters.join(quality, "doc_id"))
+  }
+
+  /** The argmax + keep-flag tail of [[dedupApply]] over a prepared
+    * member table (doc_id, canonical_id, quality) — split out so the
+    * null-quality sentinel law is unit-testable without a corpus. */
+  private[graft] def dedupApplyOf(member: DataFrame): DataFrame = {
     val minByNq = udaf(new graft.functions.MinByDoubleAgg)
     val best = member.groupBy(col("canonical_id"))
-      .agg(minByNq(-col("quality"), col("doc_id")).as("keep_id"))
+      .agg(minByNq(coalesce(-col("quality"), lit(Double.PositiveInfinity)),
+        col("doc_id")).as("keep_id"))
     member.join(best, "canonical_id")
       .select(col("doc_id"), col("canonical_id"), col("quality"),
         when(col("doc_id") === col("keep_id"), "keep").otherwise("drop").as("action"))

@@ -113,4 +113,22 @@ class ClustersSpec extends SparkSpec {
       }
     }
   }
+
+  test("q129 null-quality members lose, and an all-null cluster still keeps one (ADVICE r18)") {
+    // quality is NULL when q29's ratio denominators are 0; the argmax
+    // must match the oracle's row_number (DuckDB NULLS LAST under
+    // quality DESC): a null-quality member never beats a real one, and
+    // an all-null cluster keeps its lowest doc_id — never zero keeps.
+    val member = Seq[(Long, Long, java.lang.Double)](
+      // mixed cluster: null must lose to the worst real quality
+      (1L, 1L, java.lang.Double.valueOf(0.2)), (2L, 1L, null),
+      (3L, 1L, java.lang.Double.valueOf(0.9)),
+      // all-null cluster: exactly one keep, the lowest doc_id
+      (11L, 10L, null), (12L, 10L, null), (10L, 10L, null)
+    ).toDF("doc_id", "canonical_id", "quality")
+    val got = graft.ops.Clusters.dedupApplyOf(member).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "drop", 2L -> "drop", 3L -> "keep",
+      10L -> "keep", 11L -> "drop", 12L -> "drop"), s"got $got")
+  }
 }
