@@ -612,20 +612,70 @@ object Curation {
     * a groupBy + join-back — the count branch's pruned exchange copy
     * blocks AQE reuse, so the join-back shape pays the expensive CDC
     * chunking transform TWICE (measured: stages 7+8 of
-    * STAGE_r18_q154_sf100_after). See the in-body comment for the
-    * bounded-sort argument. */
+    * STAGE_r18_q154_sf100_after). r19 closes the one scale risk the
+    * r18 shape carried (VERDICT r18 item 1): a CORPUS-HOT fingerprint
+    * (boilerplate CDC chunks are common in web corpora) routes its
+    * entire row mass to one reduce partition of the fp exchange — at
+    * 100 TB a fp owning 10% of the stream is a single 40 TB task. The
+    * heavy-hitter guard (see [[cdcChunksOf]]) detects hot fps on a 2%
+    * sample, takes their exact counts from one pruned broadcast
+    * aggregation, salts their rows across the full exchange width, and
+    * windows only the light tail. */
   def cdcChunks(spark: SparkSession, dir: String,
                 d: Int = CdcDivisor): DataFrame =
     cdcChunksOf(Tables.documents(spark, dir), d,
       streamWidth(spark, dir, CdcBytesPerInputByte))
 
-  /** `width` ≤ 0 (the spec path, which has no table directory to size
-    * from) falls back to the session shuffle width. */
-  private[graft] def cdcChunksOf(docs: DataFrame, d: Int,
-                                 width: Int = 0): DataFrame = {
-    require(d > 0, "divisor must be positive")
-    val w = if (width > 0) width
-      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+  /** q189: [[cdcChunks]] with the heavy-hitter guard FORCED — exact
+    * detection (sampleFraction = 1) at hotMinOcc = 2, so every
+    * duplicated fingerprint takes the broadcast-count path and every
+    * unique one the window path. Semantically identical to q154 (same
+    * DuckDB oracle); exists so the guard's salted-exchange shape is
+    * exercised and oracle-gated at every test scale instead of only
+    * engaging past the ~1 GB corpus boundary where the auto guard
+    * turns on. */
+  def cdcChunksHot(spark: SparkSession, dir: String,
+                   d: Int = CdcDivisor): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir), d,
+      streamWidth(spark, dir, CdcBytesPerInputByte),
+      hotMinOcc = 2L, sampleFraction = 1.0)
+
+  /** ~bytes per CDC chunk row in the fp exchange (32-char hex fp —
+    * part of the output schema — plus ids/spans and UnsafeRow
+    * overhead); the denominator of the auto hot threshold. */
+  private val CdcRowBytes = 80L
+
+  /** Auto heavy-hitter threshold: one fingerprint may own at most
+    * ~1/8 of a 64 MB target partition (≈ 105k occurrences, ≈ 8 MB of
+    * rows) before it must be salted — past that it is a measurable
+    * single-task straggler on an otherwise balanced exchange. */
+  private[graft] val CdcHotMinOccAuto: Long =
+    GramTargetPartBytes / CdcRowBytes / 8
+
+  /** Detection sample for the auto guard: 2% of documents, fixed seed.
+    * Why sampled rather than exact (the r18 lesson): exact detection is
+    * a full second materialization of the CDC transform on EVERY call —
+    * measured as 1095 of 2419 task-s at sf100 — while a 2% sample costs
+    * 2% and detects any partition-breaking fp with overwhelming margin
+    * (a fp at the 105k auto threshold appears ~2100× in the sample vs a
+    * detection cut of ~525; P[miss] is Chernoff-negligible at every
+    * corpus size where the guard matters). A missed fp is bounded by
+    * ~the threshold (≈ 8 MB of extra rows in one partition) and NEVER
+    * affects n_occ exactness — counts for undetected fps come from the
+    * window, complete because their rows are unsalted. */
+  private val CdcHotSampleFraction = 0.02
+  private val CdcHotSampleSeed = 42L
+
+  /** Loud ceiling on the broadcast hot-fp sliver (the q155 codebook
+    * convention: broadcast state must be provably bounded). */
+  private val MaxHotFps = 1 << 20
+
+  /** The pre-exchange CDC chunk stream (doc_id, chunk_id, start_tok,
+    * chunk_len, chunk_fp) — shared by the output pass, the detection
+    * sample, and the exact hot-count pass so all three see identical
+    * fingerprints. Entirely map-side: one transform/filter over each
+    * doc's token array, per-doc bounded. */
+  private def cdcChunkStream(docs: DataFrame, d: Int): DataFrame = {
     val t = docs.select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
     // 0-based chunk starts: 0, plus every j in [1, n) whose straddling
     // pair hashes to the anchor class
@@ -635,8 +685,7 @@ object Curation {
          |    j -> IF(CAST(conv(substring(md5(concat(toks[j-1], ' ', toks[j])), 1, 15), 16, 10) AS BIGINT) % $d = 0, j, -1)),
          |    x -> x >= 0)
          |  ELSE CAST(array() AS array<int>) END)""".stripMargin
-    val chunks = t
-      .select(col("doc_id"), col("toks"), expr(startsExpr).as("ss"))
+    t.select(col("doc_id"), col("toks"), expr(startsExpr).as("ss"))
       .select(col("doc_id"), posexplode(expr(
         """transform(ss, (s, k) ->
           |  named_struct('start_tok', CAST(s AS BIGINT),
@@ -646,24 +695,98 @@ object Curation {
           |        (IF(k = size(ss) - 1, size(toks), element_at(ss, k + 2))) - s)))))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col.start_tok"), col("col.chunk_len"), col("col.chunk_fp"))
-      .repartition(w, col("chunk_fp"))
-    // occurrence count as a window over the width-bounded exchange —
-    // deliberately NOT a groupBy + join-back (r18): the output needs
-    // every chunk row, so a count-aggregate branch is column-pruned to
-    // chunk_fp only, its copy of the exchange canonicalizes DIFFERENT
-    // from the probe's, AQE cannot reuse the shuffle stage, and the
-    // whole CDC chunking transform materializes twice — measured as
-    // 1095 of 2419 task-s at sf100 (STAGE_r18_q154_sf100_after, stages
-    // 7+8). The window's partition-local sort is bounded at the ~64 MB
-    // width target BY CONSTRUCTION (corpus-proportional `w`), spillable
-    // past that, and costs a fraction of the chunking pass it saves;
-    // a pathological fingerprint duplicated across the corpus lands in
-    // one spillable window buffer, where a hash-agg collect would OOM.
-    chunks
-      .withColumn("n_occ", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        col("chunk_len"), col("chunk_fp"), col("n_occ"))
+  }
+
+  /** `width` ≤ 0 (the spec path, which has no table directory to size
+    * from) falls back to the session shuffle width.
+    *
+    * `hotMinOcc` controls the r19 heavy-hitter guard: 0 (default) =
+    * AUTO — engage at [[CdcHotMinOccAuto]] exactly when the stream has
+    * outgrown the session width (w > session partitions, i.e. the
+    * corpus-proportional regime where a hot fp is a straggler rather
+    * than a ≤ 1-partition blip); > 0 = engage at that threshold with
+    * the given `sampleFraction` (1.0 = exact detection, the q189
+    * gate); < 0 = guard OFF, the pure r18 window shape (the skew
+    * probe's BEFORE arm). */
+  private[graft] def cdcChunksOf(docs: DataFrame, d: Int,
+                                 width: Int = 0,
+                                 hotMinOcc: Long = 0L,
+                                 sampleFraction: Double = CdcHotSampleFraction): DataFrame = {
+    require(d > 0, "divisor must be positive")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val sessionParts =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = if (width > 0) width else sessionParts
+    val chunks = cdcChunkStream(docs, d)
+    // ---- heavy-hitter detection (r19, VERDICT r18 item 1) ----
+    val guardOn = hotMinOcc > 0L || (hotMinOcc == 0L && w > sessionParts)
+    val hotFps: Array[String] = if (!guardOn) Array.empty else {
+      val hotMin = if (hotMinOcc > 0L) hotMinOcc else CdcHotMinOccAuto
+      val sampled =
+        if (sampleFraction >= 1.0) docs
+        else docs.sample(sampleFraction, CdcHotSampleSeed)
+      // 4x safety margin under sampling (detect from ~hotMin/4 up);
+      // over-detection is harmless — detected fps still get EXACT
+      // counts, they just take the broadcast path
+      val thresh = math.max(1L, math.ceil(sampleFraction * hotMin /
+        (if (sampleFraction >= 1.0) 1.0 else 4.0)).toLong)
+      val fps = cdcChunkStream(sampled, d)
+        .groupBy(col("chunk_fp")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= thresh)
+        .select(col("chunk_fp")).collect().map(_.getString(0))
+      require(fps.length <= MaxHotFps,
+        s"hot-fingerprint sliver (${fps.length} fps at threshold $thresh) " +
+          s"exceeds the $MaxHotFps broadcast bound — raise hotMinOcc or " +
+          "dedup the corpus before CDC chunking")
+      fps
+    }
+    if (hotFps.isEmpty) {
+      // the measured r18 single-exchange shape, verbatim: occurrence
+      // count as a window over the width-bounded exchange — deliberately
+      // NOT a groupBy + join-back: the output needs every chunk row, so
+      // a count-aggregate branch is column-pruned to chunk_fp only, its
+      // copy of the exchange canonicalizes DIFFERENT from the probe's,
+      // AQE cannot reuse the shuffle stage, and the whole CDC chunking
+      // transform materializes twice — measured as 1095 of 2419 task-s
+      // at sf100 (STAGE_r18_q154_sf100_after, stages 7+8). The window's
+      // partition-local sort is bounded at the ~64 MB width target BY
+      // CONSTRUCTION for the light tail (corpus-proportional `w`),
+      // spillable past that; corpus-hot fps are the guard's job above.
+      chunks.repartition(w, col("chunk_fp"))
+        .withColumn("n_occ", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("chunk_len"), col("chunk_fp"), col("n_occ"))
+    } else {
+      // HOT PATH: exact counts for the detected sliver come from ONE
+      // pruned aggregation (map-side partial combine compresses each
+      // hot fp to one row per map partition — skew-free by
+      // construction) broadcast back; hot rows salt across the FULL
+      // exchange width so no partition owns more than ~1/w of any hot
+      // fp; light rows keep salt 0, so the (fp, salt) window still
+      // counts them completely. coalesce prefers the exact broadcast
+      // count, making the per-salt window value (partial for hot fps)
+      // dead for exactly the rows it is wrong on. Costs one extra
+      // chunking materialization ONLY when hot fps exist — the uniform
+      // corpus keeps the r18 single-pass plan.
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val hotSet = broadcast(hotFps.toSeq.toDF("chunk_fp"))
+      val hotCounts = broadcast(
+        chunks.join(hotSet, Seq("chunk_fp"))
+          .groupBy(col("chunk_fp")).agg(count(lit(1)).as("hot_n")))
+      chunks.join(hotCounts, Seq("chunk_fp"), "left")
+        .withColumn("salt", when(col("hot_n").isNotNull,
+          pmod(xxhash64(col("doc_id"), col("chunk_id")), lit(w.toLong)))
+          .otherwise(lit(0L)))
+        .repartition(w, col("chunk_fp"), col("salt"))
+        .withColumn("n_occ", coalesce(col("hot_n"), count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("chunk_fp"), col("salt")))))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("chunk_len"), col("chunk_fp"), col("n_occ"))
+    }
   }
 
   /** q136 window/stride (tokens). Real RAG pipelines run 256/192-ish;
@@ -1002,7 +1125,12 @@ object Curation {
         expr(s"CAST(round($budget * CAST(w AS DOUBLE) / t) AS BIGINT)").as("alloc"))
   }
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = oracleBase +
+    // q189 = q154 with the heavy-hitter guard forced: the guard is a
+    // physical-plan choice, so the two share one oracle verbatim
+    ("q189_cdc_chunks_hot" -> oracleBase("q154_cdc_chunks"))
+
+  private def oracleBase: Map[String, String] = Map(
     "q180_neyman_alloc" ->
       s"""WITH q AS (${TextAnalysis.qualitySql}),
          |s AS (SELECT lang, CAST(round(quality * 1e4) AS BIGINT) AS qfp
@@ -1247,7 +1375,9 @@ object Curation {
          |FROM t LEFT JOIN rb USING (doc_id) WHERE NOT t.ev""".stripMargin,
     // q154: the same boundary rule re-derived list-wise — anchors from
     // straddling-pair md5-ints, chunks via the zip-unnest idiom, counts
-    // over fingerprints.
+    // over fingerprints. q189 is semantically identical (the
+    // heavy-hitter guard changes the PLAN, never the answer), so it
+    // shares the SQL via the post-Map append below.
     "q154_cdc_chunks" ->
       s"""WITH t AS (SELECT doc_id,
          |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks

@@ -467,6 +467,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks (q189): the heavy-hitter guard is plan-only — salted+broadcast equals the pure window") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // planted-hot corpus (200 identical docs — every shared fp 200×-hot)
+    // PLUS unique docs, so the broadcast-count path and the light-tail
+    // window BOTH exercise in one run and must agree row-for-row with
+    // the guard-off r18 window shape
+    val body = ((0 until 10) ++ (0 until 10)).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 200L).map(id => (id, body)) ++
+      (200L until 260L).map(id =>
+        (id, (0 until 25).map(j => s"u${id}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).sortBy(t => (t._1, t._2))
+    val guardOff = Curation.cdcChunksOf(docs, 8, hotMinOcc = -1L)
+    val guarded = Curation.cdcChunksOf(docs, 8, hotMinOcc = 2L,
+      sampleFraction = 1.0)
+    // the guard actually engaged: hot counts broadcast back, rows salted
+    val p = guarded.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") && p.contains("salt"),
+      s"forced guard must salt and broadcast:\n$p")
+    assert(rowsOf(guarded).toSeq == rowsOf(guardOff).toSeq,
+      "guarded output must equal the pure-window output row-for-row")
+    // and the light tail is really windowed: unique docs' fps count 1
+    assert(rowsOf(guarded).filter(_._1 >= 200L).forall(_._6 == 1L),
+      "unique docs' fingerprints must count exactly once")
+  }
+
   test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
     val (w, s) = (16, 12)
     val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()

@@ -739,6 +739,33 @@ class PlanSpec extends SparkSpec {
     assert(!p154.contains("Join"), s"q154 needs no join at all:\n$p154")
   }
 
+  test("q189 heavy-hitter guard: one salted corpus exchange, hot counts broadcast (r19)") {
+    // the VERDICT r18 item-1 shape: hot fps' rows salt across the full
+    // width (no reduce partition owns a corpus-hot fingerprint), their
+    // exact counts ride a BROADCAST back, and the light tail still
+    // counts on a (fp, salt) window over the single corpus exchange
+    val p = plan(q("q189_cdc_chunks_hot"))
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"q189 must pin its chunk exchange width explicitly:\n$p")
+    val saltedWindow = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(chunk_fp#") && l.contains(" salt#"))
+    assert(saltedWindow,
+      s"the light-tail count must window on (chunk_fp, salt):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-fp counts must broadcast back, never re-shuffle the stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side sort join anywhere in the guard:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the guard stays equi-keyed:\n$p")
+    // exactly TWO shuffles: the salted corpus exchange + the hot-count
+    // aggregation's fp-sliver exchange (map-side partials compress each
+    // hot fp to one row per map partition first)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+    assert(p.contains("partial_count"),
+      s"hot counts must combine map-side before their sliver exchange:\n$p")
+  }
+
   test("q90/q93 manifest arg-mins hash, never sort, the doc stream (r17 sweep)") {
     // min_by(doc_id, ord) carries the STRING ordering key in its
     // declarative buffer — not UnsafeRow-mutable, so Catalyst silently
