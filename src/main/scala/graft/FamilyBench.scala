@@ -9,9 +9,31 @@ import org.apache.spark.sql.SparkSession
   * queries) and prints/writes one JSON line. Pair a driver-sf run with
   * a `graft.ScaleGen` synthetic run for the trend (SURVEY §8.3).
   *
+  * CALIBRATOR (r19, VERDICT r18 item 2 — mechanizing the manual r18
+  * rejection): the post-reboot host degrades sustained multi-query
+  * trains erratically (the r18 full-family sf10 refresh measured q89
+  * at 58.9 s in-train vs 5.3 s solo ten minutes later — an 11× swing
+  * UNCHANGED code cannot produce), so every run now times a fixed
+  * calibrator query (min-of-2) BEFORE and AFTER the train and
+  * self-labels `window_status: REJECTED` when the pair deviates past
+  * [[CalibratorBound]]. A REJECTED artifact carries no scale claims —
+  * re-run a smaller subset in a calmer window instead of arguing with
+  * the numbers.
+  *
   * Needs only documents.parquet + embeddings.parquet in sfDir — exactly
   * what ScaleGen synthesizes. */
 object FamilyBench {
+  /** Fixed calibrator: cheap, corpus-structural, depends only on the
+    * documents table (present at every family scale point). */
+  private val CalibratorQuery = "q21_dedup_exact"
+
+  /** Max tolerated last/first calibrator swing before the window
+    * self-labels REJECTED. The measured single-query twin-probe noise
+    * band on this host is 1.2–2.4× on SUSTAINED sf100 loads but the
+    * calibrator is short-query-shaped (the 188-query sf0.1 bench never
+    * entered that regime on two slow boots); 1.6 splits the regimes —
+    * past it the train itself is degrading the box. */
+  private val CalibratorBound = 1.6
   private val Family = Seq(
     "q21_dedup_exact", "q22_jaccard_neardup", "q23_minhash_lsh",
     "q24_simhash_neardup", "q25_cosine_topk", "q26_ann_ivf",
@@ -97,9 +119,9 @@ object FamilyBench {
     // themselves since round 9 (auto-K ∝ n via semDedupAuto /
     // embeddingNearDupAuto), so no override is needed here
     val fns = SparkEntry.queries
-    val results = family.map { name =>
+    def minOf2(name: String): Double = {
       val fn = fns(name)
-      val times = (1 to 2).map { _ =>
+      (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // full-plan execution, NOT df.count(): the count re-optimization
         // prunes columns and eliminates row-preserving tails, collapsing
@@ -109,10 +131,24 @@ object FamilyBench {
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t
-      }
-      System.err.println(f"FAMILY_PROGRESS $name ${times.min}%.3f")
-      (name, times.min)
+      }.min
     }
+    val calibFirst = minOf2(CalibratorQuery)
+    val results = family.map { name =>
+      val t = minOf2(name)
+      System.err.println(f"FAMILY_PROGRESS $name $t%.3f")
+      (name, t)
+    }
+    val calibLast = minOf2(CalibratorQuery)
+    val calibRatio = calibLast / calibFirst
+    val windowStatus =
+      if (calibRatio > CalibratorBound || calibRatio < 1.0 / CalibratorBound)
+        "REJECTED" else "ACCEPTED"
+    if (windowStatus == "REJECTED") System.err.println(
+      f"WARN: FamilyBench window REJECTED by its calibrator — " +
+        f"$CalibratorQuery $calibFirst%.2f s before vs $calibLast%.2f s " +
+        f"after (${calibRatio}%.2fx, bound ${CalibratorBound}x); this " +
+        "artifact carries NO scale claims")
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // on-disk input volume (all parquet under sfDir) — the artifact's
@@ -131,7 +167,7 @@ object FamilyBench {
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","window_status":"$windowStatus","calibrator":{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound},"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

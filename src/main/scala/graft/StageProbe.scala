@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.mutable
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev utility: per-stage skew/spill probe for scale-trend
@@ -24,21 +22,18 @@ import org.apache.spark.sql.SparkSession
   *  - `shuffle_read_mb` / `shuffle_write_mb` / `input_mb`: where the
   *    bytes actually move, so a "the join is the bottleneck" claim is
   *    checked against the stage that reads the join's exchange.
+  *  - `calib_med_map_task_s` (r19, VERDICT r18 item 6): the probed
+  *    run's heaviest stage's (by total task time) median task seconds — the
+  *    host-speed constant SURVEY §21.2 tracked across boots (80.9 →
+  *    119.6 → 136.1 s on a byte-identical map stage), now recorded
+  *    inside the artifact so absolutes can be normalized without
+  *    hunting through changelog prose.
   *
   * The probed run is the SECOND execution (min-of-2-warm convention —
   * the first pays codegen/classload and page-cache fill; stage rows
-  * report only the probed run's tasks). */
+  * report only the probed run's tasks). Recording/quiesce mechanics
+  * live in [[StageRecorder]] (shared with CdcSkewProbe). */
 object StageProbe {
-  private final class Acc {
-    var tasks = 0
-    val runMs = mutable.ArrayBuffer.empty[Long]
-    var spillMem = 0L
-    var spillDisk = 0L
-    var shufRead = 0L
-    var shufWrite = 0L
-    var input = 0L
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val queryName = args(1)
@@ -59,82 +54,27 @@ object StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Record EVERY task-end (no on/off flag): Spark's listener bus is
-    // async, so a flag flipped when the action returns both drops the
-    // probed run's final task wave (exactly the slowest tasks the
-    // max/med verdict needs) and lets the warm-up run's stragglers leak
-    // into a freshly-cleared map. Instead the run boundary is a
-    // QUIESCE — poll the recorded task count until it is stable — and
-    // the probed run is isolated by clearing after the pre-run quiesce.
-    val stages = mutable.LinkedHashMap.empty[Int, Acc]
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) stages.synchronized {
-          val a = stages.getOrElseUpdate(e.stageId, new Acc)
-          a.tasks += 1
-          a.runMs += e.taskMetrics.executorRunTime
-          a.spillMem += e.taskMetrics.memoryBytesSpilled
-          a.spillDisk += e.taskMetrics.diskBytesSpilled
-          a.shufRead += e.taskMetrics.shuffleReadMetrics.totalBytesRead
-          a.shufWrite += e.taskMetrics.shuffleWriteMetrics.bytesWritten
-          a.input += e.taskMetrics.inputMetrics.bytesRead
-        }
-    })
-    // A quiesce that hits the 10 s cap without the bus going stable
-    // means the run boundary leaked — a warm-up straggler may land in
-    // the probed map, or the probed tail may be read early — skewing
-    // exactly the max/med stats this tool adjudicates with. That run
-    // must be DISTINGUISHABLE from a clean one (ADVICE r15 item 5):
-    // the JSON carries `quiesce_timeout` and stderr gets a warning.
-    var quiesceTimeout = false
-    def quiesce(): Unit = {
-      var last = -1L
-      var stable = 0
-      var waited = 0
-      while (stable < 2 && waited < 10000) {
-        val cur = stages.synchronized(stages.valuesIterator.map(_.tasks.toLong).sum)
-        if (cur == last) stable += 1 else { stable = 0; last = cur }
-        Thread.sleep(250); waited += 250
-      }
-      if (stable < 2) {
-        quiesceTimeout = true
-        System.err.println(
-          "WARN: StageProbe quiesce hit the 10s cap with task-ends still " +
-            "arriving — probe boundaries are contaminated; treat this " +
-            "probe's stage stats as unreliable (quiesce_timeout=true)")
-      }
-    }
+    val rec = new StageRecorder(spark.sparkContext)
 
     val fn = SparkEntry.queries(queryName)
     val loadBefore = Bench.loadAvg()
     var probedSec = 0.0
     val warmSecs = (1 to runs).map { i =>
-      if (i == runs) { quiesce(); stages.synchronized(stages.clear()) }
+      if (i == runs) { rec.quiesce(); rec.clear() }
       val t0 = System.nanoTime()
       // full-plan execution, NOT df.count(): the count re-optimization
       // prunes columns and eliminates row-preserving tails, so a lazy
       // operator can collapse to a metadata scan (see Bench.runFully)
       Bench.runFully(fn(spark, sfDir))
       val t = (System.nanoTime() - t0) / 1e9
-      if (i == runs) { quiesce(); probedSec = t }
+      if (i == runs) { rec.quiesce(); probedSec = t }
       spark.catalog.clearCache()
       t
     }
     val loadAfter = Bench.loadAvg()
 
-    def mb(b: Long): String = f"${b / (1024.0 * 1024.0)}%.1f"
-    val rows = stages.synchronized(stages.toSeq)
-      .sortBy { case (_, a) => -a.runMs.sum }
-      .take(12)
-      .map { case (id, a) =>
-        val sorted = a.runMs.sorted
-        val med = if (sorted.isEmpty) 0L else sorted(sorted.size / 2)
-        val mx = if (sorted.isEmpty) 0L else sorted.last
-        val ratio = if (med > 0) mx.toDouble / med else 0.0
-        f"""{"stage":$id,"tasks":${a.tasks},"task_time_sum_s":${sorted.sum / 1e3}%.1f,"task_time_max_s":${mx / 1e3}%.2f,"task_time_med_s":${med / 1e3}%.2f,"max_over_med":$ratio%.2f,"spill_mem_mb":${mb(a.spillMem)},"spill_disk_mb":${mb(a.spillDisk)},"shuffle_read_mb":${mb(a.shufRead)},"shuffle_write_mb":${mb(a.shufWrite)},"input_mb":${mb(a.input)}}"""
-      }
     val json =
-      f"""{"metric":"stage_probe","query":"$queryName","sf":"$sfDir","cpus":$cpus,"runs":$runs,"probed_run_sec":$probedSec%.2f,"all_run_secs":[${warmSecs.map(s => f"$s%.2f").mkString(",")}],"quiesce_timeout":$quiesceTimeout,"loadavg_before":${loadBefore},"loadavg_after":${loadAfter},"stages":[${rows.mkString(",")}]}"""
+      f"""{"metric":"stage_probe","query":"$queryName","sf":"$sfDir","cpus":$cpus,"runs":$runs,"probed_run_sec":$probedSec%.2f,"all_run_secs":[${warmSecs.map(s => f"$s%.2f").mkString(",")}],"quiesce_timeout":${rec.quiesceTimeout},"calib_med_map_task_s":${rec.medianHeavyStageTaskSec}%.2f,"loadavg_before":${loadBefore},"loadavg_after":${loadAfter},"stages":[${rec.jsonRows().mkString(",")}]}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

@@ -766,6 +766,26 @@ class PlanSpec extends SparkSpec {
       s"hot counts must combine map-side before their sliver exchange:\n$p")
   }
 
+  test("BNLJ build sides are singleton stat rows, bounded at runtime (r19 sweep law)") {
+    // the library's BroadcastNestedLoopJoins are the intended keyless
+    // 1-row stat joins (quantile cut points, corpus totals); the sweep
+    // bound makes a future corpus-sized nested-loop build a red test
+    // instead of a lump-count entry — q180 declares a literal
+    // crossJoin(broadcast(1-row total)), q178 a centroid-panel cross
+    val rows = Seq("q180_neyman_alloc", "q178_label_margin").flatMap { name =>
+      val df = q(name)
+      Bench.runFully(df)
+      ExecutedSweep.bnljBuildRows(df.queryExecution.executedPlan)
+        .map(name -> _)
+    }
+    assert(rows.nonEmpty, "the panel is expected to carry BNLJ stat-row joins")
+    rows.foreach { case (name, r) =>
+      assert(r >= 0, s"$name: build-side row count must be measurable")
+      assert(r <= ExecutedSweep.MaxBnljBuildRows,
+        s"$name: a BNLJ build side carries $r rows (> ${ExecutedSweep.MaxBnljBuildRows})")
+    }
+  }
+
   test("q90/q93 manifest arg-mins hash, never sort, the doc stream (r17 sweep)") {
     // min_by(doc_id, ord) carries the STRING ordering key in its
     // declarative buffer — not UnsafeRow-mutable, so Catalyst silently
