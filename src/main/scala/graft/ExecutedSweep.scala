@@ -53,10 +53,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    executions (source prep, result readout) still do. */
 object ExecutedSweep {
   /** The "constant rows" bound for a legitimate broadcast nested-loop
-    * build: the known population is 1-row stat frames plus a few
-    * constant-of-schema panels (q178's 10-row label centroids); 64
-    * tolerates those while still damning anything corpus-shaped — a
-    * real nested-loop regression is orders of magnitude past it. */
+    * build: the known population is 1-row stat frames plus small
+    * config-bounded panels (q178's 10-row label centroids, q163's
+    * 64-row cell codebook). 64 is calibrated to the sf0.01 sweep
+    * protocol, where the smallest corpus-shaped frame is ~500 rows —
+    * panels pass, anything corpus-shaped is a VIOLATION. A sweep at a
+    * larger sf with auto-K codebook panels past 64 re-adjudicates by
+    * reading the per-query rows, not by raising the bound blind. */
   private[graft] val MaxBnljBuildRows = 64L
 
   /** Unwrap the execution-time shells so traversal sees the FINAL
