@@ -645,24 +645,32 @@ object Curation {
     * overhead); the denominator of the auto hot threshold. */
   private val CdcRowBytes = 80L
 
-  /** Auto heavy-hitter threshold: one fingerprint may own at most
-    * ~1/8 of a 64 MB target partition (≈ 105k occurrences, ≈ 8 MB of
-    * rows) before it must be salted — past that it is a measurable
-    * single-task straggler on an otherwise balanced exchange. */
+  /** Auto heavy-hitter threshold: one full target-partition-equivalent
+    * of rows (64 MB / ~80 B ≈ 840k occurrences). The trade the probe
+    * measured (STAGE_r19_q154_skew): engaging the guard costs one extra
+    * chunking materialization (~1.9× wall at sf100), so it must only
+    * fire when the straggler it prevents is worth that — an undetected
+    * fp below this bound adds at most ~one partition's worth of rows to
+    * one task (max/med ≲ 2, spillable), while a fp past it sorts
+    * multiple partition-widths serially in one task and grows
+    * unboundedly with the corpus (the planted ~20%-hot fp measured
+    * max/med 4.12 at sf100 width 46 and scales ∝ width). */
   private[graft] val CdcHotMinOccAuto: Long =
-    GramTargetPartBytes / CdcRowBytes / 8
+    GramTargetPartBytes / CdcRowBytes
 
   /** Detection sample for the auto guard: 2% of documents, fixed seed.
     * Why sampled rather than exact (the r18 lesson): exact detection is
     * a full second materialization of the CDC transform on EVERY call —
     * measured as 1095 of 2419 task-s at sf100 — while a 2% sample costs
-    * 2% and detects any partition-breaking fp with overwhelming margin
-    * (a fp at the 105k auto threshold appears ~2100× in the sample vs a
-    * detection cut of ~525; P[miss] is Chernoff-negligible at every
-    * corpus size where the guard matters). A missed fp is bounded by
-    * ~the threshold (≈ 8 MB of extra rows in one partition) and NEVER
-    * affects n_occ exactness — counts for undetected fps come from the
-    * window, complete because their rows are unsalted. */
+    * ~2% (34 of 1400 task-s in STAGE_r19_q154_skew) and detects any
+    * partition-breaking fp with overwhelming margin (a fp at the ~840k
+    * auto threshold appears ~16800× in expectation vs a detection cut
+    * of ~4200; P[miss] is Chernoff-negligible at every corpus size
+    * where the guard matters). A missed fp is bounded by ~the threshold
+    * (≈ one 64 MB partition-equivalent of extra rows in one spillable
+    * task, max/med ≲ 2) and NEVER affects n_occ exactness — counts for
+    * undetected fps come from the window, complete because their rows
+    * are unsalted. */
   private val CdcHotSampleFraction = 0.02
   private val CdcHotSampleSeed = 42L
 
