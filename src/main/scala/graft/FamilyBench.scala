@@ -39,6 +39,10 @@ object FamilyBench {
     "q24_simhash_neardup", "q25_cosine_topk", "q26_ann_ivf",
     "q27_embedding_neardup", "q54_dedup_clusters", "q76_ann_lsh",
     "q88_bloom_decontaminate", "q89_chunk_dedup", "q90_shard_manifest",
+    // r19: the CDC sibling joins its q89 twin in the default family
+    // (q189, its forced-guard gate, stays explicit-list only — exact
+    // detection triples the chunking cost by design)
+    "q154_cdc_chunks",
     // round-7 text/vector additions whose cost is corpus-structural
     // (q94/q103 are excluded: ScaleGen's replica token prefixes make the
     // literal BM25 query terms vanish at synthetic scale)
