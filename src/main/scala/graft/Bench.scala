@@ -40,6 +40,18 @@ object Bench {
       src => src.mkString.trim.split(" ").take(3).mkString("[", ",", "]")
     } catch { case _: Throwable => "[]" }
 
+  /** Window calibrator (r20, VERDICT r19 item 4 — the FamilyBench
+    * self-labeling ported to the bench denominator): a fixed cheap
+    * query (q21 min-of-2) runs before and after the sweep; a
+    * last/first swing past [[CalibratorBound]] labels the window
+    * REJECTED in-artifact. NOTE the label's semantics (ADVICE r19):
+    * ACCEPTED certifies INTRA-RUN stability only — a window that is
+    * uniformly degraded the whole run (the r19 bench's own 1.29×-slow
+    * boot) still self-labels ACCEPTED; compare `calibrator.first_s`
+    * against a healthy-window record (BASELINE.md) for host health. */
+  private val CalibratorQuery = "q21_dedup_exact"
+  private val CalibratorBound = 1.6
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadBefore = loadAvg()
@@ -52,9 +64,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: exercise scan + join + agg codegen paths once, uncounted
+    // warmup: exercise scan + join + agg codegen paths once, uncounted —
+    // including the calibrator query itself (the FamilyBench protocol:
+    // the first calibration must not pay q21's own codegen/classload, or
+    // the before/after ratio measures JIT tiering instead of the window)
     try etl.Transform.topkEnriched(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try runFully(SparkEntry.queries(CalibratorQuery)(spark, sfDir))
+    catch { case _: Throwable => () }
+    def calibrate(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      runFully(SparkEntry.queries(CalibratorQuery)(spark, sfDir))
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }.min
+    val calibFirst = calibrate()
     // a throwing query is recorded as FAILED (and excluded from the
     // total), never as a fast "success" timing — a regression that breaks
     // a query must not read as a speedup
@@ -79,8 +104,19 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val calibLast = calibrate()
+    val calibRatio = calibLast / calibFirst
+    val windowStatus =
+      if (calibRatio > CalibratorBound || calibRatio < 1.0 / CalibratorBound)
+        "REJECTED" else "ACCEPTED"
+    if (windowStatus == "REJECTED") System.err.println(
+      f"WARN: bench window REJECTED by its calibrator — $CalibratorQuery " +
+        f"$calibFirst%.2f s before vs $calibLast%.2f s after " +
+        f"($calibRatio%.2fx, bound ${CalibratorBound}x)")
+    val calib =
+      f"""{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"intra-run stability only; compare first_s to a healthy-window record for host health"}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":2,"loadavg_before":$loadBefore,"loadavg_after":${loadAvg()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":2,"window_status":"$windowStatus","calibrator":$calib,"loadavg_before":$loadBefore,"loadavg_after":${loadAvg()}}"""
     Files.writeString(Paths.get("BENCH.json"), json)
     println(json)
     spark.stop()

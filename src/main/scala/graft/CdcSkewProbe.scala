@@ -85,6 +85,12 @@ object CdcSkewProbe {
       .withColumn("text",
         when(col("doc_id") % plantEvery === 0, lit(planted))
           .otherwise(col("text")))
+    // mode=overwrite below DELETES the target first — refuse to point it
+    // at the source corpus being read (ADVICE r19: workDir == srcSfDir
+    // would destroy the only copy of a scale corpus mid-scan)
+    require(java.nio.file.Paths.get(workDir).toAbsolutePath.normalize !=
+      java.nio.file.Paths.get(srcSfDir).toAbsolutePath.normalize,
+      s"workDir must differ from srcSfDir ($srcSfDir): the probe overwrites workDir/documents.parquet")
     val docsPath = s"$workDir/documents.parquet"
     docs.write.mode("overwrite").parquet(docsPath)
 

@@ -18,7 +18,12 @@ import org.apache.spark.sql.SparkSession
   * self-labels `window_status: REJECTED` when the pair deviates past
   * [[CalibratorBound]]. A REJECTED artifact carries no scale claims —
   * re-run a smaller subset in a calmer window instead of arguing with
-  * the numbers.
+  * the numbers. The label's SEMANTICS (ADVICE r19): ACCEPTED certifies
+  * intra-train stability only — a window uniformly degraded the whole
+  * run (the r19 1.29×-slow boot) still labels ACCEPTED, so absolutes
+  * from an ACCEPTED run are host-relative; compare `calibrator.first_s`
+  * against a healthy-window record for the same sfDir before trusting
+  * them (the artifact says so in `label_semantics`).
   *
   * Needs only documents.parquet + embeddings.parquet in sfDir — exactly
   * what ScaleGen synthesizes. */
@@ -171,7 +176,7 @@ object FamilyBench {
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","window_status":"$windowStatus","calibrator":{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound},"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","window_status":"$windowStatus","calibrator":{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"intra-train stability only; compare first_s to a healthy-window record for host health"},"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

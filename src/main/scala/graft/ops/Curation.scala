@@ -347,8 +347,126 @@ object Curation {
       .select(col("h"), firstOccField("doc").as("k_doc"),
         firstOccField("pos").as("k_pos"))
 
+  // ---- r20: gram-family heavy-hitter guard (SURVEY §22.6, VERDICT
+  // r19 item 1) — the q154 straggler mechanism in JOIN form. The gram
+  // occurrence join-backs key on the gram hash over the width-pinned
+  // exchange, and AQE's skew-join splitting does NOT apply to
+  // user-specified (REPARTITION_BY_NUM) shuffles, so one corpus-hot
+  // gram concentrates its whole occurrence mass in ONE probe task —
+  // measured max/med 18.87 at sf100 with a planted ~3% gram
+  // (STAGE_r19_q133_gramskew). Same convention as the CDC guard:
+  // hotMinOcc 0 = AUTO (engage past the corpus-width boundary), > 0 =
+  // forced at that threshold (the q190–q193 gates), < 0 = off (the
+  // probe's BEFORE arm). ----
+
+  /** ~bytes per gram-occurrence row in the hash exchange (16 B raw md5
+    * + doc_id/pos + UnsafeRow overhead); the denominator of the gram
+    * guard's auto threshold. */
+  private val GramRowBytes = 40L
+
+  /** Auto heavy-hitter threshold for the gram streams: one full
+    * target-partition-equivalent of occurrence rows (64 MB / ~40 B ≈
+    * 1.6M occurrences) — the measured q154 trade (STAGE_r19_q154_skew)
+    * applied to the join form: below it a hot gram adds at most ~one
+    * partition-width to one task (max/med ≲ 2, spillable); past it the
+    * probe task reads multiple partition-widths serially and grows
+    * unboundedly with the corpus. */
+  private[graft] val GramHotMinOccAuto: Long =
+    GramTargetPartBytes / GramRowBytes
+
+  /** Hot-gram detection for the guarded gram family — empty when the
+    * guard is off or nothing crosses the threshold. Keys are UPPERCASE
+    * hex of the 16-byte gram hash (hex()'s output case), matched with
+    * `hex(h) === hh` at the tag joins. */
+  private def hotGramsFor(spark: SparkSession, dir: String, L: Int, w: Int,
+                          hotMinOcc: Long, sampleFraction: Double): Array[String] = {
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val guardOn = hotMinOcc > 0L || (hotMinOcc == 0L && w > sessionParts)
+    if (!guardOn) Array.empty
+    else detectHotKeys(
+      Tables.documents(spark, dir).filter(col("doc_id").isNotNull),
+      s => sdGrams(s.select(col("doc_id"),
+        split(Dedup.normText(col("text")), " ").as("toks")), L)
+        .select(hex(col("h")).as("k")),
+      if (hotMinOcc > 0L) hotMinOcc else GramHotMinOccAuto,
+      sampleFraction, "gram")
+  }
+
+  /** Occurrences of DUPLICATED grams as (doc_id, pos, is_first) — the
+    * shared core of q133/q138, in two plan shapes:
+    *
+    * DEFAULT (no hot grams): the measured r17/r18 shape verbatim — one
+    * corpus-width hash exchange shared via ReusedExchange by the
+    * dup-gram aggregate and the occurrence join, SHUFFLE_HASH build
+    * bounded by GramTargetPartBytes by construction.
+    *
+    * GUARDED (hot grams detected): salt is computed MAP-SIDE before
+    * the one exchange — hot grams spread over the full width on
+    * xxhash64(doc, pos), light grams keep salt 0, so a light gram's
+    * single (h, 0) cell still carries its complete global stats. The
+    * per-cell aggregate rides the exchange; light dup winners stay the
+    * (h, salt)-co-partitioned SHUFFLE_HASH build; hot cells combine to
+    * exact global stats in a sliver aggregate (≤ |hot|·w rows in,
+    * ≤ |hot| out) and ride a BROADCAST back, so no reduce task ever
+    * owns a hot gram's full mass — the q154 split in join form, with
+    * coalesce preferring the broadcast winner exactly where the light
+    * path is empty. Both exchange consumers read identical (doc_id,
+    * pos, h, salt) columns — the column-pruning symmetry that keeps
+    * the ReusedExchange (the r18 trap); the probe stage's extra cost
+    * is two sliver-side shuffle-file re-reads, never a recompute or a
+    * second corpus shuffle. */
+  private def sdDupOccurrences(toks: DataFrame, L: Int, w: Int,
+                               hotHex: Array[String]): DataFrame = {
+    if (hotHex.isEmpty) {
+      val grams = sdGrams(toks, L).repartition(w, col("h"))
+      grams.join(sdDupFirst(grams).hint("SHUFFLE_HASH"), "h")
+        .select(col("doc_id"), col("pos"),
+          (col("doc_id") === col("k_doc") && col("pos") === col("k_pos")).as("is_first"))
+    } else {
+      val spark = toks.sparkSession
+      import spark.implicits._
+      val hotSet = broadcast(hotHex.toSeq.toDF("hh"))
+      val g = sdGrams(toks, L)
+        .join(hotSet, hex(col("h")) === col("hh"), "left")
+        // the coalesce makes salt PROVABLY non-nullable (pmod is
+        // nullable in non-ANSI mode — divisor 0 → null — so without it
+        // the left joins infer an isnotnull(salt) filter on the build
+        // branch ONLY, which pushes below the exchange and breaks the
+        // canonical identity ReusedExchange needs; measured as a second
+        // full corpus shuffle in this exact plan)
+        .withColumn("salt", when(col("hh").isNotNull,
+          coalesce(pmod(xxhash64(col("doc_id"), col("pos")), lit(w.toLong)),
+            lit(0L)))
+          .otherwise(lit(0L)))
+        .drop("hh")
+        .repartition(w, col("h"), col("salt"))
+      val lvl1 = g.groupBy(col("h"), col("salt"))
+        .agg(count(lit(1)).as("c"), firstOccAggs: _*)
+      val tagged = lvl1.join(hotSet, hex(col("h")) === col("hh"), "left")
+      val light = tagged.filter(col("hh").isNull && col("c") > 1)
+        .select(col("h"), col("salt"),
+          firstOccField("doc").as("k_doc"), firstOccField("pos").as("k_pos"))
+      val hotWin = broadcast(tagged.filter(col("hh").isNotNull)
+        .groupBy(col("h"))
+        .agg(sum(col("c")).as("c"), min(col("_kp")).as("_kp"),
+          min(col("_mnd")).as("_mnd"), max(col("_mxd")).as("_mxd"),
+          min(col("_mnp")).as("_mnp"), max(col("_mxp")).as("_mxp"))
+        .filter(col("c") > 1)
+        .select(col("h"), firstOccField("doc").as("hk_doc"),
+          firstOccField("pos").as("hk_pos")))
+      g.join(light.hint("SHUFFLE_HASH"), Seq("h", "salt"), "left")
+        .join(hotWin, Seq("h"), "left")
+        .filter(col("k_doc").isNotNull || col("hk_doc").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          (col("doc_id") === coalesce(col("k_doc"), col("hk_doc")) &&
+            col("pos") === coalesce(col("k_pos"), col("hk_pos"))).as("is_first"))
+    }
+  }
+
   def substringDedup(spark: SparkSession, dir: String,
-                     minSpan: Int = MinSpanTokens): DataFrame = {
+                     minSpan: Int = MinSpanTokens,
+                     hotMinOcc: Long = 0L,
+                     sampleFraction: Double = CdcHotSampleFraction): DataFrame = {
     require(minSpan > 0, "span length must be positive")
     val L = minSpan
     val toks = sdToks(spark, dir)
@@ -360,12 +478,12 @@ object Curation {
     // SHUFFLE_HASH build side is the dup-gram sliver of the SAME
     // width-scaled partitioning, so the per-partition build is bounded
     // by GramTargetPartBytes BY CONSTRUCTION (vs the default SMJ, which
-    // re-sorts the corpus-sized gram stream in the join stage).
-    val grams = sdGrams(toks, L).repartition(gramWidth(spark, dir), col("h"))
-    val dupFirst = sdDupFirst(grams)
-    val dup = grams.join(dupFirst.hint("SHUFFLE_HASH"), "h")
-      .select(col("doc_id"), col("pos"),
-        (col("doc_id") === col("k_doc") && col("pos") === col("k_pos")).as("is_first"))
+    // re-sorts the corpus-sized gram stream in the join stage). r20:
+    // corpus-hot grams take the salted+broadcast path — see
+    // sdDupOccurrences.
+    val w = gramWidth(spark, dir)
+    val dup = sdDupOccurrences(toks, L, w,
+      hotGramsFor(spark, dir, L, w, hotMinOcc, sampleFraction))
     val wPrev = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -407,14 +525,18 @@ object Curation {
     * text is the concatenation of the gap slices — no window, no
     * per-token explode on the rebuild side. */
   def substringDedupApply(spark: SparkSession, dir: String,
-                          minSpan: Int = MinSpanTokens): DataFrame = {
+                          minSpan: Int = MinSpanTokens,
+                          hotMinOcc: Long = 0L,
+                          sampleFraction: Double = CdcHotSampleFraction): DataFrame = {
     require(minSpan > 0, "span length must be positive")
     val L = minSpan
     val toks = sdToks(spark, dir)
     // same shared-exchange + bounded-hash-build shape as substringDedup
-    val grams = sdGrams(toks, L).repartition(gramWidth(spark, dir), col("h"))
-    val cuts = grams.join(sdDupFirst(grams).hint("SHUFFLE_HASH"), "h")
-      .filter(!(col("doc_id") === col("k_doc") && col("pos") === col("k_pos")))
+    // (hot grams via the same salted+broadcast guard)
+    val w = gramWidth(spark, dir)
+    val cuts = sdDupOccurrences(toks, L, w,
+      hotGramsFor(spark, dir, L, w, hotMinOcc, sampleFraction))
+      .filter(!col("is_first"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
     cutRebuild(toks, cuts, L)
@@ -524,17 +646,66 @@ object Curation {
     * not corpus-sized. */
   def boilerplateDetect(spark: SparkSession, dir: String,
                         L: Int = BoilerGramL,
-                        minDf: Long = BoilerMinDf): DataFrame =
-    sdGrams(sdToks(spark, dir), L)
-      // corpus-proportional width (see gramWidth): keeps the df
-      // aggregate's reduce partitions at ~64 MB at any corpus size
-      .repartition(gramWidth(spark, dir), col("h"))
-      .groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        (count(lit(1)).as("tf") +: firstOccAggs): _*)
-      .filter(col("df") >= minDf)
-      .select(lower(hex(col("h"))).as("gram_hash"), col("df"), col("tf"),
-        firstOccField("doc").as("k_doc"), firstOccField("pos").as("k_pos"))
+                        minDf: Long = BoilerMinDf,
+                        hotMinOcc: Long = 0L,
+                        sampleFraction: Double = CdcHotSampleFraction): DataFrame = {
+    val w = gramWidth(spark, dir)
+    val hot = hotGramsFor(spark, dir, L, w, hotMinOcc, sampleFraction)
+    if (hot.isEmpty)
+      sdGrams(sdToks(spark, dir), L)
+        // corpus-proportional width (see gramWidth): keeps the df
+        // aggregate's reduce partitions at ~64 MB at any corpus size
+        .repartition(w, col("h"))
+        .groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          (count(lit(1)).as("tf") +: firstOccAggs): _*)
+        .filter(col("df") >= minDf)
+        .select(lower(hex(col("h"))).as("gram_hash"), col("df"), col("tf"),
+          firstOccField("doc").as("k_doc"), firstOccField("pos").as("k_pos"))
+    else {
+      // GUARDED: a corpus-hot gram would land its whole occurrence mass
+      // in one reduce partition of the user-pinned exchange (no map-side
+      // combine exists below a user repartition, and countDistinct can't
+      // partially combine anyway). Salt hot grams by xxhash64(doc_id) —
+      // DOC-keyed, unlike the q133 (doc,pos) salt, so every (gram, doc)
+      // pair lands in exactly ONE cell and the per-cell distinct-doc
+      // counts SUM to the exact global df; tf and the first-occurrence
+      // min decompose under any salt. Light grams keep salt 0 (their
+      // one cell is already global); hot cells combine in a sliver
+      // aggregate. Residual: a hot gram concentrated in ONE mega-doc
+      // stays in one cell, but that mass is bounded by the document,
+      // not the corpus.
+      val spark2 = spark
+      import spark2.implicits._
+      val hotSet = broadcast(hot.toSeq.toDF("hh"))
+      val lvl1 = sdGrams(sdToks(spark, dir), L)
+        .join(hotSet, hex(col("h")) === col("hh"), "left")
+        // coalesce: salt must be provably non-nullable (see
+        // sdDupOccurrences — nullable pmod breaks exchange reuse)
+        .withColumn("salt", when(col("hh").isNotNull,
+          coalesce(pmod(xxhash64(col("doc_id")), lit(w.toLong)), lit(0L)))
+          .otherwise(lit(0L)))
+        .drop("hh")
+        .repartition(w, col("h"), col("salt"))
+        .groupBy(col("h"), col("salt"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          (count(lit(1)).as("tf") +: firstOccAggs): _*)
+      val tagged = lvl1.join(hotSet, hex(col("h")) === col("hh"), "left")
+      val light = tagged.filter(col("hh").isNull)
+        .select(col("h"), col("df"), col("tf"), col("_kp"),
+          col("_mnd"), col("_mxd"), col("_mnp"), col("_mxp"))
+      val hotC = tagged.filter(col("hh").isNotNull)
+        .groupBy(col("h"))
+        .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"),
+          min(col("_kp")).as("_kp"), min(col("_mnd")).as("_mnd"),
+          max(col("_mxd")).as("_mxd"), min(col("_mnp")).as("_mnp"),
+          max(col("_mxp")).as("_mxp"))
+      light.unionByName(hotC)
+        .filter(col("df") >= minDf)
+        .select(lower(hex(col("h"))).as("gram_hash"), col("df"), col("tf"),
+          firstOccField("doc").as("k_doc"), firstOccField("pos").as("k_pos"))
+    }
+  }
 
   /** q147: per-document boilerplate fraction + flag — the apply step:
     * each document's grams probe the q146 boilerplate set and the doc
@@ -548,21 +719,63 @@ object Curation {
     * groupBy(doc_id) with map-side partials. */
   def boilerplateApply(spark: SparkSession, dir: String,
                        L: Int = BoilerGramL,
-                       minDf: Long = BoilerMinDf): DataFrame = {
+                       minDf: Long = BoilerMinDf,
+                       hotMinOcc: Long = 0L,
+                       sampleFraction: Double = CdcHotSampleFraction): DataFrame = {
     val toks = sdToks(spark, dir)
-    // same shared-exchange + bounded-hash-build shape as substringDedup
-    // (one gram materialization feeds both the df aggregate and the
-    // probe join via ReusedExchange; the boiler set is df-thresholded —
-    // boilerplate-sized — and rides the same width-scaled partitioning)
-    val grams = sdGrams(toks, L).repartition(gramWidth(spark, dir), col("h"))
-    val boiler = grams
-      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("h"), lit(1L).as("b"))
-    val per = grams.join(boiler.hint("SHUFFLE_HASH"), Seq("h"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("b"), lit(0L))).as("n_boiler"))
+    val w = gramWidth(spark, dir)
+    val hot = hotGramsFor(spark, dir, L, w, hotMinOcc, sampleFraction)
+    val per =
+      if (hot.isEmpty) {
+        // same shared-exchange + bounded-hash-build shape as
+        // substringDedup (one gram materialization feeds both the df
+        // aggregate and the probe join via ReusedExchange; the boiler
+        // set is df-thresholded — boilerplate-sized — and rides the
+        // same width-scaled partitioning)
+        val grams = sdGrams(toks, L).repartition(w, col("h"))
+        val boiler = grams
+          .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= minDf)
+          .select(col("h"), lit(1L).as("b"))
+        grams.join(boiler.hint("SHUFFLE_HASH"), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("b"), lit(0L))).as("n_boiler"))
+      } else {
+        // GUARDED: the q146 doc-keyed salt (per-cell distinct-doc
+        // counts sum exactly across a hot gram's cells), the q133
+        // split on the probe side — light boiler flags stay the
+        // (h, salt)-co-partitioned SHUFFLE_HASH build, hot flags ride
+        // a broadcast, so a hot gram's probe rows spread over its doc
+        // spectrum instead of one task
+        val spark2 = spark
+        import spark2.implicits._
+        val hotSet = broadcast(hot.toSeq.toDF("hh"))
+        val g = sdGrams(toks, L)
+          .join(hotSet, hex(col("h")) === col("hh"), "left")
+          // coalesce: salt must be provably non-nullable (see
+          // sdDupOccurrences — nullable pmod breaks exchange reuse)
+          .withColumn("salt", when(col("hh").isNotNull,
+            coalesce(pmod(xxhash64(col("doc_id")), lit(w.toLong)), lit(0L)))
+            .otherwise(lit(0L)))
+          .drop("hh")
+          .repartition(w, col("h"), col("salt"))
+        val lvl1 = g.groupBy(col("h"), col("salt"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val tagged = lvl1.join(hotSet, hex(col("h")) === col("hh"), "left")
+        val lightB = tagged.filter(col("hh").isNull && col("df") >= minDf)
+          .select(col("h"), col("salt"), lit(1L).as("b"))
+        val hotB = broadcast(tagged.filter(col("hh").isNotNull)
+          .groupBy(col("h")).agg(sum(col("df")).as("df"))
+          .filter(col("df") >= minDf)
+          .select(col("h"), lit(1L).as("hb")))
+        g.join(lightB.hint("SHUFFLE_HASH"), Seq("h", "salt"), "left")
+          .join(hotB, Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("b").isNotNull || col("hb").isNotNull, 1L)
+              .otherwise(0L)).as("n_boiler"))
+      }
     toks.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -658,25 +871,78 @@ object Curation {
   private[graft] val CdcHotMinOccAuto: Long =
     GramTargetPartBytes / CdcRowBytes
 
-  /** Detection sample for the auto guard: 2% of documents, fixed seed.
-    * Why sampled rather than exact (the r18 lesson): exact detection is
-    * a full second materialization of the CDC transform on EVERY call —
-    * measured as 1095 of 2419 task-s at sf100 — while a 2% sample costs
-    * ~2% (34 of 1400 task-s in STAGE_r19_q154_skew) and detects any
-    * partition-breaking fp with overwhelming margin (a fp at the ~840k
-    * auto threshold appears ~16800× in expectation vs a detection cut
-    * of ~4200; P[miss] is Chernoff-negligible at every corpus size
-    * where the guard matters). A missed fp is bounded by ~the threshold
-    * (≈ one 64 MB partition-equivalent of extra rows in one spillable
-    * task, max/med ≲ 2) and NEVER affects n_occ exactness — counts for
-    * undetected fps come from the window, complete because their rows
-    * are unsalted. */
+  /** Detection sample for the auto guards: 2% of documents by doc-id
+    * hash, fixed seed. Why sampled rather than exact (the r18 lesson):
+    * exact detection is a full second materialization of the CDC/gram
+    * transform on EVERY call — measured as 1095 of 2419 task-s at
+    * sf100 — while a 2% doc sample costs ~2% (34 of 1400 task-s in
+    * STAGE_r19_q154_skew). Miss bounds and the mega-doc screen live at
+    * [[detectHotKeys]]. */
   private val CdcHotSampleFraction = 0.02
   private val CdcHotSampleSeed = 42L
 
-  /** Loud ceiling on the broadcast hot-fp sliver (the q155 codebook
+  /** Loud ceiling on a broadcast hot-key sliver (the q155 codebook
     * convention: broadcast state must be provably bounded). */
   private val MaxHotFps = 1 << 20
+
+  /** Sampled + screened heavy-hitter detection shared by the CDC (q154)
+    * and gram (q133/q138/q146/q147) guards: every key of
+    * `keyStreamOf(docs-slice)` (column `k`, string) whose occurrence
+    * count crosses the sampling-scaled threshold, collected to the
+    * driver as a bounded sliver.
+    *
+    * Detection input = the 2% doc-id-hash sample UNION every document
+    * long enough to carry ≥ hotMin/8 occurrences of one key on its own
+    * (`length(text) ≥ hotMin/4` chars — an occurrence spans ≥ 1 token,
+    * and a token costs ≥ 2 chars with its separator, so a doc with c
+    * occurrences of one key has ≥ 2c−1 chars). The screen closes the
+    * ADVICE r19 gap: a doc-CONCENTRATED hot key evades doc-level
+    * sampling with probability (1−f)^n_docs — one ~40 MB boilerplate
+    * doc carrying a whole partition-equivalent of one fp was missed
+    * with ~98% probability — and screened docs are counted exactly, so
+    * a single-doc hot key is now detected with probability 1.
+    *
+    * Honest miss bound (this REPLACES the r19 comment's overclaim that
+    * a missed fp is bounded by ~the threshold): an undetected key has
+    * every occurrence in unsampled, unscreened docs, each carrying
+    * < hotMin/8 occurrences, so a key with n occurrences needs ≥
+    * 8n/hotMin such docs and is missed with P ≤ (1−f)^(8n/hotMin) —
+    * ≈ 0.85 at n = hotMin (a ~1-partition blip: max/med ≲ 2,
+    * spillable), ≈ 0.20 at n = 10·hotMin, ≈ 1.6e-3 at n = 40·hotMin.
+    * The miss probability decays geometrically in the straggler a miss
+    * would cause, and exactness is never at stake: an undetected key's
+    * rows stay unsalted, so its window/aggregate count is complete.
+    * `sampleFraction = 1` (the forced q189–q193 gates) counts every
+    * doc — detection is exact at `hotMin`. */
+  private[graft] def detectHotKeys(docs: DataFrame,
+                                   keyStreamOf: DataFrame => DataFrame,
+                                   hotMin: Long, sampleFraction: Double,
+                                   what: String): Array[String] = {
+    require(hotMin > 0, "hot threshold must be positive")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val input =
+      if (sampleFraction >= 1.0) docs
+      else docs.filter(
+        pmod(xxhash64(col("doc_id"), lit(CdcHotSampleSeed)), lit(1000000L)) <
+          lit(math.round(sampleFraction * 1e6)) ||
+          length(col("text")) >= lit(math.max(1L, hotMin / 4L)))
+    // 4× safety margin under sampling (detect from ~hotMin/4 of the
+    // sampled mass up); over-detection is harmless — detected keys
+    // still get EXACT counts, they just take the salted/broadcast path
+    val thresh = math.max(1L, math.ceil(
+      if (sampleFraction >= 1.0) hotMin.toDouble
+      else sampleFraction * hotMin / 4.0).toLong)
+    val keys = keyStreamOf(input)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thresh)
+      .select(col("k")).collect().map(_.getString(0))
+    require(keys.length <= MaxHotFps,
+      s"hot-$what sliver (${keys.length} keys at threshold $thresh) " +
+        s"exceeds the $MaxHotFps broadcast bound — raise hotMinOcc or " +
+        "dedup the corpus first")
+    keys
+  }
 
   /** The pre-exchange CDC chunk stream (doc_id, chunk_id, start_tok,
     * chunk_len, chunk_fp) — shared by the output pass, the detection
@@ -715,7 +981,10 @@ object Curation {
     * than a ≤ 1-partition blip); > 0 = engage at that threshold with
     * the given `sampleFraction` (1.0 = exact detection, the q189
     * gate); < 0 = guard OFF, the pure r18 window shape (the skew
-    * probe's BEFORE arm). */
+    * probe's BEFORE arm). Detection, its mega-doc screen, and the
+    * honest miss bound live at [[detectHotKeys]]; the detect/no-detect
+    * boundary and the guarded≡unguarded differential are spec laws
+    * (CurationOpsSpec "exact threshold boundary" / "mega-doc screen"). */
   private[graft] def cdcChunksOf(docs: DataFrame, d: Int,
                                  width: Int = 0,
                                  hotMinOcc: Long = 0L,
@@ -727,28 +996,15 @@ object Curation {
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val w = if (width > 0) width else sessionParts
     val chunks = cdcChunkStream(docs, d)
-    // ---- heavy-hitter detection (r19, VERDICT r18 item 1) ----
+    // ---- heavy-hitter detection (r19, VERDICT r18 item 1; r20 adds
+    // the mega-doc screen + honest miss bound — see detectHotKeys) ----
     val guardOn = hotMinOcc > 0L || (hotMinOcc == 0L && w > sessionParts)
-    val hotFps: Array[String] = if (!guardOn) Array.empty else {
-      val hotMin = if (hotMinOcc > 0L) hotMinOcc else CdcHotMinOccAuto
-      val sampled =
-        if (sampleFraction >= 1.0) docs
-        else docs.sample(sampleFraction, CdcHotSampleSeed)
-      // 4x safety margin under sampling (detect from ~hotMin/4 up);
-      // over-detection is harmless — detected fps still get EXACT
-      // counts, they just take the broadcast path
-      val thresh = math.max(1L, math.ceil(sampleFraction * hotMin /
-        (if (sampleFraction >= 1.0) 1.0 else 4.0)).toLong)
-      val fps = cdcChunkStream(sampled, d)
-        .groupBy(col("chunk_fp")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= thresh)
-        .select(col("chunk_fp")).collect().map(_.getString(0))
-      require(fps.length <= MaxHotFps,
-        s"hot-fingerprint sliver (${fps.length} fps at threshold $thresh) " +
-          s"exceeds the $MaxHotFps broadcast bound — raise hotMinOcc or " +
-          "dedup the corpus before CDC chunking")
-      fps
-    }
+    val hotFps: Array[String] =
+      if (!guardOn) Array.empty
+      else detectHotKeys(docs,
+        s => cdcChunkStream(s, d).select(col("chunk_fp").as("k")),
+        if (hotMinOcc > 0L) hotMinOcc else CdcHotMinOccAuto,
+        sampleFraction, "fingerprint")
     if (hotFps.isEmpty) {
       // the measured r18 single-exchange shape, verbatim: occurrence
       // count as a window over the width-bounded exchange — deliberately
@@ -1133,10 +1389,15 @@ object Curation {
         expr(s"CAST(round($budget * CAST(w AS DOUBLE) / t) AS BIGINT)").as("alloc"))
   }
 
-  val oracle: Map[String, String] = oracleBase +
+  val oracle: Map[String, String] = oracleBase ++ Map(
     // q189 = q154 with the heavy-hitter guard forced: the guard is a
-    // physical-plan choice, so the two share one oracle verbatim
-    ("q189_cdc_chunks_hot" -> oracleBase("q154_cdc_chunks"))
+    // physical-plan choice, so the two share one oracle verbatim —
+    // likewise the r20 forced gram-guard gates q190–q193
+    "q189_cdc_chunks_hot" -> oracleBase("q154_cdc_chunks"),
+    "q190_substring_dedup_hot" -> oracleBase("q133_substring_dedup"),
+    "q191_substring_apply_hot" -> oracleBase("q138_substring_apply"),
+    "q192_boilerplate_hot" -> oracleBase("q146_boilerplate"),
+    "q193_boilerplate_apply_hot" -> oracleBase("q147_boilerplate_apply"))
 
   private def oracleBase: Map[String, String] = Map(
     "q180_neyman_alloc" ->

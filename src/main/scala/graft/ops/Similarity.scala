@@ -784,6 +784,20 @@ object Similarity {
                                           k: Int, nAssign: Int, minCos: Double,
                                           nprobe: Int): DataFrame = {
     require(k >= 1 && nAssign >= 1 && nprobe >= 1)
+    // r20 (VERDICT r19 item 5, SURVEY §8.1's former "noted, not yet
+    // needed"): the level-0 FILING stage scores K·⌈K/b⌉ ≈ K²/b cosines
+    // directly — super-linear in K (∝ K^(4/3) at d = 3). Under the
+    // auto-K cap that term is BOUNDED at ~K^(1/3)/144 ≈ 1.4× the
+    // per-corpus assignment cost (K = 2²³, b = 204: 3.4e11 filing vs
+    // 2.4e11 assignment cosines at n = 16K), so the cap that already
+    // guards broadcastability also prices the filing; past it the term
+    // grows without bound, so an explicit k beyond the cap fails LOUDLY
+    // instead of planning a silently super-linear codebook build.
+    require(k <= MaxAutoIvfK,
+      s"k = $k exceeds MaxAutoIvfK = $MaxAutoIvfK: the level-0 filing " +
+        "term K²/b is super-linear in K (and the centroid frame " +
+        "outgrows the broadcast budget) — shard the corpus and run " +
+        "per-shard near-dup instead (SURVEY §8.1)")
     val v = scaled(spark, dir)
     val sizes = ivfLevelSizes(k)
     // FILING pass, bottom-up: level 0 = the K centroids; each OCCUPIED

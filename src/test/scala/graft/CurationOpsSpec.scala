@@ -496,6 +496,128 @@ class CurationOpsSpec extends SparkSpec {
       "unique docs' fingerprints must count exactly once")
   }
 
+  test("cdc chunks (q154): detect/no-detect at the exact threshold boundary — the guard is a plan choice either way") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // one fp occurs exactly 6 times (3 identical docs, body repeats its
+    // chunk structure twice); with exact detection the guard must engage
+    // at hotMinOcc = 6 and stay dormant at 7 — and both plans must agree
+    // row-for-row (a miss is a perf event, never a correctness event)
+    val body = ((0 until 10) ++ (0 until 10)).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 3L).map(id => (id, body)) ++
+      (10L until 14L).map(id => (id, (0 until 25).map(j => s"u${id}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val hotCount = Curation.cdcChunksOf(docs, 8, hotMinOcc = -1L)
+      .collect().map(_.getLong(5)).max
+    val atBoundary = Curation.cdcChunksOf(docs, 8,
+      hotMinOcc = hotCount, sampleFraction = 1.0)
+    val aboveBoundary = Curation.cdcChunksOf(docs, 8,
+      hotMinOcc = hotCount + 1L, sampleFraction = 1.0)
+    assert(atBoundary.queryExecution.executedPlan.toString().contains("salt"),
+      "a fp AT the threshold must engage the guard (detection is >= hotMin)")
+    assert(!aboveBoundary.queryExecution.executedPlan.toString().contains("salt"),
+      "a fp below the threshold must leave the r18 window plan untouched")
+    assertSameRows(atBoundary, aboveBoundary)
+  }
+
+  test("hot-key detection: mega-doc screen catches a doc-concentrated key that sampling misses (ADVICE r19)") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // hotMin = 400 → screen bound = 100 chars. One 180-char doc carries
+    // 60 occurrences of k0 (doc-CONCENTRATED: sampling at f = 1e-6
+    // includes essentially no docs, so pre-r20 detection missed this
+    // with ~certainty); five short docs carry k1 3x each (below screen,
+    // unsampled). The screen must flag k0 deterministically; k1 stays
+    // undetected — its rows are the bounded-miss case the detectHotKeys
+    // scaladoc prices.
+    val mega = (0L, Seq.fill(60)("k0").mkString(" "))
+    val small = (1L to 5L).map(id => (id, "k1 k1 k1 pad"))
+    val docs = (mega +: small).toDF("doc_id", "text")
+    val toksK = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("k"))
+    val hot = Curation.detectHotKeys(docs, toksK, hotMin = 400L,
+      sampleFraction = 1e-6, what = "test")
+    assert(hot.contains("k0"), "the screened mega-doc's key must be detected")
+    assert(!hot.contains("k1"), "unscreened, unsampled keys stay undetected")
+    // exact mode is a sharp threshold: k0 occurs 60x, so hotMin = 60
+    // detects and hotMin = 61 does not
+    assert(Curation.detectHotKeys(docs, toksK, 60L, 1.0, "test").contains("k0"))
+    assert(!Curation.detectHotKeys(docs, toksK, 61L, 1.0, "test").contains("k0"))
+  }
+
+  /** Planted hot corpus ON DISK for the r20 gram-guard differentials
+    * (the public gram APIs size their exchange from the directory):
+    * 200 identical docs whose body repeats one passage TWICE — hot
+    * grams recur within AND across documents, so the q146/q147
+    * doc-keyed salt's df decomposition (per-cell distinct-doc counts
+    * must SUM to the global df) is actually load-bearing — plus one
+    * passage shared by exactly two docs (duplicated but BELOW the
+    * forced threshold 3: the light-dup path keeps rows) and 60 unique
+    * docs (the c = 1 tail). */
+  private lazy val hotGramDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hot-grams").toString
+    val passage = (0 until 12).map(i => s"p$i").mkString(" ")
+    val pair = (0 until 12).map(i => s"q$i").mkString(" ")
+    val docs = ((0L until 200L).map(id => (id, s"$passage $passage tail$id end")) ++
+      Seq((300L, s"$pair alpha beta gamma"), (301L, s"$pair delta eps zeta")) ++
+      (400L until 460L).map(id => (id, (0 until 25).map(j => s"u${id}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("gram guard (q190/q191): guarded substring dedup/apply equal the default join row-for-row on a planted 200x-hot corpus") {
+    import graft.ops.Curation
+    val dir = hotGramDir
+    for ((off, on) <- Seq(
+      (Curation.substringDedup(spark, dir, 8, hotMinOcc = -1L),
+        Curation.substringDedup(spark, dir, 8, hotMinOcc = 3L, sampleFraction = 1.0)),
+      (Curation.substringDedupApply(spark, dir, 8, hotMinOcc = -1L),
+        Curation.substringDedupApply(spark, dir, 8, hotMinOcc = 3L, sampleFraction = 1.0)))) {
+      val p = on.queryExecution.executedPlan.toString()
+      assert(p.contains("salt"), s"forced guard must salt the gram exchange:\n$p")
+      assertSameRows(off, on)
+    }
+    // the light-dup path really carries rows: the 2-doc shared passage
+    // is duplicated (so its docs report dup_tok > 0) but sits below the
+    // forced threshold 3, i.e. it took the UNSALTED (h, 0) cells
+    val dup = Curation.substringDedup(spark, dir, 8, hotMinOcc = 3L,
+      sampleFraction = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(dup(300L) > 0L && dup(301L) > 0L,
+      "the below-threshold duplicated passage must still be accounted")
+    assert(dup(400L) == 0L, "unique docs carry no duplicated spans")
+  }
+
+  test("gram guard (q192/q193): doc-salted boilerplate detect/apply equal the default row-for-row on the planted corpus") {
+    import graft.ops.Curation
+    val dir = hotGramDir
+    for ((off, on) <- Seq(
+      (Curation.boilerplateDetect(spark, dir, 5, 3L, hotMinOcc = -1L),
+        Curation.boilerplateDetect(spark, dir, 5, 3L, hotMinOcc = 3L, sampleFraction = 1.0)),
+      (Curation.boilerplateApply(spark, dir, 5, 3L, hotMinOcc = -1L),
+        Curation.boilerplateApply(spark, dir, 5, 3L, hotMinOcc = 3L, sampleFraction = 1.0)))) {
+      val p = on.queryExecution.executedPlan.toString()
+      assert(p.contains("salt"), s"forced guard must salt the gram exchange:\n$p")
+      assertSameRows(off, on)
+    }
+    // df decomposition is the load-bearing claim: the hot passage's
+    // grams occur TWICE per doc across 200 docs — a (doc,pos)-keyed
+    // salt would double-count distinct docs across cells; the guarded
+    // df must equal the exact 200
+    val det = Curation.boilerplateDetect(spark, dir, 5, 3L,
+      hotMinOcc = 3L, sampleFraction = 1.0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(det.nonEmpty, "planted corpus must surface boilerplate grams")
+    val hotRows = det.filter(_._3 >= 400L) // tf = 200 docs x 2 repeats
+    assert(hotRows.nonEmpty, "the 200x passage must be in the detected set")
+    assert(hotRows.forall(_._2 == 200L),
+      s"hot grams' df must be the exact distinct-doc count: ${hotRows.take(3).toSeq}")
+  }
+
   test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
     val (w, s) = (16, 12)
     val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()

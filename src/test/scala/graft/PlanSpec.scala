@@ -757,13 +757,76 @@ class PlanSpec extends SparkSpec {
       s"no corpus-side sort join anywhere in the guard:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the guard stays equi-keyed:\n$p")
-    // exactly TWO shuffles: the salted corpus exchange + the hot-count
-    // aggregation's fp-sliver exchange (map-side partials compress each
-    // hot fp to one row per map partition first)
+    // AT MOST two shuffles — the no-extra-corpus-shuffle invariant
+    // (ADVICE r19: an exact ==2 fails on cosmetic exchange-count drift
+    // from a Spark/AQE change even when the guard's shape holds; the
+    // load-bearing exchange is the salted corpus repartition, already
+    // pinned by the REPARTITION_BY_NUM + salted-window asserts above,
+    // and the second is the hot-count fp-sliver aggregation)
     val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+    assert(shuffles <= 2,
+      s"expected <=2 hash exchanges (salted corpus repartition + hot-count sliver); " +
+        s"got $shuffles — a third exchange means the corpus stream re-shuffles:\n$p")
     assert(p.contains("partial_count"),
       s"hot counts must combine map-side before their sliver exchange:\n$p")
+  }
+
+  test("q190 gram guard: ONE salted corpus exchange reused by both aggregate branches, hot winners broadcast (r20)") {
+    // the SURVEY §22.6 fix shape: salt is computed map-side BEFORE the
+    // one REPARTITION_BY_NUM exchange; the light dup sliver and the hot
+    // combine both read that exchange via ReusedExchange (exchange reuse
+    // is an AQE runtime decision — run first, then read the final plan);
+    // hot winners ride a broadcast so no reduce task owns a hot gram
+    val df = q("q190_substring_dedup_hot")
+    Bench.runFully(df)
+    // the adaptive plan string prints Final AND Initial sections — the
+    // initial one never carries ReusedExchange, so pin the final only
+    val full = df.queryExecution.executedPlan.toString()
+    val p = full.split("== Initial Plan ==").head
+    val salted = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("salt") &&
+        l.contains("REPARTITION_BY_NUM") && !l.contains("ReusedExchange")).toSeq
+    assert(salted.size == 1,
+      s"exactly ONE salted corpus exchange expected, got ${salted.size}:\n$p")
+    val reused = p.linesIterator.count(l =>
+      l.contains("ReusedExchange") && l.contains("REPARTITION_BY_NUM"))
+    assert(reused == 2,
+      s"both aggregate branches must REUSE the salted exchange (got $reused " +
+        s"reuses — a miss means the gram stream shuffles twice; the r20 " +
+        s"nullable-pmod trap makes salt nullable and breaks canonical identity):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot winners must broadcast back:\n$p")
+    val shjSalted = p.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin") && l.contains("salt"))
+    assert(shjSalted, s"the light probe join must key on (h, salt):\n$p")
+    assert(!p.contains("SortMergeJoin [h"),
+      s"no gram-keyed sort join anywhere in the guard:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q133/q146 default plans carry NO salt — the guard is dormant below the width boundary (r20)") {
+    // the guard must not tax the uniform-corpus plan: at the test scale
+    // the auto guard is off (width == session parts), so the default
+    // plan is the measured r17/r18 shape verbatim
+    Seq("q133_substring_dedup", "q138_substring_apply",
+      "q146_boilerplate", "q147_boilerplate_apply").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("salt"), s"$name default plan must be unsalted:\n$p")
+    }
+  }
+
+  test("q152 decontam gram join stays AQE-skew-eligible: no user-pinned repartition (r20)") {
+    // q152's hot-gram story is different from q133/q146 BY DESIGN: its
+    // semi join carries no REPARTITION_BY_NUM, so (a) at realistic eval
+    // sizes the eval side broadcasts — no shuffle of train grams at all,
+    // no skew surface — and (b) in the shuffled fallback the exchanges
+    // are ENSURE_REQUIREMENTS, which AQE's OptimizeSkewedJoin may split
+    // at runtime (it skips user-specified repartitions — the exact
+    // reason q133 needed its own guard). A pinned width appearing here
+    // would silently disable that escape hatch.
+    val p = plan(q("q152_decontam_apply"))
+    assert(!p.contains("REPARTITION_BY_NUM"),
+      s"q152 must not pin its gram exchanges (AQE skew-split eligibility):\n$p")
   }
 
   test("BNLJ build sides are singleton stat rows, bounded at runtime (r19 sweep law)") {

@@ -302,6 +302,29 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embeddingNearDup(spark, sf, k = k3))
   }
 
+  /** r20 (VERDICT r19 item 5): the level-0 filing stage scores K²/b
+    * cosines directly — super-linear in K. Under the auto-K cap it is
+    * bounded at ~1.4× the assignment term; PAST the cap it grows
+    * without bound, so the library refuses loudly with the shard-bound
+    * guidance instead of planning it. The boundary is sharp: the cap
+    * itself builds, one past it throws. */
+  test("q155 refuses k past MaxAutoIvfK — the filing term's loud guard") {
+    import Similarity.MaxAutoIvfK
+    // at the cap: plan construction succeeds (no execution — building
+    // the 2²³-centroid plan is metadata-only until an action runs)
+    Similarity.embeddingNearDupIvfK(spark, sf, k = MaxAutoIvfK,
+      nAssign = 2, minCos = 0.4, nprobe = 3)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupIvfK(spark, sf, k = MaxAutoIvfK + 1,
+        nAssign = 2, minCos = 0.4, nprobe = 3)
+    }
+    assert(e.getMessage.contains("filing") && e.getMessage.contains("shard"),
+      s"the refusal must name the filing term and the shard path: ${e.getMessage}")
+    // and the auto-K path can never reach the guard: the derivation
+    // clamps at the same constant for any corpus size
+    assert(Similarity.nearDupIvfAutoK(Long.MaxValue) == MaxAutoIvfK)
+  }
+
   /** The hierarchy-shape formula behind q155's assignment: depth
     * d = smallest ≥ 2 with K ≤ (2¹⁰)^d — the crossover the r13 sf100
     * A/B measured (724 s at d = 3 vs 457 s at d = 2 for K = 125 000:
