@@ -128,9 +128,14 @@ object FamilyBench {
     // themselves since round 9 (auto-K ∝ n via semDedupAuto /
     // embeddingNearDupAuto), so no override is needed here
     val fns = SparkEntry.queries
-    def minOf2(name: String): Double = {
+    // returns (min wall, detection wall-s of the min run) — the guard's
+    // detection cost (2% sample + mega-doc screen, GuardStats) is
+    // published per query so a corpus-shape change can't silently turn
+    // the screen into a second corpus pass (VERDICT r20 item 5)
+    def minOf2(name: String): (Double, Double) = {
       val fn = fns(name)
       (1 to 2).map { _ =>
+        GuardStats.reset()
         val t0 = System.nanoTime()
         // full-plan execution, NOT df.count(): the count re-optimization
         // prunes columns and eliminates row-preserving tails, collapsing
@@ -139,16 +144,16 @@ object FamilyBench {
         Bench.runFully(fn(spark, sfDir))
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        t
-      }.min
+        (t, GuardStats.detectionSeconds)
+      }.minBy(_._1)
     }
-    val calibFirst = minOf2(CalibratorQuery)
+    val calibFirst = minOf2(CalibratorQuery)._1
     val results = family.map { name =>
-      val t = minOf2(name)
-      System.err.println(f"FAMILY_PROGRESS $name $t%.3f")
-      (name, t)
+      val (t, det) = minOf2(name)
+      System.err.println(f"FAMILY_PROGRESS $name $t%.3f (detection $det%.3f s)")
+      (name, t, det)
     }
-    val calibLast = minOf2(CalibratorQuery)
+    val calibLast = minOf2(CalibratorQuery)._1
     val calibRatio = calibLast / calibFirst
     val windowStatus =
       if (calibRatio > CalibratorBound || calibRatio < 1.0 / CalibratorBound)
@@ -158,7 +163,11 @@ object FamilyBench {
         f"$CalibratorQuery $calibFirst%.2f s before vs $calibLast%.2f s " +
         f"after (${calibRatio}%.2fx, bound ${CalibratorBound}x); this " +
         "artifact carries NO scale claims")
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // only queries whose guard detection actually ran appear (sf0.1's
+    // width ≤ session partitions keeps the guard off → empty map there)
+    val detJson = results.collect { case (k, _, det) if det > 0.0 =>
+      f""""$k":$det%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // on-disk input volume (all parquet under sfDir) — the artifact's
     // scale points become self-describing instead of relying on the
@@ -176,7 +185,7 @@ object FamilyBench {
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","window_status":"$windowStatus","calibrator":{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"intra-train stability only; compare first_s to a healthy-window record for host health"},"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","window_status":"$windowStatus","calibrator":{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"intra-train stability only; compare first_s to a healthy-window record for host health"},"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs,"detection_s":$detJson,"detection_semantics":"per-query wall seconds of the hot-key guard's sampled detection pass (2%% doc sample + mega-doc screen) in the min run; present only where detection ran"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()

@@ -73,27 +73,46 @@ object GramSkewProbe {
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
 
     val rec = new StageRecorder(spark.sparkContext)
-    def probeArm(name: String, df: => DataFrame): (String, Double, Seq[String]) = {
+    case class Arm(name: String, guardPresent: Boolean, probedSec: Double,
+                   detectionWallSec: Double, detectionShare: Double,
+                   stages: Seq[String])
+    def probeArm(name: String, guardPresent: Boolean,
+                 df: => DataFrame): Arm = {
       var probedSec = 0.0
+      var detSec = 0.0
       (1 to 2).foreach { i =>
-        if (i == 2) { rec.quiesce(); rec.clear() }
+        if (i == 2) { rec.quiesce(); rec.clear(); GuardStats.reset() }
         val t0 = System.nanoTime()
         Bench.runFully(df)
         val t = (System.nanoTime() - t0) / 1e9
-        if (i == 2) { rec.quiesce(); probedSec = t }
+        if (i == 2) { rec.quiesce(); probedSec = t
+                      detSec = GuardStats.detectionSeconds }
         spark.catalog.clearCache()
       }
-      System.err.println(f"GRAM_SKEW_PROBE arm=$name probed=$probedSec%.1f")
-      (name, probedSec, rec.jsonRows())
+      // detection-cost accounting (VERDICT r20 item 5): wall seconds of
+      // the detectHotKeys action in the probed run, plus the labeled
+      // detection stages' share of ALL probed task time — the number
+      // that exposes a corpus whose mega-doc screen has grown into a
+      // second corpus pass
+      val detShare = rec.taskTimeShare(GuardStats.DetectionJobPrefix)
+      System.err.println(
+        f"GRAM_SKEW_PROBE arm=$name probed=$probedSec%.1f detection=$detSec%.1fs (share $detShare%.3f)")
+      Arm(name, guardPresent, probedSec, detSec, detShare, rec.jsonRows())
     }
 
     val loadBefore = Bench.loadAvg()
     val shipping = SparkEntry.queries(queryName)
+    // the shipping arm is labeled "guarded" only when the query's entry
+    // actually carries a guard (ADVICE r20: q152's sole arm used to say
+    // "guarded" though its entry has no guard by design — now "shipping"
+    // + guard_present:false)
+    val shippingHasGuard = offBuilders.contains(queryName)
     val arms = (offBuilders.get(queryName).map(b =>
-      probeArm("off", b(spark, workDir))).toSeq :+
-      probeArm("guarded", shipping(spark, workDir)))
-    val armsJson = arms.map { case (n, s, rows) =>
-      f""""$n":{"probed_run_sec":$s%.2f,"stages":[${rows.mkString(",")}]}"""
+      probeArm("off", guardPresent = false, b(spark, workDir))).toSeq :+
+      probeArm(if (shippingHasGuard) "guarded" else "shipping",
+        guardPresent = shippingHasGuard, shipping(spark, workDir)))
+    val armsJson = arms.map { a =>
+      f""""${a.name}":{"probed_run_sec":${a.probedSec}%.2f,"guard_present":${a.guardPresent},"detection_wall_s":${a.detectionWallSec}%.2f,"detection_share":${a.detectionShare}%.4f,"stages":[${a.stages.mkString(",")}]}"""
     }.mkString(",")
     val json =
       f"""{"metric":"gram_skew_probe","query":"$queryName","src":"$srcSfDir","work":"$workDir","cpus":$cpus,"plant_every":$plantEvery,"planted_tokens":$tokens,"quiesce_timeout":${rec.quiesceTimeout},"calib_med_map_task_s":${rec.medianHeavyStageTaskSec}%.2f,"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"arms":{$armsJson}}"""

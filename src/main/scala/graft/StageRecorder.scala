@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.mutable
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Shared per-stage task-metrics recorder for the probe tools
   * (StageProbe, CdcSkewProbe): records every task-end's runtime and
@@ -30,9 +30,21 @@ private[graft] final class StageRecorder(sc: SparkContext) {
   }
 
   private val stages = mutable.LinkedHashMap.empty[Int, Acc]
+  // stageId → the spark.job.description active when its job started —
+  // lets the probes attribute task time to labeled phases (r21: the
+  // guard's detection jobs, labeled by Curation.detectHotKeys)
+  private val stageDesc = mutable.HashMap.empty[Int, String]
   @volatile var quiesceTimeout = false
 
   sc.addSparkListener(new SparkListener {
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      val d =
+        if (e.properties == null) null
+        else e.properties.getProperty("spark.job.description")
+      if (d != null) stages.synchronized {
+        e.stageInfos.foreach(si => stageDesc(si.stageId) = d)
+      }
+    }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
       if (e.taskMetrics != null) stages.synchronized {
         val a = stages.getOrElseUpdate(e.stageId, new Acc)
@@ -66,7 +78,23 @@ private[graft] final class StageRecorder(sc: SparkContext) {
     }
   }
 
-  def clear(): Unit = stages.synchronized(stages.clear())
+  def clear(): Unit = stages.synchronized { stages.clear(); stageDesc.clear() }
+
+  /** Fraction of ALL recorded task time spent in stages whose job
+    * description starts with `prefix` (VERDICT r20 item 5: the guard's
+    * detection share — detection jobs are labeled
+    * [[GuardStats.DetectionJobPrefix]]). 0.0 when nothing recorded. */
+  def taskTimeShare(prefix: String): Double = {
+    val (tot, hit) = stages.synchronized {
+      val t = stages.valuesIterator.map(_.runMs.sum).sum
+      val h = stages.iterator.collect {
+        case (id, a) if stageDesc.get(id).exists(_.startsWith(prefix)) =>
+          a.runMs.sum
+      }.sum
+      (t, h)
+    }
+    if (tot > 0) hit.toDouble / tot else 0.0
+  }
 
   private def snapshot: Seq[(Int, Acc)] = stages.synchronized(stages.toSeq)
 

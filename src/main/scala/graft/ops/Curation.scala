@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{GuardStats, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -933,10 +933,24 @@ object Curation {
     val thresh = math.max(1L, math.ceil(
       if (sampleFraction >= 1.0) hotMin.toDouble
       else sampleFraction * hotMin / 4.0).toLong)
-    val keys = keyStreamOf(input)
-      .groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= thresh)
-      .select(col("k")).collect().map(_.getString(0))
+    // detection-cost accounting (VERDICT r20 item 5): label the
+    // detection jobs so probe StageRecorders can attribute their task
+    // time, and publish the wall cost through GuardStats — the screen's
+    // work grows with the number of docs ≥ hotMin/4 chars, and this is
+    // what keeps that growth visible in the artifacts
+    val sc = docs.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"${GuardStats.DetectionJobPrefix}: $what")
+    val t0 = System.nanoTime()
+    val keys =
+      try keyStreamOf(input)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= thresh)
+        .select(col("k")).collect().map(_.getString(0))
+      finally {
+        GuardStats.addDetectionNanos(System.nanoTime() - t0)
+        sc.setJobDescription(prevDesc)
+      }
     require(keys.length <= MaxHotFps,
       s"hot-$what sliver (${keys.length} keys at threshold $thresh) " +
         s"exceeds the $MaxHotFps broadcast bound — raise hotMinOcc or " +

@@ -618,6 +618,48 @@ class CurationOpsSpec extends SparkSpec {
       s"hot grams' df must be the exact distinct-doc count: ${hotRows.take(3).toSeq}")
   }
 
+  test("gram guard: a hot gram AT the threshold with singleton salt cells resolves its winner from the broadcast side (VERDICT r20 item 7)") {
+    import graft.ops.Curation
+    val dir = hotGramDir
+    // hotMinOcc = 2 makes the 2-doc shared passage (docs 300/301, one
+    // occurrence each) HOT at exactly the detection threshold. Its two
+    // occurrences salt on xxhash64(doc_id, pos) — when they land in
+    // different cells, BOTH cells have c = 1, which the light path never
+    // carries (it keeps only per-cell c > 1), so the global keep-first
+    // winner can only come from the broadcast hot combine: the
+    // coalesce(k_doc, hk_doc) precedence at sdDupOccurrences is
+    // load-bearing exactly here. Precondition asserted below so a salt
+    // formula change can't silently hollow the test out.
+    val w = Curation.gramWidth(spark, dir)
+    // the pair passage shares L=8 grams at positions 0..4; at least one
+    // of them must have its two occurrences in different cells
+    val splitGrams = (0 to 4).map { p =>
+      val r = spark.sql(
+        s"select pmod(xxhash64(300L, ${p}L), $w), pmod(xxhash64(301L, ${p}L), $w)")
+        .collect().head
+      (p, r.getLong(0), r.getLong(1))
+    }.filter(t => t._2 != t._3)
+    assert(splitGrams.nonEmpty,
+      s"precondition: at least one shared gram's occurrences must salt " +
+        s"into different cells at width $w — adjust the planted doc ids " +
+        "if the salt formula changed")
+    val off = Curation.substringDedup(spark, dir, 8, hotMinOcc = -1L)
+    val on = Curation.substringDedup(spark, dir, 8, hotMinOcc = 2L,
+      sampleFraction = 1.0)
+    assert(on.queryExecution.executedPlan.toString().contains("salt"),
+      "threshold-2 guard must engage on the planted corpus")
+    assertSameRows(off, on)
+    // sharp read-out of the winner: doc 300 is the global first (dup
+    // spans accounted, nothing cut), doc 301 is the non-first (cut > 0).
+    // A cell-local winner would misclassify 301's occurrence as first.
+    val dup = on.collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(dup(300L)._1 > 0L && dup(300L)._2 == 0L,
+      s"global-first doc must be accounted dup but uncut: ${dup(300L)}")
+    assert(dup(301L)._2 > 0L,
+      s"non-first doc must have its occurrence cut: ${dup(301L)}")
+  }
+
   test("sliding chunks (q136): full coverage, stride discipline, honest fingerprints") {
     val (w, s) = (16, 12)
     val rows = graft.ops.Curation.chunkSliding(spark, sf, w, s).collect()

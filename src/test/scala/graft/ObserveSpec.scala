@@ -22,4 +22,25 @@ class ObserveSpec extends SparkSpec {
     assert(filtered < 1500L)
     assert(m("total").asInstanceOf[Double] > 0)
   }
+
+  test("guard detection telemetry: detectHotKeys publishes its wall cost through GuardStats (VERDICT r20 item 5)") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(id => (id, "k0 k0 k0 k0")).toDF("doc_id", "text")
+    val toksK = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(explode(split(col("text"), " ")).as("k"))
+    GuardStats.reset()
+    assert(GuardStats.detectionSeconds == 0.0)
+    val hot = ops.Curation.detectHotKeys(docs, toksK, hotMin = 10L,
+      sampleFraction = 1.0, what = "test")
+    assert(hot.contains("k0"))
+    assert(GuardStats.detectionSeconds > 0.0,
+      "the detection pass must record its wall cost")
+    // the accounting never leaks into the next measurement once reset
+    GuardStats.reset()
+    assert(GuardStats.detectionSeconds == 0.0)
+    // and the labeled job must restore the caller's description: a probe
+    // run after detection must not attribute ITS stages to detection
+    assert(spark.sparkContext.getLocalProperty("spark.job.description") == null,
+      "detectHotKeys must restore the previous job description")
+  }
 }
