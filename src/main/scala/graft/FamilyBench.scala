@@ -25,6 +25,23 @@ import org.apache.spark.sql.SparkSession
   * against a healthy-window record for the same sfDir before trusting
   * them (the artifact says so in `label_semantics`).
   *
+  * SEGMENT CALIBRATOR + MIN VECTOR (r21, closing OPTIMIZATION_r21's
+  * "Not yet optimized" items): the endpoint pair cannot see MID-train
+  * degradation — two ACCEPTED r21 sf10 runs degraded ~2.8× in
+  * complementary halves behind clean endpoints, costing three manual
+  * re-runs plus a solo to adjudicate. The train now (a) runs the
+  * calibrator ONCE after every family query and publishes the wall as
+  * `calib_s[q]` — a per-segment host constant, the same normalizer the
+  * q89 StageProbe pair used to demonstrate its 2.50 wall/calibrator
+  * ratio match; (b) flags `segments_degraded` (segment calibrator >
+  * [[CalibratorBound]] × first_s); and (c) after the endpoint
+  * calibrator, re-runs each degraded-segment query plus the
+  * [[SpreadReruns]] widest intra-query spreads once (capped at
+  * [[MaxReruns]], see [[selectReruns]]) and publishes the min over all
+  * runs as `queries_min` — the family analogue of Bench.scala's r21
+  * fat-tail denoiser. Legacy `queries`/`value` (min-of-first-2) are
+  * untouched for comparability with r11–r21 artifacts.
+  *
   * Needs only documents.parquet + embeddings.parquet in sfDir — exactly
   * what ScaleGen synthesizes. */
 object FamilyBench {
@@ -39,6 +56,31 @@ object FamilyBench {
     * entered that regime on two slow boots); 1.6 splits the regimes —
     * past it the train itself is degrading the box. */
   private val CalibratorBound = 1.6
+
+  /** How many widest-spread queries get a targeted third run (the
+    * family analogue of Bench's 10-of-193; families are 8–40 queries). */
+  private val SpreadReruns = 3
+
+  /** Hard cap on targeted re-runs per train (degraded segments can in
+    * principle flag every query of a fully-degraded train — that train
+    * is a re-run-the-window case, not a re-run-every-query case). */
+  private val MaxReruns = 8
+
+  /** Pure re-run selection (spec-pinned): every degraded-segment query
+    * plus the [[SpreadReruns]] widest absolute intra-query spreads, in
+    * train order, deduplicated, capped at [[MaxReruns]]. Spread ties
+    * break by name so the choice is deterministic. */
+  private[graft] def selectReruns(
+      order: Seq[String],
+      spreads: Map[String, Double],
+      degraded: Set[String],
+      topSpread: Int = SpreadReruns,
+      cap: Int = MaxReruns): Seq[String] = {
+    val bySpread = spreads.toSeq.sortBy { case (n, s) => (-s, n) }
+      .take(topSpread).map(_._1).toSet
+    order.filter(n => degraded(n) || bySpread(n)).take(cap)
+  }
+
   private val Family = Seq(
     "q21_dedup_exact", "q22_jaccard_neardup", "q23_minhash_lsh",
     "q24_simhash_neardup", "q25_cosine_topk", "q26_ann_ivf",
@@ -132,28 +174,43 @@ object FamilyBench {
     // detection cost (2% sample + mega-doc screen, GuardStats) is
     // published per query so a corpus-shape change can't silently turn
     // the screen into a second corpus pass (VERDICT r20 item 5)
-    def minOf2(name: String): (Double, Double) = {
-      val fn = fns(name)
-      (1 to 2).map { _ =>
-        GuardStats.reset()
-        val t0 = System.nanoTime()
-        // full-plan execution, NOT df.count(): the count re-optimization
-        // prunes columns and eliminates row-preserving tails, collapsing
-        // lazy operators to a metadata scan (the r16 hollow-timing bug,
-        // see Bench.runFully — this tool kept the bug one round longer)
-        Bench.runFully(fn(spark, sfDir))
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        (t, GuardStats.detectionSeconds)
-      }.minBy(_._1)
+    def timeOnce(name: String): (Double, Double) = {
+      GuardStats.reset()
+      val t0 = System.nanoTime()
+      // full-plan execution, NOT df.count(): the count re-optimization
+      // prunes columns and eliminates row-preserving tails, collapsing
+      // lazy operators to a metadata scan (the r16 hollow-timing bug,
+      // see Bench.runFully — this tool kept the bug one round longer)
+      Bench.runFully(fns(name)(spark, sfDir))
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (t, GuardStats.detectionSeconds)
     }
-    val calibFirst = minOf2(CalibratorQuery)._1
+    def runsOf2(name: String): Seq[(Double, Double)] =
+      (1 to 2).map(_ => timeOnce(name))
+    val calibFirst = runsOf2(CalibratorQuery).map(_._1).min
+    // results: (name, both run times, detection of the min-of-2 run,
+    // segment calibrator wall right after this query's runs)
     val results = family.map { name =>
-      val (t, det) = minOf2(name)
-      System.err.println(f"FAMILY_PROGRESS $name $t%.3f (detection $det%.3f s)")
-      (name, t, det)
+      val runs = runsOf2(name)
+      val (t, det) = runs.minBy(_._1)
+      val segCalib = timeOnce(CalibratorQuery)._1
+      System.err.println(
+        f"FAMILY_PROGRESS $name $t%.3f (detection $det%.3f s, segment calib $segCalib%.3f s)")
+      (name, runs.map(_._1), det, segCalib)
     }
-    val calibLast = minOf2(CalibratorQuery)._1
+    val calibLast = runsOf2(CalibratorQuery).map(_._1).min
+    // segment health + targeted re-runs (r21 min vector, see scaladoc)
+    val degraded = results.collect {
+      case (n, _, _, c) if c > CalibratorBound * calibFirst => n
+    }.toSet
+    val spreads = results.map { case (n, ts, _, _) => n -> (ts.max - ts.min) }.toMap
+    val rerunNames = selectReruns(family, spreads, degraded)
+    val rerun: Map[String, Double] = rerunNames.map { n =>
+      val t = timeOnce(n)._1
+      System.err.println(f"FAMILY_RERUN $n $t%.3f")
+      n -> t
+    }.toMap
     val calibRatio = calibLast / calibFirst
     val windowStatus =
       if (calibRatio > CalibratorBound || calibRatio < 1.0 / CalibratorBound)
@@ -163,12 +220,22 @@ object FamilyBench {
         f"$CalibratorQuery $calibFirst%.2f s before vs $calibLast%.2f s " +
         f"after (${calibRatio}%.2fx, bound ${CalibratorBound}x); this " +
         "artifact carries NO scale claims")
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, ts, _, _) => f""""$k":${ts.min}%.3f""" }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, ts, _, _) =>
+      f""""$k":${(ts ++ rerun.get(k)).min}%.3f""" }.mkString("{", ",", "}")
+    val calibJson = results.map { case (k, _, _, c) => f""""$k":$c%.3f""" }
+      .mkString("{", ",", "}")
+    val degradedJson = results.collect { case (k, _, _, c)
+      if degraded(k) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val rerunJson = rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // only queries whose guard detection actually ran appear (sf0.1's
     // width ≤ session partitions keeps the guard off → empty map there)
-    val detJson = results.collect { case (k, _, det) if det > 0.0 =>
+    val detJson = results.collect { case (k, _, det, _) if det > 0.0 =>
       f""""$k":$det%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
+    val totalMin = results.map { case (k, ts, _, _) =>
+      (ts ++ rerun.get(k)).min }.sum
     // on-disk input volume (all parquet under sfDir) — the artifact's
     // scale points become self-describing instead of relying on the
     // sfDir name matching a ScaleGen rep count
@@ -185,7 +252,7 @@ object FamilyBench {
       if (family eq GraphFamily) "graph_agg_family_total"
       else "dedup_similarity_family_total"
     val json =
-      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","window_status":"$windowStatus","calibrator":{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"intra-train stability only; compare first_s to a healthy-window record for host health"},"loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs,"detection_s":$detJson,"detection_semantics":"per-query wall seconds of the hot-key guard's sampled detection pass (2%% doc sample + mega-doc screen) in the min run; present only where detection ran"}"""
+      f"""{"metric":"$metric","value":$total%.2f,"unit":"sec","sf":"$sfDir","input_mib":$inputMib%.1f,"cpus":$cpus,"shuffle_partitions":$shuffle,"aqe_initial_partitions":$aqeInitial,"runs_per_query":2,"aggregation":"min_of_2_warm","exec":"full_plan","value_min":$totalMin%.2f,"queries_min":$qsMin,"rerun_queries":$rerunJson,"min_semantics":"queries_min/value_min = per-query min over the 2 sweep runs plus one targeted re-run of each degraded-segment query and the $SpreadReruns widest intra-query spreads (rerun_queries, cap $MaxReruns); the scale-trend denominator","window_status":"$windowStatus","calibrator":{"query":"$CalibratorQuery","first_s":$calibFirst%.3f,"last_s":$calibLast%.3f,"ratio":$calibRatio%.3f,"bound":$CalibratorBound,"label_semantics":"intra-train stability only; compare first_s to a healthy-window record for host health"},"calib_s":$calibJson,"segments_degraded":$degradedJson,"segment_semantics":"calib_s[q] = one calibrator wall right after q's runs — the per-segment host constant; segments_degraded = queries whose segment calibrator exceeded bound x first_s (their timings are window-suspect and were re-run)","loadavg_before":$loadBefore,"loadavg_after":${Bench.loadAvg()},"queries":$qs,"detection_s":$detJson,"detection_semantics":"per-query wall seconds of the hot-key guard's sampled detection pass (2%% doc sample + mega-doc screen) in the min run; present only where detection ran"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
     spark.stop()
