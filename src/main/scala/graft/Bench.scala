@@ -57,6 +57,27 @@ object Bench {
   private val CalibratorQuery = "q21_dedup_exact"
   private val CalibratorBound = 1.6
 
+  /** r21 session-2 (OPTIMIZATION_r21 "Not yet optimized" item 1): the
+    * 193-query sweep used to carry only ENDPOINT calibrators, so
+    * MID-run degradation (the documented erratic-train regime — runs
+    * that degrade for a stretch behind clean endpoints) was invisible
+    * in-artifact and cost manual solo re-runs to adjudicate. The
+    * calibrator now also runs once after every [[SegmentLen]] queries
+    * (~20 sub-second runs ≈ 2% of the sweep wall); a segment whose
+    * calibrator exceeds CalibratorBound × first_s marks its queries
+    * degraded, and the targeted re-run set becomes
+    * [[FamilyBench.selectReruns]] (every degraded-segment query plus
+    * the [[SpreadReruns]] widest intra-query spreads, train order,
+    * capped at [[MaxReruns]]) — the family train's spec-pinned
+    * selection at bench scale. `queries`/`value` keep their
+    * r01-compatible min-of-2-sweep-runs semantics; only the min vector
+    * and the artifact fields grew. Single calibrator run per segment:
+    * the segment signal is a degradation FLAG, not a denominator —
+    * min-of-2 would double its cost for no sharper flag. */
+  private val SegmentLen = 10
+  private val SpreadReruns = 10
+  private val MaxReruns = 16
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadBefore = loadAvg()
@@ -127,12 +148,22 @@ object Bench {
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val segCalib = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), idx) =>
       val runs = (1 to 2).map(_ => timeOnce(name, fn))
       val okTimes = runs.collect { case (t, true) => t }
       // one query's cache hygiene must never bill the next: drop any
       // plan-cache entries it left behind before the next query runs
       spark.catalog.clearCache()
+      // segment calibrator (see [[SegmentLen]] scaladoc): one run closes
+      // every SegmentLen-query segment; a failed run records -1 (never a
+      // fast "healthy" reading)
+      if ((idx + 1) % SegmentLen == 0 || idx == sortedQueries.size - 1) {
+        val (t, ok) = timeOnce(CalibratorQuery, SparkEntry.queries(CalibratorQuery))
+        segCalib += (if (ok) t else -1.0)
+        spark.catalog.clearCache()
+      }
       // a failed run's time-to-throw must never publish as the query's
       // timing — report min over SUCCESSFUL runs only, -1 if none
       (name, okTimes, runs.forall(_._2))
@@ -146,9 +177,20 @@ object Bench {
     // BASELINE.md defines round-over-round comparison on. The legacy
     // `queries`/`value` (min-of-first-2) stay untouched for
     // comparability with r01–r20 artifacts.
-    val rerunNames = results
+    val spreads = results
       .collect { case (n, ts, true) if ts.size >= 2 => (n, ts.max - ts.min) }
-      .sortBy(-_._2).take(10).map(_._1)
+      .toMap
+    // a query is degraded when ITS segment's calibrator degraded (r21
+    // session-2; a -1 failed calibrator run never flags)
+    val degraded: Set[String] = calibFirst match {
+      case Some(f) => sortedQueries.map(_._1).zipWithIndex.collect {
+        case (n, idx) if segCalib.lift(idx / SegmentLen)
+          .exists(c => c > 0 && c > CalibratorBound * f) => n
+      }.toSet
+      case None => Set.empty
+    }
+    val rerunNames = FamilyBench.selectReruns(
+      sortedQueries.map(_._1), spreads, degraded, SpreadReruns, MaxReruns)
     val rerun: Map[String, Double] = rerunNames.flatMap { name =>
       val (t, ok) = timeOnce(name, SparkEntry.queries(name))
       spark.catalog.clearCache()
@@ -191,8 +233,11 @@ object Bench {
       o.map(v => f"$v%.3f").getOrElse("null")
     val calib =
       s"""{"query":"$CalibratorQuery","first_s":${optNum(calibFirst)},"last_s":${optNum(calibLast)},"ratio":${optNum(calibRatio)},"bound":$CalibratorBound,"label_semantics":"one-sided: REJECTED only on in-run degradation (ratio > bound); ratio < 1 is expected whole-run warm-in; judge host health from first_s + loadavg_before vs a healthy-window record"}"""
+    val segCalibJson = segCalib.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val degradedJson = sortedQueries.map(_._1).filter(degraded)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":2,"value_min":$totalMin,"queries_min":$qsMin,"rerun_queries":$rerunJson,"min_semantics":"queries_min/value_min = per-query min over the 2 sweep runs plus one targeted re-run of the 10 widest absolute intra-query spreads (rerun_queries); the round-over-round comparison denominator per BASELINE.md","window_status":"$windowStatus","calibrator":$calib,"loadavg_before":$loadBefore,"loadavg_after":${loadAvg()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":2,"value_min":$totalMin,"queries_min":$qsMin,"rerun_queries":$rerunJson,"min_semantics":"queries_min/value_min = per-query min over the 2 sweep runs plus one targeted re-run of each degraded-segment query and the $SpreadReruns widest absolute intra-query spreads (rerun_queries, train order, cap $MaxReruns); the round-over-round comparison denominator per BASELINE.md","segment_len":$SegmentLen,"calib_segments":$segCalibJson,"segments_degraded":$degradedJson,"window_status":"$windowStatus","calibrator":$calib,"loadavg_before":$loadBefore,"loadavg_after":${loadAvg()}}"""
     Files.writeString(Paths.get("BENCH.json"), json)
     println(json)
     spark.stop()

@@ -182,7 +182,14 @@ object Dedup {
   }
 
   private def agreementOf(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val truth = jaccardNearDupOf(docs).select(col("a_id"), col("b_id"))
+    // ONE shingle index serves the exact-truth leg AND the minhash leg
+    // (r21: each leg used to build an identical corpus-sized index —
+    // sharing it removes a full tokenize+explode corpus pass per audit;
+    // both legs' outputs are eager, so one unpersist at the end covers
+    // the whole audit). The simhash leg is TOKEN-keyed, not shingle-
+    // keyed, and keeps its own pass.
+    val sh = shinglesOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val truth = jaccardNearDupOn(sh).select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     def leg(name: String, pairs0: DataFrame): DataFrame = {
@@ -195,7 +202,7 @@ object Dedup {
     // degenerate-denominator guard: a sampled audit (q188) can leave a
     // leg with zero pairs; Spark's double 0/0 is NaN while the oracle
     // engine NULLs on division by zero — emit null on both engines
-    val out = leg("minhash", minhashLshOf(docs))
+    val out = leg("minhash", minhashLshOn(sh))
       .unionAll(leg("simhash", simhashNearDupOf(docs)))
       .crossJoin(broadcast(nTrue))
       .select(col("method"), col("n_pairs"), col("n_true"), col("n_hit"),
@@ -205,6 +212,7 @@ object Dedup {
           round(col("n_hit").cast("double") / col("n_true"), 6)).as("rec"))
       .localCheckpoint(true)
     truth.unpersist(false)
+    sh.unpersist(false)
     out
   }
 
@@ -314,12 +322,24 @@ object Dedup {
     * so restricting the input restricts the OUTPUT exactly. */
   private[graft] def jaccardNearDupOf(docs: DataFrame,
                                       threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val t = threshold
     // the shingle index feeds candidate enumeration AND verification —
     // persist it once instead of re-exploding the corpus per use (the
     // standard candidate/verify diamond; spills to disk at scale)
     val sh = shinglesOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = jaccardNearDupOn(sh, threshold) // eager — safe to release sh
+    sh.unpersist(false)
+    out
+  }
+
+  /** q22 over a PRE-BUILT (and caller-persisted) shingle index — the
+    * seam that lets the agreement audits (q182/q188) share ONE corpus
+    * shingle pass between the exact-truth leg and the minhash leg
+    * instead of each building an identical index (r21). Returns eagerly
+    * materialized; the caller owns `sh`'s lifecycle. */
+  private def jaccardNearDupOn(sh: DataFrame,
+                               threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val t = threshold
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     // shuffle_hash beats the default sort-merge here: both sides shuffle
@@ -352,10 +372,9 @@ object Dedup {
       .filter((lit(1) + least(col("sz_a") - col("ra0"), col("sz_b") - col("rb0"))).cast("double")
         >= (col("sz_a") + col("sz_b")) * (t / (1 + t)) - 1e-9)
       .select(col("a_id"), col("b_id"))
-    // verifyJaccard returns eagerly materialized → the shingle index and
-    // prefix index are no longer reachable; release them now
+    // verifyJaccard returns eagerly materialized → the prefix index is
+    // no longer reachable; release it now (sh belongs to the caller)
     val out = verifyJaccard(cand, sh, t)
-    sh.unpersist(false)
     pref.unpersist(false)
     out
   }
@@ -502,8 +521,20 @@ object Dedup {
                                   numHashes: Int = NumHashes,
                                   bandRows: Int = BandRows,
                                   threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bandRows == 0, "numHashes must split evenly into bands")
     val sh = shinglesOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = minhashLshOn(sh, numHashes, bandRows, threshold) // eager
+    sh.unpersist(false)
+    out
+  }
+
+  /** q23 over a PRE-BUILT (caller-persisted) shingle index — the q182/
+    * q188 sharing seam (see [[jaccardNearDupOn]]). Eager output; the
+    * caller owns `sh`'s lifecycle. */
+  private def minhashLshOn(sh: DataFrame,
+                           numHashes: Int = NumHashes,
+                           bandRows: Int = BandRows,
+                           threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must split evenly into bands")
     // the band-bucket self-join reads sig from both sides and one side
     // broadcasts, so the numHashes-min signature aggregate would run
     // twice; one short row per doc is the cheapest thing in this plan to
@@ -511,7 +542,6 @@ object Dedup {
     val sig = signaturesOf(sh, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bandCandidates(sig, numHashes, bandRows)
     val out = verifyJaccard(cand, sh, threshold) // eager — safe to release inputs
-    sh.unpersist(false)
     sig.unpersist(false)
     out
   }

@@ -146,8 +146,10 @@ object Graph {
     * Scale design (q97's economics doubled): the distinct edge list is
     * persisted ONCE and feeds every round; each round is two
     * contribution shuffles (dst-keyed then src-keyed, map-side partial
-    * sums) plus one node-sliver max + broadcast for the snap — no
-    * window, no collect, state = one score row per node. The snap
+    * sums) plus one node-sliver max riding the snap checkpoint as an
+    * `observe` metric (one O(1) driver value per round — no second agg
+    * job, no per-round BroadcastExchange) — no window, no corpus
+    * collect, state = one score row per node. The snap
     * checkpoint doubles as the per-round lineage truncation (the snap
     * reads its input twice — un-truncated that would re-execute
     * upstream 4^rounds, the blowup the oracle's MATERIALIZED CTEs
@@ -178,19 +180,27 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Per-round max-snap (see the scaladoc's EXACTNESS paragraph): the
-    // raw hub sums are materialized once, their max rides a 1-row
-    // broadcast back, and every hub score lands on the 2^30 integer
-    // grid before feeding the next round's sums. Snapping the HUB side
+    // raw hub sums are materialized once, their max rides the SAME
+    // materializing job as an `observe` metric (the Clusters.scala
+    // checkpoint-with-signature idiom) and re-enters as a LITERAL, and
+    // every hub score lands on the 2^30 integer grid before feeding the
+    // next round's sums. (r21: the max used to ride a second agg + 1-row
+    // BroadcastExchange + crossJoin per round — an extra job per round
+    // re-reading the checkpoint it had just written; max over exact
+    // integers is order-free, so the literal is the identical double and
+    // scores are bit-identical.) Snapping the HUB side
     // alone suffices: the auth half-step then sums exact ints ≤ 2^30
     // (exact through in-degree 2^23) and the hub half-step sums exact
     // ints ≤ d_auth·2^30 (exact through degree product 2^23) — the
     // auth frame never needs its own snap pass.
     def snap(raw: DataFrame): DataFrame = {
-      val ckpt = checkpointer(raw)
-      val mx = ckpt.agg(max(col("s")).as("mx"))
-      ckpt.crossJoin(broadcast(mx))
-        .select(col("node"),
-          round(col("s") / col("mx") * lit(HitsSnapScale), 0).as("s"))
+      val obs = org.apache.spark.sql.Observation()
+      val ckpt = checkpointer(raw.observe(obs, max(col("s")).as("mx")))
+      // max is null only on an EMPTY frame (no edges), where the select
+      // below is empty for any finite literal — 1.0 keeps the cast total
+      val mx = Option(obs.get.apply("mx")).fold(1.0)(_.asInstanceOf[Double])
+      ckpt.select(col("node"),
+        round(col("s") / lit(mx) * lit(HitsSnapScale), 0).as("s"))
     }
     var hubs = checkpointer(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("s")))
@@ -202,13 +212,19 @@ object Graph {
         .groupBy(col("src").as("node")).agg(sum(col("s")).as("s")))
     }
     // read-out: one L1 pass per side — score = s/Σs × n (O(1) values,
-    // q97's ×n convention), 5 dp, ties cut on node id
+    // q97's ×n convention), 5 dp, ties cut on node id. Σs and n ride the
+    // read-out checkpoint as observe metrics (both exact: s values are
+    // grid integers, so the sum is order-free) instead of a second agg +
+    // broadcast crossJoin — same literal-re-entry trade as snap().
     def head(scores0: DataFrame, kind: String): DataFrame = {
-      val scores = checkpointer(scores0)
-      val tot = scores.agg(sum(col("s")).as("t"), count(lit(1)).as("n"))
-      scores.crossJoin(broadcast(tot))
-        .select(lit(kind).as("kind"), expr("node div 2").as("key"),
-          round(col("s") / col("t") * col("n"), 5).as("score"), col("node"))
+      val obs = org.apache.spark.sql.Observation()
+      val scores = checkpointer(scores0.observe(obs,
+        sum(col("s")).as("t"), count(lit(1)).as("n")))
+      val m = obs.get
+      val t = Option(m("t")).fold(1.0)(_.asInstanceOf[Double])
+      val n = m("n").asInstanceOf[Long]
+      scores.select(lit(kind).as("kind"), expr("node div 2").as("key"),
+          round(col("s") / lit(t) * lit(n), 5).as("score"), col("node"))
         .orderBy(desc("score"), asc("node")).limit(25)
         .select(col("kind"), col("key"), col("score"))
     }
