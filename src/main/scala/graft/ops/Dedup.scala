@@ -686,10 +686,23 @@ object Dedup {
                                       maxHamming: Int = 3): DataFrame =
     hammingBandPairs(simhashSignaturesOf(docs), chunkBits = 8, maxHamming)
 
+  /** The 14 quads of the complement-closed optimal C(8,4,3) covering
+    * design over the 8 chunk indices (the AG(3,2) plane family): every
+    * 3-subset of {0..7} is contained in some block (spec-verified
+    * exhaustively), and the set is closed under complement — so for any
+    * ≤3-dirty-chunk pair the dirty set lies inside some block T, whose
+    * complement (also a block here) is a fully-CLEAN banded quad. Exact
+    * recall at Hamming ≤ 3 with 14 bands instead of C(8,4) = 70. */
+  private[graft] val CoveringQuads: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 1, 2, 3), (0, 1, 4, 5), (0, 1, 6, 7), (0, 2, 4, 6), (0, 2, 5, 7),
+    (0, 3, 4, 7), (0, 3, 5, 6), (1, 2, 4, 7), (1, 2, 5, 6), (1, 3, 4, 6),
+    (1, 3, 5, 7), (2, 3, 4, 5), (2, 3, 6, 7), (4, 5, 6, 7))
+
   /** The banded Hamming-join machinery shared by q24 (64-bit SimHash,
     * 8-bit chunks) and q148 (56-bit media dHash, 7-bit chunks): group
-    * docs by DISTINCT signature, band the sigs by the C(8,4)=70 quads
-    * of `chunkBits`-bit chunks, verify `bit_count(xor)` on candidate
+    * docs by DISTINCT signature, band the sigs by quads of
+    * `chunkBits`-bit chunks ([[CoveringQuads]] at the shipped radius 3;
+    * all C(8,4)=70 at radius 4), verify `bit_count(xor)` on candidate
     * sig pairs, expand back to doc pairs, and add the identical-sig
     * within-group pairs at Hamming 0. Exactness is the chunk-count
     * pigeonhole and does not depend on the chunk WIDTH: ≤ maxHamming ≤
@@ -710,7 +723,18 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     def chunk(c: Int): Column =
       shiftright(col("sig"), c * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
-    val quads = (for {
+    // Band selection (r21): exact recall needs, for EVERY possible
+    // ≤maxHamming-element dirty-chunk set D, some banded quad disjoint
+    // from D — i.e. the quad COMPLEMENTS must cover every |D|-subset of
+    // the 8 chunks (a covering design). For maxHamming ≤ 3 the optimal
+    // 14-block C(8,4,3) design [[CoveringQuads]] suffices instead of
+    // all C(8,4) = 70 quads — 5× fewer bucket rows per signature into
+    // the band self-join with a byte-identical result (the bit_count
+    // verify is unchanged; DedupSpec's brute-force differential and the
+    // exhaustive covering law gate it). maxHamming = 4 needs every
+    // 4-subset covered, which only all 70 quads do.
+    val quads = (if (maxHamming <= 3) CoveringQuads
+    else for {
       i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8; l <- k + 1 until 8
     } yield (i, j, k, l)).zipWithIndex
     val bandCols = quads.map { case ((i, j, k, l), b) =>

@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpec {
     assertSameRows(Dedup.simhashNearDup(spark, sf), brute)
   }
 
+  test("CoveringQuads is an exhaustive complement-closed C(8,4,3) design (r21 band reduction)") {
+    val blocks = Dedup.CoveringQuads.map { case (i, j, k, l) => Set(i, j, k, l) }
+    assert(blocks.size == 14 && blocks.distinct.size == 14)
+    assert(blocks.forall(b => b.size == 4 && b.forall(c => c >= 0 && c < 8)))
+    // complement-closure: the clean quad for a dirty set IS a block
+    assert(blocks.forall(b => blocks.contains((0 until 8).toSet -- b)),
+      "every block's complement must itself be a block")
+    // the covering law behind exact recall at Hamming <= 3: every
+    // possible <=3-dirty-chunk set sits inside some block, so that
+    // block's complement is a fully-clean banded quad (checked
+    // EXHAUSTIVELY over all C(8,3) = 56 dirty sets; subsets of size
+    // < 3 are covered a fortiori)
+    val triples = for {
+      a <- 0 until 8; b <- a + 1 until 8; c <- b + 1 until 8
+    } yield Set(a, b, c)
+    assert(triples.forall(t => blocks.exists(t.subsetOf(_))),
+      "every 3-subset of chunks must be contained in some block")
+  }
+
   test("exact dedup keeps one representative per normalized text") {
     val d = Dedup.exact(spark, sf)
     assert(d.count() == d.select("text_fp").distinct().count())
